@@ -1,0 +1,66 @@
+"""Vector distance kernels (reference ``QueryServiceImpl.l2:364-372``,
+``Coding.dot:349-353``).
+
+Two tiers:
+- native Catalyst expressions (zip_with + aggregate) — stay inside
+  whole-stage codegen, no Python round-trip; the default for plans where
+  the vector column is already joined in.
+- Arrow-vectorized pandas UDF — faster per-row for wide vectors / huge
+  candidate sets (numpy SIMD beats codegen's per-element loop on 100+-d
+  arrays); used by the heavy refine stages when profiling says so.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def l2_expr(a, b) -> Column:
+    """sqrt(sum((a_i-b_i)^2)) as a native expression (double math)."""
+    d2 = F.aggregate(
+        F.zip_with(_c(a), _c(b),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return F.sqrt(d2)
+
+
+def dot_expr(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_expr(a, b) -> Column:
+    """Cosine *similarity* (not distance) as a native expression."""
+    num = dot_expr(a, b)
+    na = F.sqrt(dot_expr(a, a))
+    nb = F.sqrt(dot_expr(b, b))
+    return num / (na * nb)
+
+
+@pandas_udf(DoubleType())
+def l2_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    A = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+    B = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+    return pd.Series(np.sqrt(np.square(A - B).sum(axis=1)))
+
+
+@pandas_udf(DoubleType())
+def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    A = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+    B = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+    num = (A * B).sum(axis=1)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    den[den == 0.0] = np.inf
+    return pd.Series(num / den)

@@ -70,6 +70,18 @@ class AnnIndex:
                                 F.col(vector_col).alias("vector"))
         return cls(params=params, codes=codes_p, bounds=bounds, points=points)
 
+    def with_encrypted_points(self, encrypted: DataFrame, keys_bc,
+                              mode: str = "skip") -> "AnnIndex":
+        """Swap the payload table for an encrypted_points table (FIXTURES
+        §4 schema).  Routing state is untouched — the reference's
+        routing–ciphertext orthogonality invariant: key rotation never
+        changes codes or partition bounds."""
+        from ..crypto.aes import decrypt_vectors
+        from dataclasses import replace
+        return replace(
+            self, points=encrypted, encrypted=True,
+            decrypt_fn=lambda df: decrypt_vectors(df, keys_bc, mode=mode))
+
     def routing(self):
         """Collect + broadcast per-(t,d) partition bounds for driver-free
         binary-search routing in executors.  Bounds are N/block rows —

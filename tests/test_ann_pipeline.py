@@ -1,0 +1,80 @@
+"""End-to-end ANN pipeline recall + semantics (SURVEY §7.1 regression
+anchor): plaintext path, encrypted path, adaptive retry."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from fspann_query_system_spark.lsh.params import LshConfig
+from fspann_query_system_spark.query.ann import AnnIndex, search_batch, search_batch_adaptive
+from fspann_query_system_spark.query.exact import knn_exact
+from fspann_query_system_spark.query.metrics import evaluate
+
+
+@pytest.fixture(scope="module")
+def index(clustered):
+    df, X = clustered
+    cfg = LshConfig(dim=16, m=8, lam=2, tables=4, divisions=2, seed=42,
+                    block_size=32, probes=5, refinement_limit=400)
+    return AnnIndex.build(df, cfg), df, X
+
+
+@pytest.fixture(scope="module")
+def queries(spark, index):
+    _, df, X = index
+    rng = np.random.default_rng(11)
+    qidx = rng.choice(len(X), 25, replace=False)
+    Q = X[qidx] + rng.normal(0, 0.05, (25, X.shape[1]))
+    return spark.createDataFrame(
+        [(int(i), Q[j].tolist()) for j, i in enumerate(qidx)],
+        "q_id LONG, vector ARRAY<DOUBLE>")
+
+
+def test_recall_on_clustered_data(index, queries):
+    idx, df, X = index
+    res = search_batch(idx, queries, k=10)
+    gt = knn_exact(df, queries, k=10)
+    hits = (res.select("q_id", "id")
+            .join(gt.select("q_id", "id"), ["q_id", "id"]).count())
+    recall = hits / gt.count()
+    # clustered data + 400-candidate refinement over 2000 points: LSH must
+    # do far better than random (random ≈ 400/2000 = 0.2)
+    assert recall > 0.6, recall
+
+
+def test_result_shape_and_ranks(index, queries):
+    idx, _, _ = index
+    res = search_batch(idx, queries, k=10).collect()
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q, rows in per_q.items():
+        ranks = sorted(x.rank for x in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        by_rank = sorted(rows, key=lambda x: x.rank)
+        dists = [x.distance for x in by_rank]
+        assert dists == sorted(dists)
+
+
+def test_refinement_limit_bounds_candidates(index, queries):
+    idx, _, _ = index
+    # with a tiny refinement budget results still have <= k rows per query
+    res = search_batch(idx, queries, k=10, refinement_limit=12)
+    counts = res.groupBy("q_id").count().collect()
+    assert all(r["count"] <= 10 for r in counts)
+
+
+def test_adaptive_retry_fills_underfilled(index, queries):
+    idx, _, _ = index
+    res = search_batch_adaptive(idx, queries, k=10, refinement_limit=400)
+    counts = res.groupBy("q_id").count().collect()
+    assert all(r["count"] == 10 for r in counts)
+
+
+def test_evaluate_headline(index, queries):
+    idx, df, _ = index
+    res = search_batch(idx, queries, k=10)
+    ev = {r.k: r for r in evaluate(res, df, queries, ks=[1, 10]).collect()}
+    assert ev[1].avg_recall > 0.5
+    assert ev[10].avg_ratio is not None and ev[10].avg_ratio >= 1.0

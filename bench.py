@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock of the headline suite (sum of per-query times).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from fspann_query_system_spark.session import get_spark          # noqa: E402
+from fspann_query_system_spark import workloads                  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "region_revenue",
+    "top_orders_per_customer",
+    "sessionization",
+    "event_window_agg",
+    "doc_stats",
+    "minhash",
+    "jaccard_pairs",
+    "simhash",
+    "knn_exact",
+    "cosine_topk",
+    "lsh_codes",
+    "lsh_partition_bounds",
+    "ann_search",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("fspann-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + python workers so per-query times measure the
+    # queries, not interpreter startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = workloads.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()   # full materialization
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

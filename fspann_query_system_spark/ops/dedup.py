@@ -1,0 +1,169 @@
+"""Deduplication operators for training-data pipelines (beyond the
+reference; first-class per the build mandate).
+
+All variants are expressed as DataFrame plans whose hash primitive is
+md5 (stable across engines → every stage is oracle-checkable in ANSI
+SQL).  Scale notes per operator:
+
+- exact:     one shuffle (groupBy fingerprint).  At 100TB: fingerprint is
+             computed map-side, shuffle carries (hash, id) only.
+- minhash:   shingle explode is map-side; signature = groupBy(doc) min per
+             seed — partial aggregation makes the shuffle carry
+             n_docs*n_seeds rows, not n_shingles.  Band buckets then
+             self-join only within equal (band, hash) — the classic
+             MinHash-LSH join, skew-safe because bucket sizes are tiny.
+- simhash:   64-bit signature per doc, near-dups = hamming <= t within
+             byte-prefix buckets.
+- ngram jaccard: exact verification join on shared shingles, intended for
+             candidate pairs (post-LSH), not all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_docs, doc_ids) for every normalized-text fingerprint
+    shared by >1 document."""
+    return (df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+            .filter(F.col("n_docs") > 1))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per fingerprint (deterministic winner)."""
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (df.withColumn("fingerprint", fingerprint_md5(text_col))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def shingle_table(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) distinct — the set representation of each document."""
+    return (df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
+            .distinct())
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       n_hashes: int = 16) -> DataFrame:
+    """(id, sig ARRAY<STRING>) — sig[h] = min over shingles of
+    md5('<h>|' || shingle).  md5-string min is engine-portable; a numpy
+    xxhash variant would be faster but unverifiable cross-engine."""
+    sh = shingle_table(df, text_col, id_col, k)
+    seeds = sh.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("h"))
+    hashed = (sh.crossJoin(F.broadcast(seeds))
+              .select(id_col, "h",
+                      F.md5(F.concat_ws("|", F.col("h"), F.col("shingle"))).alias("hv")))
+    per_hash = hashed.groupBy(id_col, "h").agg(F.min("hv").alias("mh"))
+    return (per_hash.groupBy(id_col)
+            .agg(F.sort_array(F.collect_list(F.struct("h", "mh"))).alias("_s"))
+            .select(id_col, F.transform("_s", lambda s: s["mh"]).alias("sig")))
+
+
+def minhash_band_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band
+    (band hash = md5 of the band's signature slice).  Returns
+    (id_a, id_b, n_shared_bands), id_a < id_b."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = (sig.select(id_col, band_idx, "sig")
+              .select(id_col, "band",
+                      F.md5(F.concat_ws("|", F.slice(
+                          "sig", F.col("band") * rows_per_band + 1, rows_per_band)))
+                      .alias("band_hash")))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (a.join(b, on=["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared_bands")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3,
+                  threshold: float = 0.0) -> DataFrame:
+    """Exact shingle-set Jaccard for all pairs sharing >= 1 shingle:
+    (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+
+    |A∩B| from the shared-shingle join; |A∪B| = |A|+|B|-|A∩B|.  At scale
+    this runs after LSH banding restricts the pair set."""
+    sh = shingle_table(df, text_col, id_col, k).persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, on="shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+    out = (inter
+           .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+           .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+           .select("id_a", "id_b",
+                   F.round(F.col("n_inter")
+                           / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6)
+                   .alias("jaccard")))
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """(id, simhash BIGINT): 60-bit SimHash.  Per distinct token, the
+    first 15 md5 hex chars supply 60 bits; each bit votes ±1; the sign
+    vector packs into a BIGINT (60 bits keeps the value in int64 and the
+    hex→int mapping portable: nibble = strpos('0123456789abcdef', char)-1).
+
+    Fully native plan (token explode → bit explode → conditional sum) so
+    the DuckDB oracle can mirror it exactly.  At 100TB scale the bit
+    explode (60 rows/token) would move to a vectorized pandas UDF; the
+    plan here is the verifiable spec."""
+    assert bits % 4 == 0 and bits <= 60
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.filter(F.split(F.lower(F.col(text_col)), "\\s+"),
+                                         lambda t: t != "")).alias("tok"))
+            .distinct())
+    h = toks.select(id_col, F.md5("tok").alias("hv"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # bit i: hex char at position i//4 (1-based from the left), nibble
+    # bit (3 - i%4) MSB-first.  hex char → int via ascii ('0'-'9' = 48-57,
+    # 'a'-'f' = 97-102) — portable to the SQL oracle.
+    ch_ascii = F.ascii(F.substring(F.col("hv"), (F.col("bit") / 4 + 1).cast("int"), 1))
+    nib = (ch_ascii - 48 - F.when(ch_ascii >= 97, F.lit(39)).otherwise(F.lit(0))).cast("long")
+    bitval = F.floor(nib / F.pow(F.lit(2.0), (3 - F.col("bit") % 4).cast("double"))
+                     .cast("long")) % 2
+    votes = (h.select(id_col, bit, "hv")
+             .select(id_col, "bit",
+                     F.when(bitval == 1, F.lit(1)).otherwise(F.lit(-1)).alias("vote"))
+             .groupBy(id_col, "bit").agg(F.sum("vote").alias("v")))
+    weight = F.pow(F.lit(2.0), (bits - 1 - F.col("bit")).cast("double")).cast("long")
+    return (votes.select(id_col,
+                         F.when(F.col("v") > 0, weight).otherwise(F.lit(0)).alias("bv"))
+            .groupBy(id_col).agg(F.sum("bv").alias("simhash")))

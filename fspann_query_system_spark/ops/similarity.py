@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (beyond-reference mandate):
+brute-force cosine top-k baseline + LSH-bucketed scale path, and
+embedding-cosine near-duplicate detection.
+
+The LSH machinery is the engine's own (lsh/ + query/ann) — similarity
+search is the same physical plan with cosine instead of L2 on normalized
+vectors (cos(a,b) = 1 - ||â-b̂||²/2, so the L2 index over normalized
+vectors IS a cosine index)."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import cosine_expr
+
+
+def cosine_topk(base: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "id", vector_col: str = "vector",
+                q_id_col: str = "q_id", q_vector_col: str = "vector") -> DataFrame:
+    """Blocked brute-force cosine top-k → (q_id, id, cosine, rank).
+    Same partial-top-k shape as query.exact.knn_exact: the shuffle
+    carries O(Q*k*n_batches) rows; scan is embarrassingly parallel."""
+    spark = base.sparkSession
+    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    if not q_rows:
+        return spark.createDataFrame([], "q_id BIGINT, id BIGINT, cosine DOUBLE, rank INT")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    bc = spark.sparkContext.broadcast((q_ids, Qn, k))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, Qn_, k_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vector_col].to_numpy()])
+            Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+            ids = pdf[id_col].to_numpy()
+            sims = Bn @ Qn_.T                      # (n, q)
+            n = len(ids)
+            kk = min(k_, n)
+            frames = []
+            for qi in range(len(q_ids_)):
+                s = sims[:, qi]
+                part = np.argpartition(-s, kk - 1)[:kk] if kk < n else np.arange(n)
+                frames.append(pd.DataFrame({
+                    "q_id": np.full(len(part), q_ids_[qi], dtype=np.int64),
+                    "id": ids[part], "cosine": s[part]}))
+            yield pd.concat(frames, ignore_index=True)
+
+    id_type = base.schema[id_col].dataType.simpleString()
+    partial = base.select(id_col, vector_col).mapInPandas(
+        run, schema=f"q_id BIGINT, id {id_type}, cosine DOUBLE")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def cosine_topk_sql_shape(base: DataFrame, queries: DataFrame, k: int = 10,
+                          id_col: str = "id", vector_col: str = "vector",
+                          q_id_col: str = "q_id", q_vector_col: str = "vector") -> DataFrame:
+    """Declarative crossJoin+window variant (native exprs; the oracle's
+    plan shape, and exact to the last ulp for correctness checks)."""
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vector_col).alias("_qv"))
+    b = base.select(F.col(id_col).alias("id"), F.col(vector_col).alias("_bv"))
+    joined = b.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", cosine_expr("_qv", "_bv"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return (joined.select("q_id", "id", "cosine")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        id_col: str = "id", vector_col: str = "vector",
+                        index=None) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
+
+    Scale path: when an ``AnnIndex`` is supplied, only pairs co-located in
+    at least one LSH partition are scored (bucketed candidate join — the
+    all-pairs crossJoin never materializes).  Without an index: exact
+    all-pairs via broadcast (small tables only)."""
+    if index is not None:
+        codes = index.codes.select("table", "division", "part_idx",
+                                   F.col("id").alias("_cid"))
+        a = codes.select("table", "division", "part_idx", F.col("_cid").alias("id_a"))
+        b = codes.select("table", "division", "part_idx", F.col("_cid").alias("id_b"))
+        pairs = (a.join(b, on=["table", "division", "part_idx"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
+        scored = (pairs.join(va, "id_a").join(vb, "id_b")
+                  .withColumn("cosine", cosine_expr("_va", "_vb")))
+    else:
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("_va"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("_vb"))
+        scored = (va.crossJoin(vb)
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .withColumn("cosine", cosine_expr("_va", "_vb")))
+    return (scored.filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))

@@ -1,0 +1,762 @@
+"""Workload registry: every driver-checkable query with its DuckDB oracle.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+ANSI-SQL string producing the *same* rows (same column names — the driver
+sorts columns by name and hashes values).  Cross-engine float rules used
+throughout:
+- aggregates of doubles are rounded (sums 2dp, avgs/ratios 4-6dp) — float
+  summation order differs between engines;
+- distances/similarities are computed in float64 on both sides (embedding
+  columns cast element-wise to double) and only used for *ordering*;
+  outputs carry integer ranks, not raw floats, where ordering is the
+  semantic payload;
+- timestamps never appear in outputs (epoch buckets / interval arithmetic
+  instead), sidestepping timezone rendering differences.
+
+LSH oracle SQL is *generated* from the same fitted parameters the Spark
+side uses (both fit on the full sf0.01 embeddings table ordered by
+vec_id — bit-identical float64 inputs ⇒ identical codes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .lsh.params import LshConfig, LshParams, fit_params
+from .lsh.coding import code_vectors, with_hamming
+from .lsh.partitioner import build_partitions
+from .functions import text as T
+
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+# LSH workload config (small enough for generated oracle SQL, wide enough
+# to exercise multi-table union-merge)
+LSH_CFG = LshConfig(dim=64, m=8, lam=2, tables=2, divisions=1, seed=123,
+                    block_size=64, probes=4, refinement_limit=200)
+
+
+def _t(spark, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
+        # read nanos as long and convert (values are micro-aligned, so the
+        # div-1000 conversion is lossless and matches DuckDB's view).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _emb_matrix(sf_dir: str) -> np.ndarray:
+    """Full embeddings table ordered by vec_id, as float64 — the shared
+    LSH fit sample for both engines."""
+    import duckdb
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+_PARAM_CACHE: dict[str, LshParams] = {}
+
+
+def lsh_workload_params(sf_dir: str) -> LshParams:
+    if sf_dir not in _PARAM_CACHE:
+        _PARAM_CACHE[sf_dir] = fit_params(_emb_matrix(sf_dir), LSH_CFG)
+    return _PARAM_CACHE[sf_dir]
+
+
+# ===========================================================================
+# relational workloads (TPC-H-ish; operator coverage refs in names)
+# ===========================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate (A-ops, map-side partial agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                 F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)        AS sum_qty,
+       round(sum(l_extendedprice), 2)   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)        AS avg_qty,
+       round(avg(l_discount), 4)        AS avg_disc,
+       count(*)                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + group + top-N (broadcast dims)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "o_orderkey")
+            .limit(10))
+
+
+SQL_SHIPPING = """
+SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way snowflake join, broadcast small dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lineitems")))
+
+
+SQL_REGION = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """W1 shape: per-group ranking window (WindowGroupLimit pushdown)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                "o_orderkey")
+    return (o.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey", "rnk",
+                    F.round("o_totalprice", 2).alias("totalprice")))
+
+
+SQL_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, rnk, round(o_totalprice, 2) AS totalprice
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def q_order_priority_census(spark, sf_dir):
+    """A8 census shape: groupBy count + avg."""
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_totalprice")))
+
+
+SQL_CENSUS = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_totalprice
+FROM orders GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+def q_drift_audit(spark, sf_dir):
+    """A11 drift-audit shape: full outer join, null census each side."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("customers_without_orders"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("orders_without_customer"),
+        F.count("*").alias("n_keys"))
+
+
+SQL_DRIFT = """
+SELECT count(*) FILTER (WHERE o_custkey IS NULL) AS customers_without_orders,
+       count(*) FILTER (WHERE c_custkey IS NULL) AS orders_without_customer,
+       count(*) AS n_keys
+FROM customer FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
+ON c_custkey = o_custkey
+"""
+
+
+def q_event_setops(spark, sf_dir):
+    """U-ops: INTERSECT / EXCEPT / UNION over distinct user sets."""
+    ev = _t(spark, sf_dir, "events")
+    click = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = click.intersect(buy).agg(F.count("*").alias("n")).withColumn(
+        "metric", F.lit("click_and_purchase"))
+    only = click.exceptAll(buy).agg(F.count("*").alias("n")).withColumn(
+        "metric", F.lit("click_only"))
+    anyu = ev.select("user_id").distinct().agg(F.count("*").alias("n")).withColumn(
+        "metric", F.lit("all_users"))
+    return both.unionByName(only).unionByName(anyu).select("metric", "n")
+
+
+SQL_SETOPS = """
+SELECT 'click_and_purchase' AS metric, count(*) AS n FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'click_only', count(*) FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'all_users', count(*) FROM (SELECT DISTINCT user_id FROM events)
+"""
+
+
+def q_candidate_min_merge(spark, sf_dir):
+    """J2/A1 shape: union of probe sets, per-key min-merge."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    b = ev.filter(F.col("event_type") == "view").select("user_id", "value")
+    return (a.unionByName(b)
+            .groupBy("user_id")
+            .agg(F.round(F.min("value"), 6).alias("best_score"),
+                 F.count("*").alias("n_probes")))
+
+
+SQL_MIN_MERGE = """
+SELECT user_id, round(min(value), 6) AS best_score, count(*) AS n_probes
+FROM (SELECT user_id, value FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, value FROM events WHERE event_type = 'view')
+GROUP BY user_id
+"""
+
+
+def q_tombstone_anti_join(spark, sf_dir):
+    """F3 tombstone shape: anti-join active rows against a deleted set."""
+    li = _t(spark, sf_dir, "lineitem")
+    deleted = (_t(spark, sf_dir, "orders")
+               .filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
+    return (li.join(deleted, li.l_orderkey == deleted.o_orderkey, "left_anti")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_active"),
+                 F.round(F.sum("l_quantity"), 2).alias("active_qty")))
+
+
+SQL_TOMBSTONE = """
+SELECT l_returnflag, count(*) AS n_active, round(sum(l_quantity), 2) AS active_qty
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY l_returnflag
+"""
+
+
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — lag + cumulative
+    flag; interval arithmetic keeps microsecond exactness cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"), 1)
+        .otherwise(0))
+    return (flagged.groupBy("user_id")
+            .agg(F.sum("new_s").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+SQL_SESSION = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+def q_event_window_agg(spark, sf_dir):
+    """St-shape batch equivalent: 5-minute tumbling windows per type."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("bucket", F.floor(F.unix_timestamp("ts") / 300))
+            .groupBy("bucket", "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+SQL_WINDOW_AGG = """
+SELECT floor(floor(epoch(ts)) / 300)::BIGINT AS bucket, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON props extraction + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+            .groupBy("event_type")
+            .agg(F.round(F.avg("k"), 4).alias("avg_k"),
+                 F.max("k").alias("max_k"),
+                 F.count(F.when(F.col("k").isNull(), 1)).alias("n_null")))
+
+
+SQL_JSON = """
+SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k,
+       count(*) FILTER (WHERE k IS NULL) AS n_null
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Grouping-sets coverage: ROLLUP over (status, priority)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ===========================================================================
+# text / dedup workloads (documents table)
+# ===========================================================================
+
+def q_doc_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.regexp_count("text", F.lit(T.PUNCT_CLASS)).alias("n_punct"),
+        T.stopword_hits("text", "en").alias("en_stopword_hits"),
+        T.quality_score("text").alias("quality"))
+
+
+SQL_DOC_STATS = """
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  length(text) AS n_chars_actual,
+  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+  len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','as','by','at','be','this','that','it','or','are'], t))) AS en_stopword_hits,
+  round(
+    least(1.0, len(toks) / 50.0) * 0.3
+    + least(1.0, CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','as','by','at','be','this','that','it','or','are'], t)))::DOUBLE / len(toks) ELSE 0.0 END * 4.0) * 0.3
+    + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END) * 10.0) * 0.2
+    + least(1.0, CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) ELSE 0.0 END / 8.0) * 0.2
+  , 6) AS quality
+FROM (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS toks
+      FROM documents)
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM (SELECT doc_id, text,
+             {_sql_stop_hits('en')} AS s_en,
+             {_sql_stop_hits('es')} AS s_es,
+             {_sql_stop_hits('de')} AS s_de,
+             {_sql_stop_hits('fr')} AS s_fr
+      FROM (SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS toks
+            FROM documents))
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint_md5("text").alias("fingerprint"))
+
+
+SQL_FINGERPRINTS = """
+SELECT doc_id,
+       md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                       t -> t != ''), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+_SQL_SHINGLES_CTE = """
+docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 3
+                      THEN list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                      ELSE [array_to_string(w, ' ')] END) AS shingle
+        FROM docs))
+"""
+
+
+def q_minhash(spark, sf_dir):
+    from .ops.dedup import shingle_table
+    sh = shingle_table(_t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    seeds = spark.range(8).select(F.col("id").cast("int").alias("h"))
+    return (sh.crossJoin(F.broadcast(seeds))
+            .select("doc_id", "h",
+                    F.md5(F.concat_ws("|", F.col("h"), F.col("shingle"))).alias("hv"))
+            .groupBy("doc_id", "h").agg(F.min("hv").alias("minhash")))
+
+
+SQL_MINHASH = f"""
+WITH {_SQL_SHINGLES_CTE}
+SELECT doc_id, h, min(md5(h || '|' || shingle)) AS minhash
+FROM sh CROSS JOIN (SELECT unnest(range(0, 8))::INT AS h)
+GROUP BY doc_id, h
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from .ops.dedup import jaccard_pairs
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                         k=3, threshold=0.05)
+
+
+SQL_JACCARD = f"""
+WITH {_SQL_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.05
+"""
+
+
+def q_simhash(spark, sf_dir):
+    from .ops.dedup import simhash
+    return simhash(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  t -> t != '')) AS tok
+        FROM documents)),
+h AS (SELECT doc_id, md5(tok) AS hv FROM toks),
+bits AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN CAST(floor(
+                (ascii(substr(hv, (b.bit // 4) + 1, 1)) - 48
+                 - CASE WHEN ascii(substr(hv, (b.bit // 4) + 1, 1)) >= 97 THEN 39 ELSE 0 END)
+                / CAST(pow(2, 3 - (b.bit % 4)) AS BIGINT)) AS BIGINT) % 2 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b),
+votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN CAST(pow(2, 59 - bit) AS BIGINT) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ===========================================================================
+# vector workloads (embeddings table)
+# ===========================================================================
+
+N_VEC_QUERIES = 20
+
+
+def _emb(spark, sf_dir):
+    return (_t(spark, sf_dir, "embeddings")
+            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector")))
+
+
+def q_knn_exact(spark, sf_dir):
+    """J5/A3: exact L2 top-10 for the first 20 vectors (blocked plan)."""
+    from .query.exact import knn_exact
+    base = _emb(spark, sf_dir)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (knn_exact(base, queries, k=10)
+            .select("q_id", "id", F.col("rank").cast("int").alias("rank")))
+
+
+SQL_KNN = f"""
+WITH q AS (SELECT vec_id AS q_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < {N_VEC_QUERIES}),
+b AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv
+      FROM embeddings),
+d AS (SELECT q_id, id, list_distance(qv, bv) AS dist FROM q CROSS JOIN b),
+r AS (SELECT q_id, id,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
+      FROM d)
+SELECT q_id, id, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= 10
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Similarity search baseline: cosine top-10, blocked plan."""
+    from .ops.similarity import cosine_topk
+    base = _emb(spark, sf_dir)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (cosine_topk(base, queries, k=10)
+            .select("q_id", "id", F.col("rank").cast("int").alias("rank")))
+
+
+SQL_COSINE = f"""
+WITH q AS (SELECT vec_id AS q_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < {N_VEC_QUERIES}),
+b AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv
+      FROM embeddings),
+d AS (SELECT q_id, id, list_cosine_similarity(qv, bv) AS sim FROM q CROSS JOIN b),
+r AS (SELECT q_id, id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, id) AS rnk
+      FROM d)
+SELECT q_id, id, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= 10
+"""
+
+
+def q_lsh_codes(spark, sf_dir):
+    """P1+P3+P4 fused coding — checked bit-for-bit against generated SQL."""
+    params = lsh_workload_params(sf_dir)
+    return (code_vectors(_emb(spark, sf_dir), params)
+            .select("id", "table", "division", "code_key"))
+
+
+def _sql_code_key_cte(params: LshParams) -> str:
+    """Generate the exact SQL reproduction of code_family for the small
+    workload config: per family, h_j = floor((dot+r)/omega) sign-shifted,
+    bit-plane-major MSB-first key packing."""
+    cfg = params.cfg
+    selects = []
+    for t, d, alpha, r, omega in params.packed():
+        u_terms = []
+        for j in range(cfg.m):
+            avec = "[" + ", ".join(repr(x) for x in alpha[j]) + "]"
+            u_terms.append(
+                f"CAST(floor((list_dot_product(v, {avec}::DOUBLE[]) + {r[j]!r}) "
+                f"/ {omega[j]!r}) AS BIGINT) + 2147483648 AS u{j}")
+        key_terms = []
+        for p in range(cfg.lam):
+            shift = cfg.lam - 1 - p
+            for j in range(cfg.m):
+                pos = p * cfg.m + j
+                w = 1 << (62 - pos)
+                key_terms.append(f"(((u{j} // {1 << shift}) % 2) * {w})")
+        selects.append(
+            f"SELECT id, {t} AS \"table\", {d} AS division, "
+            f"{' + '.join(key_terms)} AS code_key "
+            f"FROM (SELECT id, {', '.join(u_terms)} FROM e)")
+    return ("e AS (SELECT vec_id AS id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings),\n"
+            "keys AS (" + "\nUNION ALL\n".join(selects) + ")")
+
+
+def sql_lsh_codes() -> str:
+    params = lsh_workload_params(ORACLE_SF_DIR)
+    return f"WITH {_sql_code_key_cte(params)} SELECT * FROM keys"
+
+
+def q_lsh_partition_bounds(spark, sf_dir):
+    """O1 greedy block bounds — checked against SQL row_number windows."""
+    params = lsh_workload_params(sf_dir)
+    codes = code_vectors(_emb(spark, sf_dir), params)
+    _, bounds = build_partitions(codes, params.cfg.block_size)
+    return bounds.select("table", "division",
+                         F.col("part_idx").cast("int").alias("part_idx"),
+                         "min_key", "max_key",
+                         F.col("n_ids").cast("long").alias("n_ids"))
+
+
+def sql_lsh_partition_bounds() -> str:
+    params = lsh_workload_params(ORACLE_SF_DIR)
+    bs = params.cfg.block_size
+    return f"""
+WITH {_sql_code_key_cte(params)},
+ranked AS (SELECT *, row_number() OVER (PARTITION BY "table", division
+                                        ORDER BY code_key, id) - 1 AS rn
+           FROM keys)
+SELECT "table", division, CAST(rn // {bs} AS INT) AS part_idx,
+       min(code_key) AS min_key, max(code_key) AS max_key,
+       count(*) AS n_ids
+FROM ranked GROUP BY "table", division, part_idx
+"""
+
+
+def q_hamming_pairs(spark, sf_dir):
+    """C2 hamming over packed codes, consecutive-id pairs."""
+    params = lsh_workload_params(sf_dir)
+    codes = code_vectors(_emb(spark, sf_dir), params)
+    a = codes.select("table", "division", F.col("id").alias("id_a"),
+                     F.col("code_bits").alias("bits_a"))
+    b = codes.select("table", "division", F.col("id").alias("id_b"),
+                     F.col("code_bits").alias("bits_b"))
+    pairs = a.join(b, on=[a.table == b.table, a.division == b.division,
+                          a.id_a + 1 == b.id_b]).select(
+        a.table, a.division, "id_a", "id_b", "bits_a", "bits_b")
+    return (with_hamming(pairs, "bits_a", "bits_b", "hamming")
+            .select("table", "division", "id_a", "id_b", "hamming"))
+
+
+def sql_hamming_pairs() -> str:
+    # nbits = 16 <= 63: hamming(code words) == bit_count(xor(key_a, key_b))
+    params = lsh_workload_params(ORACLE_SF_DIR)
+    return f"""
+WITH {_sql_code_key_cte(params)}
+SELECT a."table", a.division, a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.code_key, b.code_key)) AS BIGINT) AS hamming
+FROM keys a JOIN keys b
+  ON a."table" = b."table" AND a.division = b.division AND a.id + 1 = b.id
+"""
+
+
+def q_ann_search(spark, sf_dir):
+    """Flagship: full LSH-routed ANN search (no SQL oracle — rows-only
+    check; accuracy is validated in tests against the exact oracle)."""
+    from .query.ann import AnnIndex, search_batch
+    base = _emb(spark, sf_dir)
+    params = lsh_workload_params(sf_dir)
+    idx = AnnIndex.build(base, params.cfg, params=params)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (search_batch(idx, queries, k=10)
+            .select("q_id", "id", F.round("distance", 6).alias("distance"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "region_revenue": q_region_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "order_priority_census": q_order_priority_census,
+    "drift_audit": q_drift_audit,
+    "event_setops": q_event_setops,
+    "candidate_min_merge": q_candidate_min_merge,
+    "tombstone_anti_join": q_tombstone_anti_join,
+    "sessionization": q_sessionization,
+    "event_window_agg": q_event_window_agg,
+    "json_extract": q_json_extract,
+    "rollup_revenue": q_rollup_revenue,
+    "doc_stats": q_doc_stats,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "minhash": q_minhash,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash": q_simhash,
+    "knn_exact": q_knn_exact,
+    "cosine_topk": q_cosine_topk,
+    "lsh_codes": q_lsh_codes,
+    "lsh_partition_bounds": q_lsh_partition_bounds,
+    "hamming_pairs": q_hamming_pairs,
+    "ann_search": q_ann_search,
+}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {
+        "pricing_summary": SQL_PRICING,
+        "shipping_priority": SQL_SHIPPING,
+        "region_revenue": SQL_REGION,
+        "top_orders_per_customer": SQL_TOP_ORDERS,
+        "order_priority_census": SQL_CENSUS,
+        "drift_audit": SQL_DRIFT,
+        "event_setops": SQL_SETOPS,
+        "candidate_min_merge": SQL_MIN_MERGE,
+        "tombstone_anti_join": SQL_TOMBSTONE,
+        "sessionization": SQL_SESSION,
+        "event_window_agg": SQL_WINDOW_AGG,
+        "json_extract": SQL_JSON,
+        "rollup_revenue": SQL_ROLLUP,
+        "doc_stats": SQL_DOC_STATS,
+        "lang_id": SQL_LANG_ID,
+        "fingerprints": SQL_FINGERPRINTS,
+        "minhash": SQL_MINHASH,
+        "jaccard_pairs": SQL_JACCARD,
+        "simhash": SQL_SIMHASH,
+        "knn_exact": SQL_KNN,
+        "cosine_topk": SQL_COSINE,
+        "lsh_codes": sql_lsh_codes(),
+        "lsh_partition_bounds": sql_lsh_partition_bounds(),
+        "hamming_pairs": sql_hamming_pairs(),
+        # "ann_search": intentionally absent — approximate result has no
+        # SQL oracle; driver records rows-only.
+    }

@@ -1,0 +1,84 @@
+"""Self-check: run every workloads.QUERIES entry against its DuckDB oracle
+the way the driver does (row count + schema + order-insensitive values).
+
+Usage: python3 tools/oracle_check.py [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from fspann_query_system_spark.session import get_spark          # noqa: E402
+from fspann_query_system_spark.workloads import (QUERIES,        # noqa: E402
+                                                 oracle_sql_map)
+
+SF = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if hasattr(v, "item"):
+        return norm(v.item())
+    return v
+
+
+def rows_normalized(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main():
+    names = sys.argv[1:] or list(QUERIES)
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    oracles = oracle_sql_map()
+    n_pass = n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = QUERIES[name](spark, SF)
+            s_cols = [c.lower() for c in sdf.columns]
+            s_rows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                print(f"  {name:28s} rows-only: {len(s_rows)} rows "
+                      f"({time.time()-t0:.1f}s)")
+                continue
+            rel = con.sql(oracles[name])
+            d_cols = [c.lower() for c in rel.columns]
+            d_rows = rel.fetchall()
+            a = rows_normalized(s_cols, s_rows)
+            b = rows_normalized(d_cols, d_rows)
+            if sorted(s_cols) != sorted(d_cols):
+                print(f"✗ {name:28s} SCHEMA: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+                n_fail += 1
+            elif len(a) != len(b):
+                print(f"✗ {name:28s} ROWS: spark={len(a)} duck={len(b)}")
+                n_fail += 1
+            elif a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y]
+                print(f"✗ {name:28s} VALUES: {len(diffs)} differing rows; "
+                      f"first: spark={diffs[0][0]} duck={diffs[0][1]}")
+                n_fail += 1
+            else:
+                print(f"✓ {name:28s} {len(a)} rows ({time.time()-t0:.1f}s)")
+                n_pass += 1
+        except Exception as e:
+            print(f"✗ {name:28s} ERROR: {type(e).__name__}: {str(e).splitlines()[0][:140]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"{len(names) - n_pass - n_fail} rows-only")
+
+
+if __name__ == "__main__":
+    main()

@@ -88,7 +88,9 @@ def image_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
                 feat = np.pad(feat, (0, max(0, feat_dim - len(feat))))
                 ids.append(mid)
                 feats.append(feat.tolist())
-            yield pd.DataFrame({"media_id": ids, "feat": feats})
+            if ids:
+                yield pd.DataFrame({"media_id": ids,
+                                    "feat": pd.Series(feats, dtype=object)})
 
     return (media.filter(F.col("kind") == "image")
             .select("media_id", "content", "meta")

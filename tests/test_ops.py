@@ -1,0 +1,121 @@
+"""Training-data ops: dedup variants, similarity search, text functions,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from fspann_query_system_spark.functions import text as T
+from fspann_query_system_spark.ops.dedup import (exact_duplicates, dedup_exact,
+                                                 minhash_signatures,
+                                                 minhash_band_pairs,
+                                                 jaccard_pairs, simhash)
+from fspann_query_system_spark.ops.similarity import (cosine_topk,
+                                                      cosine_topk_sql_shape,
+                                                      embedding_near_dups)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "THE  QUICK   BROWN fox jumps over the lazy dog"),  # exact after normalize
+        (3, "completely different content about spark engines"),
+        (4, "el gato y el perro en la casa de la abuela"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup(docs):
+    dups = exact_duplicates(docs).collect()
+    assert len(dups) == 1
+    assert sorted(dups[0].doc_ids) == [0, 2]
+    kept = dedup_exact(docs)
+    assert kept.count() == 5  # 6 docs, one dup removed
+    assert 2 not in {r.doc_id for r in kept.collect()}
+
+
+def test_minhash_near_dup_detection(docs):
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs, n_hashes=16).collect()}
+    # near-dups share most minhashes; unrelated docs share almost none
+    agree_01 = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    agree_03 = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert agree_01 > agree_03
+    assert sigs[0] == sigs[2]  # exact dup after normalization
+    pairs = {(r.id_a, r.id_b) for r in
+             minhash_band_pairs(docs, n_hashes=16, bands=8).collect()}
+    assert (0, 2) in pairs
+    assert (0, 1) in pairs
+
+
+def test_jaccard_pairs(docs):
+    j = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs, k=3).collect()}
+    assert j[(0, 2)] == 1.0
+    assert 0.5 < j[(0, 1)] < 1.0
+    assert (0, 3) not in j
+
+
+def test_simhash_similarity(docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert sh[0] == sh[2]
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[3])
+
+
+def test_text_functions(docs):
+    out = {r.doc_id: r for r in docs.select(
+        "doc_id",
+        T.token_count("text").alias("tc"),
+        T.lang_id("text").alias("lang"),
+        T.quality_score("text").alias("q")).collect()}
+    assert out[0].tc == 9
+    assert out[5].tc == 0
+    assert out[0].lang == "en"
+    assert out[4].lang == "es"
+    assert out[5].lang == "und"
+    assert 0.0 <= out[3].q <= 1.0
+
+
+def test_cosine_topk_blocked_vs_sql_shape(spark, clustered):
+    df, X = clustered
+    q = df.limit(5).select(F.col("id").alias("q_id"), "vector")
+    a = cosine_topk(df, q, k=5).orderBy("q_id", "rank").collect()
+    b = cosine_topk_sql_shape(df, q, k=5).orderBy("q_id", "rank").collect()
+    assert [(r.q_id, r.id) for r in a] == [(r.q_id, r.id) for r in b]
+    assert a[0].id == a[0].q_id  # self-match first
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.default_rng(2)
+    base = rng.normal(0, 1, (40, 8))
+    base[13] = base[7] + rng.normal(0, 1e-3, 8)   # planted near-dup
+    df = spark.createDataFrame([(i, base[i].tolist()) for i in range(40)],
+                               "id LONG, vector ARRAY<DOUBLE>")
+    pairs = {(r.id_a, r.id_b): r.cosine for r in
+             embedding_near_dups(df, threshold=0.99).collect()}
+    assert (7, 13) in pairs
+    assert len(pairs) == 1
+
+
+def test_multimodal_plumbing(spark):
+    from fspann_query_system_spark.ops.multimodal import (make_media_table,
+                                                          image_features,
+                                                          frame_sample,
+                                                          media_summary)
+    rows = [(i, f"payload-{i}".encode()) for i in range(10)] + [(99, b"")]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    media = make_media_table(df, "payload", "image")
+    feats = {r.media_id: r.feat for r in image_features(media, feat_dim=16).collect()}
+    assert len(feats) == 10                 # empty payload dropped like a codec error
+    assert all(len(v) == 16 for v in feats.values())
+    # deterministic: same content → same features
+    again = {r.media_id: r.feat for r in image_features(media, feat_dim=16).collect()}
+    assert feats == again
+    vids = make_media_table(df.limit(3), "payload", "video")
+    fs = frame_sample(vids, every_n=7)
+    assert fs.count() > 0
+    assert media_summary(media).collect()[0].n == 11

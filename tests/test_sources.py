@@ -1,0 +1,83 @@
+"""Format round-trips (reference loader test suite: FvecsLoaderTest,
+BvecsLoaderTest, IvecsLoaderTest, CsvLoader tolerant parsing,
+DefaultDataLoader dispatch)."""
+
+import numpy as np
+import pytest
+
+from fspann_query_system_spark.sources.vecfiles import (
+    read_fvecs, read_bvecs, read_ivecs,
+    write_fvecs, write_bvecs, write_ivecs, groundtruth_to_ivecs)
+from fspann_query_system_spark.sources.csv_loader import read_csv_vectors
+from fspann_query_system_spark.sources.registry import (load_vectors,
+                                                        validate_groundtruth)
+
+
+def test_fvecs_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(4)
+    M = rng.normal(0, 1, (50, 12)).astype(np.float32)
+    p = str(tmp_path / "v.fvecs")
+    write_fvecs(p, M)
+    df = read_fvecs(spark, p)
+    rows = {r.id: np.array(r.vector, dtype=np.float32) for r in df.collect()}
+    assert len(rows) == 50
+    for i in range(50):
+        assert np.array_equal(rows[i], M[i])
+
+
+def test_bvecs_roundtrip_widens(spark, tmp_path):
+    rng = np.random.default_rng(5)
+    M = rng.integers(0, 256, (30, 8)).astype(np.uint8)
+    p = str(tmp_path / "v.bvecs")
+    write_bvecs(p, M)
+    rows = {r.id: r.vector for r in read_bvecs(spark, p).collect()}
+    assert rows[7] == [float(x) for x in M[7]]
+    assert all(0.0 <= x <= 255.0 for v in rows.values() for x in v)
+
+
+def test_ivecs_roundtrip(spark, tmp_path):
+    gt = [[3, 1, 4], [1, 5, 9], [2, 6, 5]]
+    p = str(tmp_path / "gt.ivecs")
+    write_ivecs(p, gt)
+    rows = {r.q_id: list(r.neighbor_ids) for r in read_ivecs(spark, p).collect()}
+    assert rows == {0: [3, 1, 4], 1: [1, 5, 9], 2: [2, 6, 5]}
+
+
+def test_csv_tolerant_parsing(spark, tmp_path):
+    p = tmp_path / "v.csv"
+    p.write_text("﻿# comment line\n"
+                 "x,y,z\n"            # header → skipped
+                 "1.0, 2.0, 3.0\n"
+                 "\n"                 # blank → skipped
+                 "4.0;5.0;6.0\n"      # semicolon sep
+                 "7.0 8.0 9.0\n"      # whitespace sep
+                 "bad,data,here\n")   # malformed → skipped
+    rows = {r.id: r.vector for r in read_csv_vectors(spark, str(p)).collect()}
+    assert rows == {0: [1.0, 2.0, 3.0], 1: [4.0, 5.0, 6.0], 2: [7.0, 8.0, 9.0]}
+
+
+def test_dispatch_and_dim_filter(spark, tmp_path):
+    p = tmp_path / "v.csv"
+    p.write_text("1.0,2.0\n3.0,4.0,5.0\n6.0,7.0\n")
+    df = load_vectors(spark, str(p), expected_dim=2)
+    assert sorted(tuple(r.vector) for r in df.collect()) == [(1.0, 2.0), (6.0, 7.0)]
+    with pytest.raises(ValueError):
+        load_vectors(spark, "/tmp/x.weird")
+
+
+def test_groundtruth_validation(spark, clustered, tmp_path):
+    from fspann_query_system_spark.query.exact import groundtruth_table
+    from pyspark.sql import functions as F
+    df, X = clustered
+    q = df.limit(4).select(F.col("id").alias("q_id"), "vector")
+    gt = groundtruth_table(df, q, k=5)
+    res = validate_groundtruth(gt, dataset_size=len(X), base=df, queries=q)
+    assert res["ids_in_range"]
+    assert res["sampled_top1_agree"] == res["sampled_top1_total"]
+    # ivecs writer round-trip on the GT table
+    p = str(tmp_path / "gt.ivecs")
+    groundtruth_to_ivecs(gt, p)
+    back = read_ivecs(spark, p)
+    assert back.count() == 4
+    bad = validate_groundtruth(gt, dataset_size=2)
+    assert not bad["ids_in_range"]

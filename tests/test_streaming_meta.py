@@ -1,0 +1,78 @@
+"""Streaming ingest (St1/St2) + metadata/tombstone/snapshot layer."""
+
+import time
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from fspann_query_system_spark.crypto import KeyManager, RotationPolicy, decrypt_vectors
+from fspann_query_system_spark.index.metadata import (SnapshotTable, initial_meta,
+                                                      mark_deleted, active_filter,
+                                                      drift_audit, storage_stats)
+from fspann_query_system_spark.streaming.ingest import (stream_vectors,
+                                                        ingest_encrypted)
+
+
+def test_streaming_ingest_with_rotation(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "enc")
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.default_rng(0)
+    # two input files → two micro-batches (maxFilesPerTrigger=1)
+    for fi in range(2):
+        X = rng.normal(0, 1, (30, 6))
+        df = spark.createDataFrame(
+            [(fi * 100 + i, X[i].tolist()) for i in range(30)],
+            "id LONG, vector ARRAY<DOUBLE>")
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    km = KeyManager(master=b"\x09" * 32,
+                    policy=RotationPolicy(max_ops=40, max_age_sec=1e9))
+    rotations = []
+    q = ingest_encrypted(
+        stream_vectors(spark, src, "id LONG, vector ARRAY<DOUBLE>"),
+        out, ckpt, km, spark, rotation_hook=rotations.append)
+    q.awaitTermination(120)
+
+    enc = spark.read.parquet(out)
+    assert enc.count() == 60
+    versions = {r.key_version for r in enc.select("key_version").distinct().collect()}
+    # 30 ops (no rotate) then 60 >= 40 → rotation fired once
+    assert len(rotations) == 1 and versions == {1, 2}
+    # everything decrypts under the keystore
+    bc = spark.sparkContext.broadcast(km.key_map())
+    assert decrypt_vectors(enc.select("id", "key_version", "dim", "iv", "ciphertext"),
+                           bc, mode="strict").count() == 60
+
+
+def test_snapshot_table_atomic_swap(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    assert t.read() is None
+    df1 = spark.range(10).withColumnRenamed("id", "x")
+    s1 = t.write(df1)
+    assert t.read().count() == 10 and s1 == 1
+    df2 = spark.range(25).withColumnRenamed("id", "x")
+    s2 = t.write(df2)
+    assert t.read().count() == 25 and s2 == 2
+    dropped = t.vacuum(keep=1)
+    assert dropped == [1]
+    assert t.read().count() == 25
+    assert storage_stats(spark, str(tmp_path / "tbl"))["bytes"] > 0
+
+
+def test_tombstones_and_drift(spark):
+    pts = spark.createDataFrame([(i, [float(i)]) for i in range(20)],
+                                "id LONG, vector ARRAY<DOUBLE>")
+    meta = initial_meta(pts, version=1, dim=1)
+    dead = spark.createDataFrame([(3,), (7,)], "id LONG")
+    meta2 = mark_deleted(meta, dead)
+    assert meta2.filter("deleted").count() == 2
+    active = active_filter(pts, meta2)
+    assert active.count() == 18
+    assert {r.id for r in active.collect()}.isdisjoint({3, 7})
+    # drift: drop two points from the store, add one orphan meta row
+    pts_drifted = pts.filter("id < 18")
+    audit = drift_audit(meta2, pts_drifted).collect()[0]
+    assert audit.meta_only == 2 and audit.points_only == 0

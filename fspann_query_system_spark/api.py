@@ -1,0 +1,148 @@
+"""System facade (reference ``api/.../ForwardSecureANNSystem.java`` —
+the end-to-end lifecycle of SURVEY §3.1):
+
+SETUP → GT → INDEX → FINALIZE → QUERY+EVAL → SELECTIVE RE-ENCRYPT → EXPORT
+
+The reference is a single-process Java service looping queries serially;
+this facade drives the same lifecycle as a handful of DataFrame plans:
+index build is one job, the whole query set is one plan, re-encryption is
+one semi-join plan.  Keys stay on the driver (broadcast only)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import SystemConfig
+from .crypto import KeyManager, RotationPolicy, encrypt_vectors, reencrypt_touched, \
+    version_census, TouchedTracker
+from .lsh.params import LshParams, fit_params_from_df
+from .query.ann import AnnIndex, search_batch, search_batch_adaptive
+from .query.exact import knn_exact, groundtruth_table
+from .query.profiler import Profiler, query_metric_rows, aggregates
+from .query.token import interleave_decoys, strip_decoy_results
+from .sources.registry import load_vectors
+
+
+class ForwardSecureANNSystem:
+    """Spark-native forward-secure ANN retrieval system."""
+
+    def __init__(self, spark: SparkSession, config: SystemConfig,
+                 keystore_path: str | None = None,
+                 master_key: bytes | None = None):
+        self.spark = spark
+        self.config = config.validate()
+        self.keys = KeyManager(
+            master=master_key, path=keystore_path,
+            policy=RotationPolicy(config.rotation_max_ops,
+                                  config.rotation_max_age_sec))
+        self.profiler = Profiler()
+        self.tracker = TouchedTracker()
+        self.index: AnnIndex | None = None
+        self.encrypted: DataFrame | None = None
+        self._base: DataFrame | None = None
+
+    # -- INDEX ------------------------------------------------------------
+    def _keys_bc(self):
+        return self.spark.sparkContext.broadcast(self.keys.key_map())
+
+    def index_vectors(self, vectors: DataFrame,
+                      params: LshParams | None = None) -> None:
+        """Build routing state + encrypted store (SURVEY §3.1 steps 3-4)."""
+        self.profiler.start("index_build")
+        self._base = vectors.persist()
+        self.keys.record_ops(self._base.count())
+        self.keys.rotate_if_needed()
+        plain_idx = AnnIndex.build(self._base, self.config.lsh(), params=params)
+        self.encrypted = encrypt_vectors(
+            self._base, self._keys_bc(), self.keys.current_version).persist()
+        self.encrypted.count()
+        self.index = plain_idx.with_encrypted_points(self.encrypted, self._keys_bc())
+        self.profiler.stop("index_build")
+
+    def index_path(self, path: str) -> None:
+        vec = load_vectors(self.spark, path, expected_dim=self.config.dim)
+        self.index_vectors(
+            vec.select("id", F.col("vector").cast("array<double>").alias("vector")))
+
+    # -- QUERY + EVAL -----------------------------------------------------
+    def search(self, queries: DataFrame, k: int | None = None,
+               adaptive: bool = True, with_decoys: bool | None = None) -> DataFrame:
+        """Batched search over the encrypted store; decoy interleaving per
+        config; touched ids recorded for forward-secure re-encryption."""
+        if self.index is None:
+            raise RuntimeError("index not built")
+        k = k or self.config.top_k
+        use_decoys = (self.config.decoy_ratio > 0
+                      if with_decoys is None else with_decoys)
+        q = queries
+        if use_decoys:
+            q = interleave_decoys(queries, self.config.decoy_ratio,
+                                  self.config.decoy_mode, self.config.dim,
+                                  seed=self.config.seed).drop("is_decoy")
+        self.profiler.start("search")
+        fn = search_batch_adaptive if adaptive else search_batch
+        res = fn(self.index, q, k=k).persist()
+        res.count()
+        self.profiler.stop("search")
+        if self.config.reenc_mode != "off":
+            self.tracker.record(res.select("id"))
+        return strip_decoy_results(res) if use_decoys else res
+
+    def evaluate(self, results: DataFrame, queries: DataFrame,
+                 ks: list[int]) -> DataFrame:
+        self.profiler.start("evaluate")
+        rows = query_metric_rows(results, self._base, queries, None, ks,
+                                 n_base=self._base.count())
+        out = aggregates(rows)
+        self.profiler.stop("evaluate")
+        return out
+
+    def groundtruth(self, queries: DataFrame, k: int = 100) -> DataFrame:
+        """GT precompute (SURVEY §3.3 oracle) on the plaintext base."""
+        return groundtruth_table(self._base, queries, k=k)
+
+    # -- FORWARD SECURITY -------------------------------------------------
+    def rotate_and_reencrypt_touched(self) -> dict:
+        """SELECTIVE RE-ENCRYPT phase (reference
+        ``runSelectiveReencryptionIfNeeded:1739-1804``): forced rotation,
+        drain touched set, migrate touched stale rows, census."""
+        touched = self.tracker.drain()
+        new_version = self.keys.rotate()
+        if touched is None:
+            return {"version": new_version, "migrated": 0}
+        self.profiler.start("reencrypt")
+        bc = self._keys_bc()
+        new_enc = reencrypt_touched(self.encrypted, touched, bc,
+                                    new_version).persist()
+        migrated = new_enc.filter(F.col("key_version") == new_version).count()
+        old = self.encrypted
+        self.encrypted = new_enc
+        self.index = self.index.with_encrypted_points(new_enc, bc)
+        old.unpersist()
+        self.profiler.stop("reencrypt")
+        return {"version": new_version, "migrated": migrated,
+                "census": {r.key_version: r.n_points
+                           for r in version_census(new_enc).collect()}}
+
+    # -- RESTORE (SURVEY §3.4) -------------------------------------------
+    def restore_from_store(self, encrypted: DataFrame,
+                           params: LshParams) -> None:
+        """Rebuild routing state from an encrypted store: decrypt →
+        re-code with persisted params (the reference must re-insert
+        one-by-one; here it is one decrypt + one build plan)."""
+        from .crypto.aes import decrypt_vectors
+        bc = self._keys_bc()
+        plain = decrypt_vectors(encrypted, bc, mode="strict") \
+            .select("id", "vector")
+        self._base = plain.persist()
+        idx = AnnIndex.build(self._base, params.cfg, params=params)
+        self.encrypted = encrypted
+        self.index = idx.with_encrypted_points(encrypted, bc)
+
+    # -- EXPORT -----------------------------------------------------------
+    def export_artifacts(self, out_dir: str, metric_rows=None, summary=None,
+                         config_hash: str | None = None) -> dict:
+        return self.profiler.export(out_dir, metric_rows, summary, config_hash)

@@ -1,0 +1,113 @@
+"""Facade lifecycle (reference api/it module coverage): config profiles,
+tokens/decoys, profiler sinks, full system loop incl. restore."""
+
+import json
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from fspann_query_system_spark.api import ForwardSecureANNSystem
+from fspann_query_system_spark.config import SystemConfig, load_config, config_sha256
+from fspann_query_system_spark.query.token import (make_token, open_token,
+                                                   generate_decoys, decoy_count,
+                                                   interleave_decoys,
+                                                   strip_decoy_results)
+from fspann_query_system_spark.crypto import KeyManager
+
+
+def test_config_profiles_and_validation(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({
+        "dim": 16, "m": 6, "tables": 3,
+        "profiles": {"fast": {"probes": 3, "refinement_limit": 500},
+                     "bad": {"reenc_mode": "sometimes"}}}))
+    cfg = load_config(str(p))
+    assert cfg.dim == 16 and cfg.probes == 5
+    fast = load_config(str(p), "fast")
+    assert fast.probes == 3 and fast.refinement_limit == 500
+    with pytest.raises(ValueError):
+        load_config(str(p), "bad")
+    with pytest.raises(KeyError):
+        load_config(str(p), "nope")
+    (tmp_path / "junk.json").write_text('{"not_a_key": 1}')
+    with pytest.raises(ValueError):
+        load_config(str(tmp_path / "junk.json"))
+    assert len(config_sha256(str(p))) == 64
+
+
+def test_token_roundtrip_and_decoys(clustered):
+    df, X = clustered
+    from fspann_query_system_spark.lsh.params import LshConfig, fit_params
+    cfg = LshConfig(dim=16, m=4, lam=2, tables=2, divisions=1, seed=3)
+    params = fit_params(X[:200], cfg)
+    km = KeyManager(master=b"\x21" * 32)
+    tok = make_token(5, X[5], params, km.key_for(1), 1, top_k=7)
+    assert tok.top_k == 7 and tok.dim == 16 and len(tok.codes) == 2
+    v = open_token(tok, km.key_for(1))
+    assert np.allclose(v, X[5])
+
+    assert decoy_count(100, 0.2) == 25      # 25/125 = 20% decoys
+    assert decoy_count(100, 0.0) == 0
+    D = generate_decoys(10, 16, "clustered", np.random.default_rng(0), X)
+    assert np.allclose(np.linalg.norm(D, axis=1), 1.0)
+    with pytest.raises(ValueError):
+        generate_decoys(5, 16, "weird", np.random.default_rng(0))
+
+
+def test_decoy_interleave_and_strip(spark, clustered):
+    df, X = clustered
+    q = df.limit(10).select(F.col("id").alias("q_id"), "vector")
+    mixed = interleave_decoys(q, ratio=0.3, mode="gaussian", dim=16)
+    n = mixed.count()
+    assert n > 10
+    assert mixed.filter("is_decoy").count() == n - 10
+    fake_results = mixed.select("q_id", F.lit(1).alias("rank"))
+    assert strip_decoy_results(fake_results).count() == 10
+
+
+def test_full_lifecycle(spark, clustered, tmp_path):
+    df, X = clustered
+    cfg = SystemConfig(dim=16, m=8, lam=2, tables=4, divisions=2,
+                       block_size=32, refinement_limit=400,
+                       rotation_max_ops=10**9, top_k=10)
+    sys_ = ForwardSecureANNSystem(spark, cfg, master_key=b"\x33" * 32)
+    sys_.index_vectors(df)
+
+    rng = np.random.default_rng(8)
+    qidx = rng.choice(len(X), 12, replace=False)
+    q = spark.createDataFrame(
+        [(int(i), (X[i] + rng.normal(0, 0.05, 16)).tolist()) for i in qidx],
+        "q_id LONG, vector ARRAY<DOUBLE>")
+
+    res = sys_.search(q, k=10)
+    assert res.groupBy("q_id").count().filter("count != 10").count() == 0
+
+    ev = {r.k: r for r in sys_.evaluate(res, q, ks=[1, 10]).collect()}
+    assert ev[10].avg_recall > 0.6
+    assert ev[10].avg_ratio >= 1.0
+
+    # forward-security phase: touched ids migrate to the new key
+    out = sys_.rotate_and_reencrypt_touched()
+    assert out["version"] == 2 and out["migrated"] > 0
+    assert set(out["census"]) == {1, 2}
+
+    # search still correct against the mixed-version store
+    res2 = sys_.search(q, k=10)
+    assert sorted(map(tuple, res2.select("q_id", "id").collect())) == \
+           sorted(map(tuple, res.select("q_id", "id").collect()))
+
+    # restore path: rebuild routing state from the encrypted store alone
+    sys2 = ForwardSecureANNSystem(spark, cfg, master_key=b"\x33" * 32)
+    sys2.keys.current_version = sys_.keys.current_version
+    sys2.restore_from_store(sys_.encrypted, sys_.index.params)
+    res3 = sys2.search(q, k=10, adaptive=False)
+    assert res3.count() > 0
+
+    # export sinks
+    art = sys_.export_artifacts(str(tmp_path / "artifacts"),
+                                config_hash="ab" * 32)
+    assert "phases" in art and "metrics_summary" in art
+    txt = open(art["metrics_summary"]).read()
+    assert "config_sha256=" in txt and "phase.search=" in txt

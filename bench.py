@@ -35,6 +35,11 @@ HEADLINE = [
     "lsh_codes",
     "lsh_partition_bounds",
     "ann_search",
+    "dedup_exact",
+    "minhash_bands",
+    "near_dup_embedding",
+    "ivf_ann",
+    "version_census",
 ]
 
 

@@ -699,6 +699,216 @@ def q_ann_search(spark, sf_dir):
 
 
 # ===========================================================================
+# dedup pipeline workloads (exact + MinHash-LSH banding + embedding near-dup)
+# ===========================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: per-doc canonical assignment by normalized-text md5
+    (hash computed map-side; shuffle carries (fingerprint, id) only)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (d.select("doc_id", T.fingerprint_md5("text").alias("fingerprint"))
+            .select("doc_id",
+                    F.min("doc_id").over(w).alias("canonical_id"),
+                    F.count("*").over(w).alias("n_copies")))
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       count(*)    OVER (PARTITION BY fingerprint) AS n_copies
+FROM (SELECT doc_id,
+             md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                             t -> t != ''), ' ')) AS fingerprint
+      FROM documents)
+"""
+
+
+def q_minhash_bands(spark, sf_dir):
+    """MinHash-LSH banding: candidate near-dup pairs sharing >= 1 of 8
+    single-row bands (the bucket-join dedup path — no all-pairs join)."""
+    from .ops.dedup import minhash_band_pairs
+    return minhash_band_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                              k=3, n_hashes=8, bands=8)
+
+
+SQL_MINHASH_BANDS = f"""
+WITH {_SQL_SHINGLES_CTE},
+mh AS (SELECT doc_id, h, min(md5(h || '|' || shingle)) AS mh
+       FROM sh CROSS JOIN (SELECT unnest(range(0, 8))::INT AS h)
+       GROUP BY doc_id, h),
+bh AS (SELECT doc_id, h AS band, md5(mh) AS band_hash FROM mh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+NEAR_DUP_THRESHOLD = 0.45  # synthetic embeddings top out at cos ~0.51
+
+
+def q_near_dup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (all-pairs here; the LSH-bucketed
+    variant of the same op is exercised in tests via an AnnIndex)."""
+    from .ops.similarity import embedding_near_dups
+    return embedding_near_dups(_emb(spark, sf_dir), NEAR_DUP_THRESHOLD)
+
+
+SQL_NEAR_DUP = f"""
+WITH e AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.id < b.id
+WHERE list_cosine_similarity(a.v, b.v) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+# ===========================================================================
+# IVF similarity search + evaluation metrics (A5/A6 shapes with full oracle)
+# ===========================================================================
+
+N_IVF_CENTROIDS = 16
+IVF_NPROBE = 2
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF-bucketed ANN: deterministic coarse quantizer (first 16 vectors
+    as centroids), probe 2 nearest cells, exact-rank candidates."""
+    from .ops.similarity import ivf_topk
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (ivf_topk(base, queries, centroids, k=10, nprobe=IVF_NPROBE)
+            .select("q_id", "id", F.col("rank").cast("int").alias("rank")))
+
+
+_SQL_IVF_CTE = f"""
+e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id < {N_IVF_CENTROIDS}),
+assign AS (
+  SELECT id, cell FROM (
+    SELECT e.id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1),
+qv AS (SELECT id AS q_id, v AS qvec FROM e WHERE id < {N_VEC_QUERIES}),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT qv.q_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY qv.q_id
+                              ORDER BY list_distance(qv.qvec, c.cv), c.cid) AS rn
+    FROM qv CROSS JOIN c) WHERE rn <= {IVF_NPROBE}),
+ivf AS (
+  SELECT q_id, id, CAST(rnk AS INT) AS rank FROM (
+    SELECT cand.q_id, cand.id,
+           row_number() OVER (PARTITION BY cand.q_id
+                              ORDER BY list_distance(qv.qvec, e.v), cand.id) AS rnk
+    FROM (SELECT p.q_id, a.id FROM probes p JOIN assign a ON p.cell = a.cell) cand
+    JOIN qv ON cand.q_id = qv.q_id
+    JOIN e  ON cand.id = e.id)
+  WHERE rnk <= 10)
+"""
+
+SQL_IVF = f"WITH {_SQL_IVF_CTE} SELECT * FROM ivf"
+
+
+def q_recall_eval(spark, sf_dir):
+    """J3/A6 recall join: recall@10 of the IVF path against the exact
+    oracle, per query (array_intersect semi-join shape)."""
+    ex = (q_knn_exact(spark, sf_dir)
+          .groupBy("q_id").agg(F.collect_list("id").alias("gt_ids")))
+    iv = (q_ivf_ann(spark, sf_dir)
+          .groupBy("q_id").agg(F.collect_list("id").alias("ann_ids")))
+    hits = F.size(F.array_intersect("ann_ids", "gt_ids"))
+    return (ex.join(iv, "q_id")
+            .select("q_id", hits.alias("n_hits"),
+                    F.round(hits / 10.0, 4).alias("recall")))
+
+
+SQL_RECALL = f"""
+WITH {_SQL_IVF_CTE},
+ex AS (
+  SELECT q_id, id FROM (
+    SELECT qv.q_id, e.id,
+           row_number() OVER (PARTITION BY qv.q_id
+                              ORDER BY list_distance(qv.qvec, e.v), e.id) AS rnk
+    FROM qv CROSS JOIN e)
+  WHERE rnk <= 10)
+SELECT ex.q_id, count(ivf.id) AS n_hits,
+       round(count(ivf.id) / 10.0, 4) AS recall
+FROM ex LEFT JOIN ivf ON ex.q_id = ivf.q_id AND ex.id = ivf.id
+GROUP BY ex.q_id
+"""
+
+
+# ===========================================================================
+# crypto census + multimodal plumbing
+# ===========================================================================
+
+ROTATE_EVERY = 100  # simulated key rotation cadence (rows per key version)
+
+
+def q_version_census(spark, sf_dir):
+    """A8 version census over real AES-GCM output: encrypt the embeddings
+    under a rotating key (new version every 100 ids), then count points and
+    ciphertext bytes per key version.  Verifies per-row encryption ran and
+    produced well-formed GCM payloads (dim*8 body + 16-byte tag)."""
+    from .crypto.keys import KeyManager
+    from .crypto.aes import encrypt_vectors
+    base = _emb(spark, sf_dir)
+    max_id = base.agg(F.max("id")).first()[0]
+    n_versions = int(max_id) // ROTATE_EVERY + 1
+    km = KeyManager(master=bytes(range(32)))
+    while km.current_version < n_versions:
+        km.rotate()
+    keys_bc = spark.sparkContext.broadcast(km.key_map(oldest=1))
+    enc = None
+    for v in range(1, n_versions + 1):
+        sl = base.filter((F.col("id") >= (v - 1) * ROTATE_EVERY)
+                         & (F.col("id") < v * ROTATE_EVERY))
+        part = encrypt_vectors(sl, keys_bc, v)
+        enc = part if enc is None else enc.unionByName(part)
+    return (enc.groupBy("key_version")
+            .agg(F.count("*").alias("n_points"),
+                 F.sum(F.length("ciphertext")).alias("total_ct_bytes")))
+
+
+SQL_VERSION_CENSUS = f"""
+SELECT CAST(vec_id // {ROTATE_EVERY} + 1 AS INT) AS key_version,
+       count(*) AS n_points,
+       sum(len(embedding) * 8 + 16) AS total_ct_bytes
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents' text bytes as opaque binary media
+    payloads → mapInPandas decode+feature stub → per-item feature shape
+    joined back to payload size (the decode is a deterministic fake; the
+    schema/batching/UDF plumbing is the real deliverable)."""
+    from .ops.multimodal import make_media_table, image_features
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("payload", F.encode("text", "utf-8")))
+    media = make_media_table(d, "payload", "image", id_col="doc_id")
+    feats = image_features(media, feat_dim=16)
+    sizes = media.select("media_id", F.length("content").alias("n_bytes"))
+    return (feats.join(sizes, "media_id")
+            .select("media_id", "n_bytes", F.size("feat").alias("feat_dim")))
+
+
+SQL_MEDIA = """
+SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+       16 AS feat_dim
+FROM documents WHERE octet_length(encode(text)) > 0
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -728,6 +938,13 @@ QUERIES = {
     "lsh_partition_bounds": q_lsh_partition_bounds,
     "hamming_pairs": q_hamming_pairs,
     "ann_search": q_ann_search,
+    "dedup_exact": q_dedup_exact,
+    "minhash_bands": q_minhash_bands,
+    "near_dup_embedding": q_near_dup_embedding,
+    "ivf_ann": q_ivf_ann,
+    "recall_eval": q_recall_eval,
+    "version_census": q_version_census,
+    "media_features": q_media_features,
 }
 
 
@@ -757,6 +974,13 @@ def oracle_sql_map() -> dict[str, str]:
         "lsh_codes": sql_lsh_codes(),
         "lsh_partition_bounds": sql_lsh_partition_bounds(),
         "hamming_pairs": sql_hamming_pairs(),
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "minhash_bands": SQL_MINHASH_BANDS,
+        "near_dup_embedding": SQL_NEAR_DUP,
+        "ivf_ann": SQL_IVF,
+        "recall_eval": SQL_RECALL,
+        "version_census": SQL_VERSION_CENSUS,
+        "media_features": SQL_MEDIA,
         # "ann_search": intentionally absent — approximate result has no
         # SQL oracle; driver records rows-only.
     }

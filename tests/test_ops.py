@@ -119,3 +119,45 @@ def test_multimodal_plumbing(spark):
     fs = frame_sample(vids, every_n=7)
     assert fs.count() > 0
     assert media_summary(media).collect()[0].n == 11
+
+
+def test_ivf_topk_subset_and_self_hit(spark, clustered):
+    from fspann_query_system_spark.ops.similarity import ivf_topk
+    from fspann_query_system_spark.query.exact import knn_exact
+    df, X = clustered
+    centroids = df.filter(F.col("id") % 250 == 0)   # one seed per true cluster
+    q = df.filter(F.col("id") < 10).select(F.col("id").alias("q_id"), "vector")
+    out = ivf_topk(df, q, centroids, k=5, nprobe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for q_id, rows in by_q.items():
+        ranked = sorted(rows, key=lambda r: r.rank)
+        assert ranked[0].id == q_id and ranked[0].dist == 0.0  # self-hit first
+        assert [r.rank for r in ranked] == list(range(1, len(ranked) + 1))
+    # with cluster-aligned centroids, IVF top-5 should match exact top-5
+    # for nearly all queries (clusters are well separated)
+    exact = knn_exact(df, q, k=5).collect()
+    ex_sets = {}
+    for r in exact:
+        ex_sets.setdefault(r.q_id, set()).add(r.id)
+    hits = sum(len(ex_sets[qid] & {r.id for r in rows}) for qid, rows in by_q.items())
+    assert hits >= 45  # recall@5 >= 0.9 over 10 queries
+
+
+def test_version_census_workload(spark):
+    from fspann_query_system_spark.workloads import q_version_census, ROTATE_EVERY
+    rows = q_version_census(spark, "/root/testdata/sf0.001").collect()
+    census = {r.key_version: (r.n_points, r.total_ct_bytes) for r in rows}
+    n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert sum(v[0] for v in census.values()) == n
+    for kv, (np_, bytes_) in census.items():
+        assert np_ <= ROTATE_EVERY
+        assert bytes_ == np_ * (64 * 8 + 16)   # dim-64 float64 body + GCM tag
+
+
+def test_minhash_band_buckets_find_planted_pair(docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             minhash_band_pairs(docs, n_hashes=8, bands=8).collect()}
+    assert (0, 2) in pairs   # exact dup must collide in every band

@@ -107,6 +107,45 @@ def encrypt_vectors(df: DataFrame, keys_bc, key_version: int,
     return df.select(id_col, vector_col).mapInPandas(run, schema=schema)
 
 
+def encrypt_vectors_versioned(df: DataFrame, keys_bc, version_col: str,
+                              id_col: str = "id",
+                              vector_col: str = "vector") -> DataFrame:
+    """Like :func:`encrypt_vectors` but the key version is a per-row column
+    (the single-pass form of rotation-cadence encryption — one scan, no
+    per-version slicing; mirrors the reference's per-batch
+    ``rotateIfNeeded`` cadence, ``ForwardSecureANNSystem.java:531``)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, key_version INT, dim INT, "
+              f"iv BINARY, ciphertext BINARY")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import secrets
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM as _AESGCM
+        ciphers = {v: _AESGCM(k) for v, k in keys_bc.value.items()}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].tolist()
+            vers = [int(v) for v in pdf[version_col]]
+            ivs, cts, dims = [], [], []
+            for pid, kv, vec in zip(ids, vers, pdf[vector_col]):
+                iv = secrets.token_bytes(IV_LEN)
+                dim = len(vec)
+                cts.append(ciphers[kv].encrypt(iv, vector_to_bytes(vec),
+                                               _aad(pid, kv, dim)))
+                ivs.append(iv)
+                dims.append(dim)
+            yield pd.DataFrame({
+                id_col: ids,
+                "key_version": np.array(vers, dtype=np.int32),
+                "dim": np.array(dims, dtype=np.int32),
+                "iv": ivs,
+                "ciphertext": cts,
+            })
+
+    return df.select(id_col, version_col, vector_col).mapInPandas(run, schema=schema)
+
+
 def decrypt_vectors(df: DataFrame, keys_bc, mode: str = "strict",
                     id_col: str = "id", out_col: str = "vector") -> DataFrame:
     """Adds ``out_col ARRAY<DOUBLE>`` decrypted under each row's recorded

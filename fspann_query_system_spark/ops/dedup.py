@@ -57,8 +57,21 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 def shingle_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, shingle) distinct — the set representation of each document."""
-    return (df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
+    """(id, shingle) distinct — the set representation of each document.
+
+    Tokens are materialized into a column before the shingle transform:
+    a lambda that captures the raw ``tokens(text)`` expression re-evaluates
+    the split per array element (HOFs break common-subexpression reuse),
+    which is ~3x slower at sf0.1."""
+    from ..functions.text import tokens
+    t = F.col("_toks")
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.when(n >= k,
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
+                ).otherwise(F.array(F.concat_ws(" ", t)))
+    return (df.withColumn("_toks", tokens(text_col))
+            .select(F.col(id_col), F.explode(sh).alias("shingle"))
             .distinct())
 
 
@@ -121,8 +134,10 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
              .filter(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
     out = (inter
-           .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-           .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+           .join(F.broadcast(sizes.select(F.col(id_col).alias("id_a"),
+                                          F.col("sz").alias("sz_a"))), "id_a")
+           .join(F.broadcast(sizes.select(F.col(id_col).alias("id_b"),
+                                          F.col("sz").alias("sz_b"))), "id_b")
            .select("id_a", "id_b",
                    F.round(F.col("n_inter")
                            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6)

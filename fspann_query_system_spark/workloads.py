@@ -859,7 +859,7 @@ def q_version_census(spark, sf_dir):
     ciphertext bytes per key version.  Verifies per-row encryption ran and
     produced well-formed GCM payloads (dim*8 body + 16-byte tag)."""
     from .crypto.keys import KeyManager
-    from .crypto.aes import encrypt_vectors
+    from .crypto.aes import encrypt_vectors_versioned
     base = _emb(spark, sf_dir)
     max_id = base.agg(F.max("id")).first()[0]
     n_versions = int(max_id) // ROTATE_EVERY + 1
@@ -867,12 +867,9 @@ def q_version_census(spark, sf_dir):
     while km.current_version < n_versions:
         km.rotate()
     keys_bc = spark.sparkContext.broadcast(km.key_map(oldest=1))
-    enc = None
-    for v in range(1, n_versions + 1):
-        sl = base.filter((F.col("id") >= (v - 1) * ROTATE_EVERY)
-                         & (F.col("id") < v * ROTATE_EVERY))
-        part = encrypt_vectors(sl, keys_bc, v)
-        enc = part if enc is None else enc.unionByName(part)
+    versioned = base.withColumn(
+        "_kv", (F.col("id") / ROTATE_EVERY + 1).cast("int"))
+    enc = encrypt_vectors_versioned(versioned, keys_bc, "_kv")
     return (enc.groupBy("key_version")
             .agg(F.count("*").alias("n_points"),
                  F.sum(F.length("ciphertext")).alias("total_ct_bytes")))

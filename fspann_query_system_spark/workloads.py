@@ -334,6 +334,31 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_window_agg(spark, sf_dir):
+    """St1 streaming twin of q_event_window_agg: file-source stream over
+    the same events data, availableNow trigger, complete-mode memory sink.
+    Produces byte-identical rows to the batch plan, so it shares the same
+    SQL oracle — Structured Streaming gets a full correctness gate, not a
+    rows-only check."""
+    import uuid
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (ev.withColumn("bucket", F.floor(F.unix_timestamp("ts") / 300))
+           .groupBy("bucket", "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value")))
+    name = "stream_sink_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_json_extract(spark, sf_dir):
     """JSON props extraction + aggregate."""
     ev = _t(spark, sf_dir, "events")
@@ -942,6 +967,7 @@ QUERIES = {
     "recall_eval": q_recall_eval,
     "version_census": q_version_census,
     "media_features": q_media_features,
+    "streaming_window_agg": q_streaming_window_agg,
 }
 
 
@@ -978,6 +1004,7 @@ def oracle_sql_map() -> dict[str, str]:
         "recall_eval": SQL_RECALL,
         "version_census": SQL_VERSION_CENSUS,
         "media_features": SQL_MEDIA,
+        "streaming_window_agg": SQL_WINDOW_AGG,
         # "ann_search": intentionally absent — approximate result has no
         # SQL oracle; driver records rows-only.
     }

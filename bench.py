@@ -40,6 +40,7 @@ HEADLINE = [
     "near_dup_embedding",
     "ivf_ann",
     "version_census",
+    "streaming_window_agg",
 ]
 
 

@@ -161,3 +161,47 @@ def test_minhash_band_buckets_find_planted_pair(docs):
     pairs = {(r.id_a, r.id_b) for r in
              minhash_band_pairs(docs, n_hashes=8, bands=8).collect()}
     assert (0, 2) in pairs   # exact dup must collide in every band
+
+
+def test_salted_agg_matches_plain(spark):
+    from fspann_query_system_spark.ops.skew import salted_agg
+    rows = [(i % 3, float(i)) for i in range(1000)] + [(0, 5.0)] * 500  # hot key 0
+    df = spark.createDataFrame(rows, "k INT, v DOUBLE")
+    plain = {r.k: (r.n, r.total, r.lo) for r in
+             df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("total"),
+                                 F.min("v").alias("lo")).collect()}
+    salted = {r.k: (r.n, r.total, r.lo) for r in
+              salted_agg(df, ["k"], {"n": ("count", "*"), "total": ("sum", "v"),
+                                     "lo": ("min", "v")}).collect()}
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    from fspann_query_system_spark.ops.skew import salted_join
+    big = spark.createDataFrame([(i % 5, i) for i in range(2000)], "k INT, payload INT")
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(5)], "k INT, name STRING")
+    plain = sorted((r.k, r.payload, r.name) for r in big.join(dim, "k").collect())
+    salted = sorted((r.k, r.payload, r.name) for r in salted_join(big, dim, "k").collect())
+    assert plain == salted
+
+
+def test_encrypted_store_partition_pruning(spark, tmp_path):
+    """The version-partitioned store layout must prune non-matching key
+    versions at the file level (S8 scale claim)."""
+    from fspann_query_system_spark.crypto.keys import KeyManager
+    from fspann_query_system_spark.crypto.aes import encrypt_vectors_versioned
+    import numpy as np
+    rng = np.random.default_rng(0)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(60)]
+    df = (spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>")
+          .withColumn("_kv", (F.col("id") / 20 + 1).cast("int")))
+    km = KeyManager(master=bytes(32))
+    km.rotate(); km.rotate()
+    bc = spark.sparkContext.broadcast(km.key_map(oldest=1))
+    out = str(tmp_path / "enc_store")
+    encrypt_vectors_versioned(df, bc, "_kv").write.partitionBy("key_version").parquet(out)
+    rd = spark.read.parquet(out).filter(F.col("key_version") == 2)
+    assert rd.count() == 20
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(key_version" in plan.replace("#", " #") or \
+           "key_version" in plan.split("PartitionFilters")[1].split("]")[0]

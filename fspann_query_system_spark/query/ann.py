@@ -82,6 +82,33 @@ class AnnIndex:
             self, points=encrypted, encrypted=True,
             decrypt_fn=lambda df: decrypt_vectors(df, keys_bc, mode=mode))
 
+    def save(self, path: str) -> None:
+        """Persist routing state (restart path, SURVEY §3.4 — strictly
+        better than the reference, whose codes live only in RAM and must
+        be re-derived by decrypt+recode).  Codes are laid out
+        range-sorted by (table, division, code_key): parquet min/max
+        stats then prune probe scans exactly like the in-memory binary
+        search.  Payload tables are saved separately — they evolve under
+        key rotation; routing state never does (orthogonality
+        invariant)."""
+        from ..lsh.params import save_params
+        (self.codes
+         .repartitionByRange("table", "division", "code_key")
+         .sortWithinPartitions("table", "division", "code_key")
+         .write.mode("overwrite").parquet(f"{path}/codes"))
+        self.bounds.write.mode("overwrite").parquet(f"{path}/bounds")
+        save_params(self.bounds.sparkSession, self.params, f"{path}/params")
+
+    @classmethod
+    def load(cls, spark, path: str, points: DataFrame) -> "AnnIndex":
+        """Reopen a saved index against a payload table (plaintext or
+        encrypted via ``with_encrypted_points`` after load)."""
+        from ..lsh.params import load_params
+        params = load_params(spark, f"{path}/params")
+        codes = spark.read.parquet(f"{path}/codes").persist()
+        bounds = spark.read.parquet(f"{path}/bounds").persist()
+        return cls(params=params, codes=codes, bounds=bounds, points=points)
+
     def routing(self):
         """Collect + broadcast per-(t,d) partition bounds for driver-free
         binary-search routing in executors.  Bounds are N/block rows —

@@ -879,6 +879,111 @@ GROUP BY ex.q_id
 """
 
 
+def q_ratio_eval(spark, sf_dir):
+    """A5 distance-ratio@10: positional avg(ivf_dist/exact_dist) per query
+    (arrays_zip join shape; ratio 1.0 = IVF found the true neighbors)."""
+    from .ops.similarity import ivf_topk
+    from .functions.distance import l2_expr
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    ivf = ivf_topk(base, queries, centroids, k=10, nprobe=IVF_NPROBE) \
+        .select("q_id", F.col("rank").cast("int").alias("rank"), "dist")
+    q = queries.select("q_id", F.col("vector").alias("_qv"))
+    b = base.select(F.col("id").alias("_bid"), F.col("vector").alias("_bv"))
+    w = Window.partitionBy("q_id").orderBy("exact_dist", "_bid")
+    exact = (b.crossJoin(F.broadcast(q))
+             .withColumn("exact_dist", l2_expr("_qv", "_bv"))
+             .withColumn("rank", F.row_number().over(w).cast("int"))
+             .filter(F.col("rank") <= 10)
+             .select("q_id", "rank", "exact_dist"))
+    return (ivf.join(exact, ["q_id", "rank"])
+            .groupBy("q_id")
+            .agg(F.count("*").alias("n_terms"),
+                 F.round(F.avg(F.when(F.col("exact_dist") > 0,
+                                      F.col("dist") / F.col("exact_dist"))
+                               .otherwise(F.lit(1.0))), 4).alias("ratio")))
+
+
+SQL_RATIO = f"""
+WITH {_SQL_IVF_CTE},
+ivf_d AS (
+  SELECT cand.q_id, cand.id,
+         list_distance(qv.qvec, e.v) AS dist,
+         row_number() OVER (PARTITION BY cand.q_id
+                            ORDER BY list_distance(qv.qvec, e.v), cand.id) AS rank
+  FROM (SELECT DISTINCT p.q_id, a.id FROM probes p JOIN assign a ON p.cell = a.cell) cand
+  JOIN qv ON cand.q_id = qv.q_id JOIN e ON cand.id = e.id
+  QUALIFY rank <= 10),
+ex_d AS (
+  SELECT qv.q_id, list_distance(qv.qvec, e.v) AS exact_dist,
+         row_number() OVER (PARTITION BY qv.q_id
+                            ORDER BY list_distance(qv.qvec, e.v), e.id) AS rank
+  FROM qv CROSS JOIN e
+  QUALIFY rank <= 10)
+SELECT i.q_id, count(*) AS n_terms,
+       round(avg(CASE WHEN x.exact_dist > 0 THEN i.dist / x.exact_dist
+                      ELSE 1.0 END), 4) AS ratio
+FROM ivf_d i JOIN ex_d x ON i.q_id = x.q_id AND i.rank = x.rank
+GROUP BY i.q_id
+"""
+
+
+def q_corpus_filter(spark, sf_dir):
+    """Composite training-data pipeline: language gate + quality gate +
+    exact-dedup canonical gate in ONE declarative plan (the pre-training
+    corpus cleaning shape; each stage reuses a registry-verified op)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    enriched = (d.select(
+        "doc_id",
+        T.lang_id("text").alias("lang_pred"),
+        T.quality_score("text").alias("quality"),
+        T.token_count("text").alias("n_tokens"),
+        T.fingerprint_md5("text").alias("fingerprint"))
+        .withColumn("canonical_id", F.min("doc_id").over(w)))
+    return (enriched
+            .filter((F.col("lang_pred") == "en")
+                    & (F.col("quality") >= 0.5)
+                    & (F.col("doc_id") == F.col("canonical_id")))
+            .select("doc_id", "n_tokens", F.round("quality", 6).alias("quality")))
+
+
+SQL_CORPUS_FILTER = f"""
+WITH enriched AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+         WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+         WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+         WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+         ELSE 'fr' END AS lang_pred,
+    round(
+      least(1.0, len(toks) / 50.0) * 0.3
+      + least(1.0, CASE WHEN len(toks) > 0 THEN s_en::DOUBLE / len(toks) ELSE 0.0 END * 4.0) * 0.3
+      + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END) * 10.0) * 0.2
+      + least(1.0, CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) ELSE 0.0 END / 8.0) * 0.2
+    , 6) AS quality,
+    len(toks) AS n_tokens,
+    md5(array_to_string(toks, ' ')) AS fingerprint
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS toks,
+               {_sql_stop_hits('en')} AS s_en,
+               {_sql_stop_hits('es')} AS s_es,
+               {_sql_stop_hits('de')} AS s_de,
+               {_sql_stop_hits('fr')} AS s_fr
+        FROM (SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS toks
+              FROM documents))),
+canon AS (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+          FROM enriched)
+SELECT doc_id, n_tokens, quality
+FROM canon
+WHERE lang_pred = 'en' AND quality >= 0.5 AND doc_id = canonical_id
+"""
+
+
 # ===========================================================================
 # crypto census + multimodal plumbing
 # ===========================================================================
@@ -976,6 +1081,8 @@ QUERIES = {
     "version_census": q_version_census,
     "media_features": q_media_features,
     "streaming_window_agg": q_streaming_window_agg,
+    "ratio_eval": q_ratio_eval,
+    "corpus_filter": q_corpus_filter,
 }
 
 
@@ -1013,6 +1120,8 @@ def oracle_sql_map() -> dict[str, str]:
         "version_census": SQL_VERSION_CENSUS,
         "media_features": SQL_MEDIA,
         "streaming_window_agg": SQL_WINDOW_AGG,
+        "ratio_eval": SQL_RATIO,
+        "corpus_filter": SQL_CORPUS_FILTER,
         # "ann_search": intentionally absent — approximate result has no
         # SQL oracle; driver records rows-only.
     }

@@ -78,3 +78,25 @@ def test_evaluate_headline(index, queries):
     ev = {r.k: r for r in evaluate(res, df, queries, ks=[1, 10]).collect()}
     assert ev[1].avg_recall > 0.5
     assert ev[10].avg_ratio is not None and ev[10].avg_ratio >= 1.0
+
+
+def test_index_save_load_roundtrip(spark, clustered, tmp_path):
+    """Saved routing state reopens and answers identically (SURVEY §3.4
+    restore; codes persisted range-sorted for file-stat pruning)."""
+    from fspann_query_system_spark.lsh.params import LshConfig
+    from fspann_query_system_spark.query.ann import AnnIndex, search_batch
+    from pyspark.sql import functions as F
+    df, X = clustered
+    cfg = LshConfig(dim=16, m=8, lam=2, tables=3, divisions=1, block_size=32,
+                    probes=4, refinement_limit=150, seed=5)
+    idx = AnnIndex.build(df, cfg)
+    q = df.filter(F.col("id") < 6).select(F.col("id").alias("q_id"), "vector")
+    before = sorted((r.q_id, r.id, r.rank)
+                    for r in search_batch(idx, q, k=5).collect())
+    path = str(tmp_path / "annidx")
+    idx.save(path)
+    idx2 = AnnIndex.load(spark, path, points=df)
+    after = sorted((r.q_id, r.id, r.rank)
+                   for r in search_batch(idx2, q, k=5).collect())
+    assert before == after
+    assert idx2.params.cfg.m == cfg.m

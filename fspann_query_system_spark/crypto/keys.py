@@ -64,6 +64,7 @@ class KeyManager:
             self.master = master if master is not None else secrets.token_bytes(KEY_LEN)
             self.current_version = 1
             self.created_at = {1: time.time()}
+            self.retired: set[int] = set()
             if path:
                 self.persist()
         self._cache: dict[int, bytes] = {}
@@ -72,6 +73,8 @@ class KeyManager:
     def key_for(self, version: int) -> bytes:
         if version < 1 or version > self.current_version:
             raise KeyError(f"unknown key version {version}")
+        if version in self.retired:
+            raise KeyError(f"key version {version} retired (forward security)")
         if version not in self._cache:
             self._cache[version] = derive_session_key(self.master, version)
         return self._cache[version]
@@ -79,7 +82,8 @@ class KeyManager:
     def key_map(self, oldest: int | None = None) -> dict[int, bytes]:
         """{version: key} for broadcast to crypto UDFs."""
         lo = oldest if oldest is not None else max(1, self.current_version - MAX_RETAINED_KEYS)
-        return {v: self.key_for(v) for v in range(lo, self.current_version + 1)}
+        return {v: self.key_for(v) for v in range(lo, self.current_version + 1)
+                if v not in self.retired}
 
     # -- rotation -----------------------------------------------------------
     def rotate(self) -> int:
@@ -107,12 +111,32 @@ class KeyManager:
         not current."""
         return version < self.current_version and bound_count == 0
 
+    def delete_keys_older_than(self, version: int,
+                               census: dict[int, int]) -> list[int]:
+        """Forward-security retirement (reference
+        ``KeyManager.deleteKeysOlderThan:274-317``): retire every version
+        < ``version`` whose ``census`` count is 0 (A8 census gates the
+        delete — never retire a key that still guards data, never the
+        current key).  Retired versions can no longer derive keys; with
+        per-version derivation, retirement is an enforced deny-list that
+        survives restarts."""
+        retired = []
+        for v in range(1, min(version, self.current_version)):
+            if v not in self.retired and census.get(v, 0) == 0:
+                self.retired.add(v)
+                self._cache.pop(v, None)
+                retired.append(v)
+        if retired and self.path:
+            self.persist()
+        return retired
+
     # -- persistence (driver-local, atomic) ---------------------------------
     def persist(self) -> None:
         blob = json.dumps({
             "master": base64.b64encode(self.master).decode(),
             "current_version": self.current_version,
             "created_at": self.created_at,
+            "retired": sorted(self.retired),
         })
         tmp = f"{self.path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
@@ -125,6 +149,7 @@ class KeyManager:
         self.master = base64.b64decode(blob["master"])
         self.current_version = int(blob["current_version"])
         self.created_at = {int(k): v for k, v in blob["created_at"].items()}
+        self.retired = set(blob.get("retired", []))
 
     def wipe(self) -> None:
         """C8 best-effort in-memory key wipe (Python strings/bytes are

@@ -124,3 +124,49 @@ def test_native_hamming_expr(spark, fitted):
     got = [r.hamming for r in with_hamming(df, "a", "b").collect()]
     want = [int(hamming_words(np.array(a), np.array(b))) for a, b in rows]
     assert got == want
+
+
+def test_wide_code_spans_two_words(spark):
+    """SURVEY §7.4 hard part: m=26, lam=3 = 78 bits > 63.  Full code must
+    span 2 words, key must be the MSB-first 63-bit truncation, hamming
+    must count ALL 78 bits (not just the key's 63)."""
+    rng = np.random.default_rng(3)
+    dim, m, lam = 8, 26, 3
+    alpha = rng.normal(size=(m, dim))
+    r = rng.uniform(0, 1, m)
+    omega = np.full(m, 1.0)
+    V = rng.normal(0, 2, (25, dim))
+    keys, words = code_family(V, alpha, r, omega, lam)
+    assert words.shape[1] == 2
+    for i in range(len(V)):
+        k_ref, w_ref, bits = slow_reference_code(V[i], alpha, r, omega, lam)
+        assert keys[i] == k_ref, i
+        assert words[i].tolist() == w_ref, i
+        assert len(bits) == 78
+    # hamming over full width: flip a bit in the SECOND word only — key
+    # unchanged, hamming must still see it
+    a = words[0].copy()
+    b = a.copy()
+    b[1] ^= 1 << 50                     # bit 78-? inside word 2's used range
+    assert hamming_words(a, b) == 1
+    # native expr agrees on 2-word codes
+    df = spark.createDataFrame([(a.tolist(), b.tolist())], "a ARRAY<LONG>, b ARRAY<LONG>")
+    assert with_hamming(df, "a", "b").collect()[0].hamming == 1
+
+
+def test_coding_property_random_families():
+    """Property check across random family shapes: vectorized kernel ==
+    scalar spec for every (m, lam) corner incl. >63-bit codes."""
+    rng = np.random.default_rng(11)
+    for m, lam in [(1, 1), (8, 2), (21, 3), (31, 2), (24, 3), (16, 4)]:
+        dim = int(rng.integers(2, 24))
+        alpha = rng.normal(size=(m, dim))
+        r = rng.uniform(0, 1, m)
+        omega = rng.uniform(0.5, 3.0, m)
+        V = rng.normal(0, 3, (8, dim))
+        keys, words = code_family(V, alpha, r, omega, lam)
+        assert words.shape[1] == (m * lam + 63) // 64
+        for i in range(len(V)):
+            k_ref, w_ref, _ = slow_reference_code(V[i], alpha, r, omega, lam)
+            assert keys[i] == k_ref, (m, lam, i)
+            assert words[i].tolist() == w_ref, (m, lam, i)

@@ -132,3 +132,26 @@ def test_rotation_policy():
     assert km.safe_to_delete(1, bound_count=0)
     assert not km.safe_to_delete(1, bound_count=5)
     assert not km.safe_to_delete(2, bound_count=0)  # current key never deletable
+
+
+def test_key_retirement_census_gated(tmp_path):
+    """F6 enforcement (reference KeyManager.deleteKeysOlderThan:274-317):
+    only census-empty, non-current versions retire; retirement denies
+    derivation and survives restart."""
+    from fspann_query_system_spark.crypto.keys import KeyManager
+    import pytest as _pt
+    path = str(tmp_path / "ks.bin")
+    km = KeyManager(master=bytes(range(32)), path=path)
+    for _ in range(3):
+        km.rotate()                       # versions 1..4, current=4
+    census = {1: 0, 2: 7, 3: 0}           # v2 still guards 7 points
+    retired = km.delete_keys_older_than(4, census)
+    assert retired == [1, 3]
+    assert 2 in km.key_map(oldest=1) and 4 in km.key_map(oldest=1)
+    with _pt.raises(KeyError, match="retired"):
+        km.key_for(1)
+    km2 = KeyManager(path=path)            # reload from disk
+    assert km2.retired == {1, 3}
+    with _pt.raises(KeyError, match="retired"):
+        km2.key_for(3)
+    assert km2.key_for(2) == km.key_for(2)

@@ -50,9 +50,12 @@ def main():
     spark = get_spark("fspann-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + python workers so per-query times measure the
-    # queries, not interpreter startup
+    # warm the JVM, parquet reader, and python workers so per-query times
+    # measure the queries, not interpreter/worker startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    import pandas as _pd  # noqa: F401
+    (spark.range(100).mapInPandas(lambda it: it, schema="id LONG").count())
 
     times: dict[str, float] = {}
     for name in HEADLINE:

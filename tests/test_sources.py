@@ -81,3 +81,29 @@ def test_groundtruth_validation(spark, clustered, tmp_path):
     assert back.count() == 4
     bad = validate_groundtruth(gt, dataset_size=2)
     assert not bad["ids_in_range"]
+
+
+def test_vecfile_datasource_parallel_scan(spark, tmp_path):
+    """Python DataSource splits one vector file into record-aligned range
+    partitions (the at-scale property the binaryFile path lacks)."""
+    import numpy as np
+    from fspann_query_system_spark.sources.vecfiles import write_fvecs, write_ivecs
+    from fspann_query_system_spark.sources import datasource
+    datasource.register(spark)
+
+    rng = np.random.default_rng(21)
+    M = rng.normal(0, 1, (103, 9)).astype(np.float32)
+    p = str(tmp_path / "v.fvecs")
+    write_fvecs(p, M)
+    df = (spark.read.format("vecfile").option("numPartitions", 4).load(p))
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r.id: r.vector for r in df.collect()}
+    assert len(rows) == 103
+    assert np.allclose(rows[0], M[0]) and np.allclose(rows[102], M[102])
+
+    gt = [[3, 1, 4], [1, 5, 9], [2, 6, 5]]
+    pi = str(tmp_path / "g.ivecs")
+    write_ivecs(pi, gt)
+    got = {r.q_id: list(r.neighbor_ids)
+           for r in spark.read.format("vecfile").load(pi).collect()}
+    assert got == {0: [3, 1, 4], 1: [1, 5, 9], 2: [2, 6, 5]}

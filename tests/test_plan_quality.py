@@ -71,3 +71,30 @@ def test_topk_plans_window_group_limit(spark):
 def test_tombstone_plans_anti_join(spark):
     plan = _plan(W.q_tombstone_anti_join(spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing co-locates join keys at write time: a bucketed-bucketed
+    equi-join must plan ZERO exchanges on the join path (SCALE.md: reuse a
+    partitioning across stages instead of re-shuffling 100TB)."""
+    import uuid
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bk_a_{suffix}", f"bk_b_{suffix}"
+    a = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS vb")
+    for name, df in [(ta, a), (tb, b)]:
+        (df.write.bucketBy(4, "k").sortBy("k")
+         .option("path", str(tmp_path / name))
+         .mode("overwrite").saveAsTable(name))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(ta).join(spark.table(tb), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

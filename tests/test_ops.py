@@ -205,3 +205,14 @@ def test_encrypted_store_partition_pruning(spark, tmp_path):
     plan = rd._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(key_version" in plan.replace("#", " #") or \
            "key_version" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_simhash_fast_equals_native_spec(spark, docs):
+    from fspann_query_system_spark.ops.dedup import simhash, simhash_fast
+    native = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    fast = {r.doc_id: r.simhash for r in simhash_fast(docs).collect()}
+    assert native == fast
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    native = {r.doc_id: r.simhash for r in simhash(d).collect()}
+    fast = {r.doc_id: r.simhash for r in simhash_fast(d).collect()}
+    assert native == fast

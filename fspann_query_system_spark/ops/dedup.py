@@ -114,6 +114,50 @@ def minhash_band_pairs(df: DataFrame, text_col: str = "text",
             .agg(F.count("*").alias("n_shared_bands")))
 
 
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id", sig_col: str = "simhash",
+                       bits: int = 60) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation is block-wise: two codes within hamming t of each
+    other agree exactly on at least one of (t+1) disjoint bit blocks
+    (pigeonhole), so the join runs per block on block-value equality —
+    never all-pairs.  With default t=3: 4 blocks of 15 bits, each join key
+    has ~2^15 buckets.  This is the standard simhash dedup join (Manku et
+    al. WWW'07 fingerprint blocking) expressed as unions of equi-joins —
+    Catalyst shuffles on (block, value) which stays skew-free for
+    hash-like signatures."""
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    blocks = []
+    start = 0
+    for b in range(n_blocks):
+        width_b = width if b < n_blocks - 1 else bits - start
+        shift = bits - start - width_b
+        start += width_b
+        mask = (1 << width_b) - 1
+        blocks.append(
+            sigs.select(F.col(id_col),
+                        F.col(sig_col),
+                        F.lit(b).alias("block"),
+                        F.shiftright(F.col(sig_col), shift).bitwiseAND(F.lit(mask))
+                        .alias("block_val")))
+    banded = blocks[0]
+    for extra in blocks[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("_sa"),
+                      "block", "block_val")
+    b2 = banded.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("_sb"),
+                       "block", "block_val")
+    cand = (a.join(b2, on=["block", "block_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_sa", "_sb").distinct())
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (cand.withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact verification)
 # ---------------------------------------------------------------------------

@@ -216,3 +216,29 @@ def test_simhash_fast_equals_native_spec(spark, docs):
     native = {r.doc_id: r.simhash for r in simhash(d).collect()}
     fast = {r.doc_id: r.simhash for r in simhash_fast(d).collect()}
     assert native == fast
+
+
+def test_simhash_near_pairs_matches_bruteforce(spark):
+    """Pigeonhole block join must find exactly the pairs a brute-force
+    hamming scan finds (no candidates lost by blocking)."""
+    from fspann_query_system_spark.ops.dedup import simhash_near_pairs
+    rng = np.random.default_rng(4)
+    base = int(rng.integers(0, 1 << 60))
+    sigs = [base]
+    for flips in [1, 2, 3, 4, 8]:          # planted neighbors at known dists
+        s = base
+        for pos in rng.choice(60, size=flips, replace=False):
+            s ^= 1 << int(pos)
+        sigs.append(int(s))
+    sigs += [int(x) for x in rng.integers(0, 1 << 60, size=30)]
+    df = spark.createDataFrame(list(enumerate(sigs)), "doc_id LONG, simhash LONG")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_near_pairs(df, max_hamming=3).collect()}
+    want = {}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = bin(sigs[i] ^ sigs[j]).count("1")
+            if h <= 3:
+                want[(i, j)] = h
+    assert got == want
+    assert (0, 1) in got and (0, 3) in got and (0, 4) not in got

@@ -76,3 +76,32 @@ def test_tombstones_and_drift(spark):
     pts_drifted = pts.filter("id < 18")
     audit = drift_audit(meta2, pts_drifted).collect()[0]
     assert audit.meta_only == 2 and audit.points_only == 0
+
+
+def test_stateful_sessionization_matches_batch(spark):
+    """applyInPandasWithState sessionizer over the finite events stream
+    must end with exactly the batch plan's per-user session counts."""
+    import uuid
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.streaming.stateful import stateful_sessionize
+    from fspann_query_system_spark.workloads import q_sessionization, _t
+
+    sf = "/root/testdata/sf0.001"
+    batch = {r.user_id: (r.n_sessions, r.n_events)
+             for r in q_sessionization(spark, sf).collect()}
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf)
+              .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+              .select("user_id", "event_id", "ts"))
+    name = "sess_" + uuid.uuid4().hex[:8]
+    q = (stateful_sessionize(stream).writeStream.format("memory")
+         .queryName(name).outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # update mode: last emit per user is the final state
+    got = {r.user_id: (r.n_sessions, r.n_events)
+           for r in spark.table(name).collect()}
+    assert got == batch

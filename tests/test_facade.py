@@ -111,3 +111,30 @@ def test_full_lifecycle(spark, clustered, tmp_path):
     assert "phases" in art and "metrics_summary" in art
     txt = open(art["metrics_summary"]).read()
     assert "config_sha256=" in txt and "phase.search=" in txt
+
+
+def test_query_cache_lru_ttl_and_epoch():
+    from fspann_query_system_spark.query.cache import QueryCache
+    c = QueryCache(max_entries=2, ttl_sec=60)
+    k1 = QueryCache.key_of([1.0, 2.0], 10, epoch=1)
+    assert QueryCache.key_of([1.0, 2.0], 10, 1) == k1          # deterministic
+    assert QueryCache.key_of([1.0, 2.0], 10, 2) != k1          # epoch busts
+    assert QueryCache.key_of([1.0, 2.5], 10, 1) != k1
+    assert c.get(k1) is None
+    c.put(k1, [("a", 0.1)])
+    assert c.get(k1) == [("a", 0.1)]
+    c.put("k2", [1]); c.put("k3", [2])                          # evicts k1 (LRU)
+    assert c.get(k1) is None and c.get("k3") == [2]
+    c.ttl_sec = 0.0
+    c.put("k4", [3])
+    import time as _t; _t.sleep(0.01)
+    assert c.get("k4") is None                                  # TTL expiry
+    assert c.hits >= 2 and c.misses >= 3
+
+
+def test_example_config_profiles():
+    from fspann_query_system_spark.config import load_config
+    cfg = load_config("/root/repo/configs/example.json", profile="high")
+    assert cfg.tables == 8 and cfg.refinement_limit == 22000
+    base = load_config("/root/repo/configs/example.json")
+    assert base.tables == 6

@@ -43,6 +43,9 @@ class ForwardSecureANNSystem:
         self.index: AnnIndex | None = None
         self.encrypted: DataFrame | None = None
         self._base: DataFrame | None = None
+        from .query.cache import QueryCache
+        self.cache = QueryCache()
+        self._index_epoch = 0
 
     # -- INDEX ------------------------------------------------------------
     def _keys_bc(self):
@@ -60,6 +63,8 @@ class ForwardSecureANNSystem:
             self._base, self._keys_bc(), self.keys.current_version).persist()
         self.encrypted.count()
         self.index = plain_idx.with_encrypted_points(self.encrypted, self._keys_bc())
+        self._index_epoch += 1
+        self.cache.invalidate()
         self.profiler.stop("index_build")
 
     def index_path(self, path: str) -> None:
@@ -68,6 +73,41 @@ class ForwardSecureANNSystem:
             vec.select("id", F.col("vector").cast("array<double>").alias("vector")))
 
     # -- QUERY + EVAL -----------------------------------------------------
+    def search_cached(self, queries: DataFrame, k: int | None = None,
+                      adaptive: bool = True) -> DataFrame:
+        """Read-through result cache in front of :meth:`search` (reference
+        LRU+TTL query cache, ``ForwardSecureANNSystem.java:1103-1151``):
+        split the batch into cache hits and misses by logical token key,
+        run the probe pipeline only for misses, merge.  The epoch in the
+        key invalidates on every index rebuild / payload swap."""
+        from .query.cache import QueryCache
+        k = k or self.config.top_k
+        q_rows = queries.select("q_id", "vector").collect()
+        keyed = [(r.q_id, QueryCache.key_of(r.vector, k, self._index_epoch), r)
+                 for r in q_rows]
+        hit_rows, miss = [], []
+        for q_id, ck, r in keyed:
+            cached = self.cache.get(ck)
+            if cached is None:
+                miss.append((ck, r))
+            else:
+                hit_rows.extend(cached)
+        if miss:
+            mdf = self.spark.createDataFrame(
+                [(r.q_id, list(r.vector)) for _, r in miss],
+                "q_id LONG, vector ARRAY<DOUBLE>")
+            res = self.search(mdf, k=k, adaptive=adaptive, with_decoys=False)
+            got = res.select("q_id", "id", "distance", "rank").collect()
+            by_q: dict = {}
+            for row in got:
+                by_q.setdefault(row.q_id, []).append(tuple(row))
+            for ck, r in miss:
+                rows = by_q.get(r.q_id, [])
+                self.cache.put(ck, rows)
+                hit_rows.extend(rows)
+        return self.spark.createDataFrame(
+            hit_rows, "q_id LONG, id LONG, distance DOUBLE, rank INT")
+
     def search(self, queries: DataFrame, k: int | None = None,
                adaptive: bool = True, with_decoys: bool | None = None) -> DataFrame:
         """Batched search over the encrypted store; decoy interleaving per
@@ -141,6 +181,8 @@ class ForwardSecureANNSystem:
         idx = AnnIndex.build(self._base, params.cfg, params=params)
         self.encrypted = encrypted
         self.index = idx.with_encrypted_points(encrypted, bc)
+        self._index_epoch += 1
+        self.cache.invalidate()
 
     # -- EXPORT -----------------------------------------------------------
     def export_artifacts(self, out_dir: str, metric_rows=None, summary=None,

@@ -138,3 +138,54 @@ def test_example_config_profiles():
     assert cfg.tables == 8 and cfg.refinement_limit == 22000
     base = load_config("/root/repo/configs/example.json")
     assert base.tables == 6
+
+
+def test_search_cached_hits_and_equivalence(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.api import ForwardSecureANNSystem
+    from fspann_query_system_spark.config import SystemConfig
+    rng = np.random.default_rng(12)
+    X = rng.normal(0, 1, (300, 12))
+    vec = spark.createDataFrame([(i, X[i].tolist()) for i in range(300)],
+                                "id LONG, vector ARRAY<DOUBLE>")
+    cfg = SystemConfig(dim=12, m=6, lam=2, tables=3, divisions=1,
+                       probes=4, refinement_limit=100, top_k=5)
+    sys_ = ForwardSecureANNSystem(spark, cfg, master_key=bytes(32))
+    sys_.index_vectors(vec)
+    q = vec.limit(4).select(F.col("id").alias("q_id"), "vector")
+    first = sorted(tuple(r) for r in sys_.search_cached(q).collect())
+    assert sys_.cache.misses >= 4 and sys_.cache.hits == 0
+    second = sorted(tuple(r) for r in sys_.search_cached(q).collect())
+    assert second == first
+    assert sys_.cache.hits >= 4                 # all served from cache
+    sys_.index_vectors(vec)                      # rebuild → epoch bust
+    third = sorted(tuple(r) for r in sys_.search_cached(q).collect())
+    assert third == first                        # recomputed, same answers
+
+
+def test_banded_candidates_then_exact_verify(spark, docs=None):
+    """At-scale dedup composition (SCALE.md: LSH banding restricts the
+    pair set, exact jaccard verifies): band candidates must contain every
+    high-jaccard pair found by the all-pairs plan."""
+    from fspann_query_system_spark.ops.dedup import (minhash_band_pairs,
+                                                     jaccard_pairs)
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different content about spark engines at scale"),
+        (4, "el gato y el perro en la casa de la abuela grande"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    cands = {(r.id_a, r.id_b)
+             for r in minhash_band_pairs(d, n_hashes=16, bands=8).collect()}
+    exact_high = {(r.id_a, r.id_b)
+                  for r in jaccard_pairs(d, threshold=0.5).collect()}
+    assert exact_high and exact_high <= cands
+    # restrict verification to candidate docs only (the scale flow)
+    cand_ids = sorted({i for p in cands for i in p})
+    sub = d.filter(d.doc_id.isin(cand_ids))
+    sub_verified = {(r.id_a, r.id_b)
+                    for r in jaccard_pairs(sub, threshold=0.5).collect()}
+    assert exact_high <= sub_verified

@@ -343,6 +343,33 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: fact ⋈ broadcast part dim, conditional aggregate
+    (promo revenue share per ship month)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+            .groupBy("ship_month")
+            .agg(F.round(F.sum(promo), 2).alias("promo_revenue"),
+                 F.round(F.sum(rev), 2).alias("total_revenue"),
+                 F.count("*").alias("n_items")))
+
+
+SQL_PROMO = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END), 2) AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 def q_streaming_window_agg(spark, sf_dir):
     """St1 streaming twin of q_event_window_agg: file-source stream over
     the same events data, availableNow trigger, complete-mode memory sink.
@@ -1086,6 +1113,7 @@ QUERIES = {
     "streaming_window_agg": q_streaming_window_agg,
     "ratio_eval": q_ratio_eval,
     "corpus_filter": q_corpus_filter,
+    "promo_revenue": q_promo_revenue,
 }
 
 
@@ -1125,6 +1153,7 @@ def oracle_sql_map() -> dict[str, str]:
         "streaming_window_agg": SQL_WINDOW_AGG,
         "ratio_eval": SQL_RATIO,
         "corpus_filter": SQL_CORPUS_FILTER,
+        "promo_revenue": SQL_PROMO,
         # "ann_search": intentionally absent — approximate result has no
         # SQL oracle; driver records rows-only.
     }

@@ -92,11 +92,25 @@ def main(argv: list[str] | None = None) -> int:
     if cfg.reenc_mode != "off":
         report["reencryption"] = system.rotate_and_reencrypt_touched()
 
-    # EXPORT
+    # EXPORT (all S13 sinks)
     metric_rows = results.groupBy("q_id").agg(
         F.count("*").alias("n_returned"),
         F.round(F.min("distance"), 6).alias("nn_distance"))
+    accuracy = spark.createDataFrame(
+        [(k, float(report[f"recall@{k}"])) for k in ks], "k INT, avg_recall DOUBLE")
+    samples = results.orderBy("q_id", "rank").limit(200)
+    diagnostics = results.groupBy("q_id").agg(
+        F.max("rank").alias("max_rank"),
+        F.round(F.max("distance"), 6).alias("max_distance"))
+    reenc = report.get("reencryption") or {}
+    reenc_flat = {"version": reenc.get("version"), "migrated": reenc.get("migrated")}
+    for kv, n in (reenc.get("census") or {}).items():
+        reenc_flat[f"census_v{kv}"] = n
     paths = system.export_artifacts(args.outdir, metric_rows=metric_rows,
+                                    accuracy=accuracy,
+                                    retrieved_samples=samples,
+                                    diagnostics=diagnostics,
+                                    reencrypt_metrics=reenc_flat,
                                     config_hash=report["config_sha256"])
     report_path = os.path.join(args.outdir, "run_report.json")
     with open(report_path, "w") as f:

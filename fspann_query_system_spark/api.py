@@ -186,5 +186,8 @@ class ForwardSecureANNSystem:
 
     # -- EXPORT -----------------------------------------------------------
     def export_artifacts(self, out_dir: str, metric_rows=None, summary=None,
-                         config_hash: str | None = None) -> dict:
-        return self.profiler.export(out_dir, metric_rows, summary, config_hash)
+                         config_hash: str | None = None, **sinks) -> dict:
+        """S13 export; extra sinks (accuracy, reencrypt_metrics,
+        retrieved_samples, diagnostics) pass through to Profiler.export."""
+        return self.profiler.export(out_dir, metric_rows, summary,
+                                    config_hash, **sinks)

@@ -89,19 +89,39 @@ class Profiler:
 
     def export(self, out_dir: str, metric_rows: DataFrame | None = None,
                summary: DataFrame | None = None,
-               config_hash: str | None = None) -> dict:
-        """S13 sinks: query_metrics.csv, summary.csv, phases.csv,
-        metrics_summary.txt (with config hash stamp)."""
+               config_hash: str | None = None,
+               accuracy: DataFrame | None = None,
+               reencrypt_metrics: dict | None = None,
+               retrieved_samples: DataFrame | None = None,
+               diagnostics: DataFrame | None = None) -> dict:
+        """S13 sinks, one per reference CSV (``Profiler.exportQueryMetricsCsv``,
+        ``EvaluationSummaryPrinter``, ``TopKProfiler.export``,
+        ``SelectiveReencCoordinator`` reenc CSV):
+        query_metrics, summary, accuracy (per-K aggregates), cost
+        (phases.csv), reencrypt_metrics, retrieved_samples,
+        query_diagnostics, plus metrics_summary.txt with the config hash."""
         os.makedirs(out_dir, exist_ok=True)
         written = {}
-        if metric_rows is not None:
-            p = os.path.join(out_dir, "query_metrics")
-            metric_rows.coalesce(1).write.mode("overwrite").option("header", True).csv(p)
-            written["query_metrics"] = p
-        if summary is not None:
-            p = os.path.join(out_dir, "summary")
-            summary.coalesce(1).write.mode("overwrite").option("header", True).csv(p)
-            written["summary"] = p
+
+        def _sink(df: DataFrame | None, name: str):
+            if df is None:
+                return
+            p = os.path.join(out_dir, name)
+            df.coalesce(1).write.mode("overwrite").option("header", True).csv(p)
+            written[name] = p
+
+        _sink(metric_rows, "query_metrics")
+        _sink(summary, "summary")
+        _sink(accuracy, "accuracy")
+        _sink(retrieved_samples, "retrieved_samples")
+        _sink(diagnostics, "query_diagnostics")
+        if reencrypt_metrics is not None:
+            p = os.path.join(out_dir, "reencrypt_metrics.csv")
+            with open(p, "w") as f:
+                f.write("key,value\n")
+                for k, v in sorted(reencrypt_metrics.items(), key=lambda kv: str(kv[0])):
+                    f.write(f"{k},{v}\n")
+            written["reencrypt_metrics"] = p
         with open(os.path.join(out_dir, "phases.csv"), "w") as f:
             f.write("phase,seconds\n")
             for k, v in sorted(self.phases.items()):

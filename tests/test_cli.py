@@ -40,9 +40,12 @@ def test_cli_end_to_end(spark, cli_fixture):
     # artifacts written
     assert os.path.exists(gt_path)                       # S14 ivecs sink
     assert os.path.exists(str(root / "keystore.bin"))    # S12 keystore
-    files = os.listdir(out)
-    assert any(f.endswith(".csv") or f.endswith(".txt") or f.endswith(".json")
-               for f in files), files
+    files = set(os.listdir(out))
+    # all seven reference sink families (S13) plus the run report
+    for sink in ["query_metrics", "accuracy", "retrieved_samples",
+                 "query_diagnostics", "reencrypt_metrics.csv",
+                 "phases.csv", "metrics_summary.txt", "run_report.json"]:
+        assert sink in files, (sink, files)
 
 
 def test_cli_groundtruth_roundtrip(spark, cli_fixture):

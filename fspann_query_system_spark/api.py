@@ -191,3 +191,45 @@ class ForwardSecureANNSystem:
         retrieved_samples, diagnostics) pass through to Profiler.export."""
         return self.profiler.export(out_dir, metric_rows, summary,
                                     config_hash, **sinks)
+
+
+class MultiDimSystem:
+    """Per-dimension system registry (reference ``main`` accepts a dims
+    list and keeps one token factory + index per dim,
+    ``ForwardSecureANNSystem.java:358-375``).  One shared KeyManager —
+    rotation and forward security span all dims; each dim owns its LSH
+    params and index."""
+
+    def __init__(self, spark: SparkSession, config: SystemConfig,
+                 dims: list[int], keystore_path: str | None = None,
+                 master_key: bytes | None = None):
+        from dataclasses import replace
+        self.spark = spark
+        self.systems: dict[int, ForwardSecureANNSystem] = {}
+        shared_keys = None
+        for d in dims:
+            sub = ForwardSecureANNSystem(
+                spark, replace(config, dim=d),
+                keystore_path=keystore_path if shared_keys is None else None,
+                master_key=master_key)
+            if shared_keys is None:
+                shared_keys = sub.keys
+            else:
+                sub.keys = shared_keys          # one keystore across dims
+            self.systems[d] = sub
+
+    def __getitem__(self, dim: int) -> ForwardSecureANNSystem:
+        return self.systems[dim]
+
+    def index_vectors(self, dim: int, vectors: DataFrame) -> None:
+        self.systems[dim].index_vectors(vectors)
+
+    def search(self, dim: int, queries: DataFrame, **kw) -> DataFrame:
+        return self.systems[dim].search(queries, **kw)
+
+    def rotate_and_reencrypt_touched(self) -> dict:
+        """One rotation event migrates touched rows in every dim."""
+        out = {}
+        for d, sub in self.systems.items():
+            out[d] = sub.rotate_and_reencrypt_touched()
+        return out

@@ -189,3 +189,42 @@ def test_banded_candidates_then_exact_verify(spark, docs=None):
     sub_verified = {(r.id_a, r.id_b)
                     for r in jaccard_pairs(sub, threshold=0.5).collect()}
     assert exact_high <= sub_verified
+
+
+def test_multi_dim_system_shared_rotation(spark):
+    import numpy as np
+    from fspann_query_system_spark.api import MultiDimSystem
+    from fspann_query_system_spark.config import SystemConfig
+    rng = np.random.default_rng(3)
+    cfg = SystemConfig(dim=8, m=4, lam=2, tables=2, divisions=1,
+                       probes=3, refinement_limit=50, top_k=3)
+    mds = MultiDimSystem(spark, cfg, dims=[8, 12], master_key=bytes(32))
+    for d in (8, 12):
+        X = rng.normal(0, 1, (120, d))
+        vec = spark.createDataFrame([(i, X[i].tolist()) for i in range(120)],
+                                    "id LONG, vector ARRAY<DOUBLE>")
+        mds.index_vectors(d, vec)
+        q = vec.limit(3).selectExpr("id AS q_id", "vector")
+        res = mds.search(d, q, k=3)
+        top1 = {r.q_id: r.id for r in res.filter("rank = 1").collect()}
+        assert top1 == {0: 0, 1: 1, 2: 2}
+    assert mds[8].keys is mds[12].keys          # one keystore, all dims
+    v_before = mds[8].keys.current_version
+    out = mds.rotate_and_reencrypt_touched()
+    assert set(out) == {8, 12}
+    assert mds[8].keys.current_version > v_before
+
+
+def test_background_reencryption_scheduler():
+    import time as _t
+    from fspann_query_system_spark.crypto.scheduler import \
+        BackgroundReencryptionScheduler
+    calls = []
+    sch = BackgroundReencryptionScheduler(lambda: calls.append(1) or len(calls),
+                                          interval_sec=0.05)
+    assert sch.run_once() == 1                   # explicit-trigger body
+    sch.start()
+    _t.sleep(0.3)
+    sch.stop()
+    assert sch.runs >= 3
+    assert sch.last_result == sch.runs

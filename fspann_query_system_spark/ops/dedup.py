@@ -56,8 +56,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def shingle_table(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, shingle) distinct — the set representation of each document.
+                  id_col: str = "doc_id", k: int = 3,
+                  dedupe: bool = True) -> DataFrame:
+    """(id, shingle) — the set representation of each document
+    (``dedupe=True``; a full shuffle) or the raw multiset
+    (``dedupe=False``; map-side only — correct for consumers invariant
+    under duplicates, like MinHash's min-aggregation).
 
     Tokens are materialized into a column before the shingle transform:
     a lambda that captures the raw ``tokens(text)`` expression re-evaluates
@@ -70,9 +74,9 @@ def shingle_table(df: DataFrame, text_col: str = "text",
     sh = F.when(n >= k,
                 F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
                 ).otherwise(F.array(F.concat_ws(" ", t)))
-    return (df.withColumn("_toks", tokens(text_col))
-            .select(F.col(id_col), F.explode(sh).alias("shingle"))
-            .distinct())
+    out = (df.withColumn("_toks", tokens(text_col))
+           .select(F.col(id_col), F.explode(sh).alias("shingle")))
+    return out.distinct() if dedupe else out
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -80,8 +84,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        n_hashes: int = 16) -> DataFrame:
     """(id, sig ARRAY<STRING>) — sig[h] = min over shingles of
     md5('<h>|' || shingle).  md5-string min is engine-portable; a numpy
-    xxhash variant would be faster but unverifiable cross-engine."""
-    sh = shingle_table(df, text_col, id_col, k)
+    xxhash variant would be faster but unverifiable cross-engine.
+    Shingles stay a multiset: min() is duplicate-invariant, so the
+    distinct shuffle is skipped (one less wide exchange)."""
+    sh = shingle_table(df, text_col, id_col, k, dedupe=False)
     seeds = sh.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("h"))
     hashed = (sh.crossJoin(F.broadcast(seeds))
               .select(id_col, "h",
@@ -99,13 +105,20 @@ def minhash_band_pairs(df: DataFrame, text_col: str = "text",
     (band hash = md5 of the band's signature slice).  Returns
     (id_a, id_b, n_shared_bands), id_a < id_b."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, n_hashes)
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = (sig.select(id_col, band_idx, "sig")
-              .select(id_col, "band",
-                      F.md5(F.concat_ws("|", F.slice(
-                          "sig", F.col("band") * rows_per_band + 1, rows_per_band)))
-                      .alias("band_hash")))
+    sh = shingle_table(df, text_col, id_col, k, dedupe=False)
+    seeds = sh.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("h"))
+    per_hash = (sh.crossJoin(F.broadcast(seeds))
+                .select(id_col, "h",
+                        F.md5(F.concat_ws("|", F.col("h"), F.col("shingle"))).alias("hv"))
+                .groupBy(id_col, "h").agg(F.min("hv").alias("mh")))
+    # band hash straight off the per-hash minima (no full-signature
+    # assembly stage): md5 of the band's mh values in h order
+    banded = (per_hash
+              .withColumn("band", F.floor(F.col("h") / rows_per_band).cast("int"))
+              .groupBy(id_col, "band")
+              .agg(F.md5(F.concat_ws("|", F.transform(
+                  F.sort_array(F.collect_list(F.struct("h", "mh"))),
+                  lambda s: s["mh"]))).alias("band_hash")))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (a.join(b, on=["band", "band_hash"])

@@ -522,7 +522,9 @@ sh AS (
 
 def q_minhash(spark, sf_dir):
     from .ops.dedup import shingle_table
-    sh = shingle_table(_t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    # multiset shingles: min() is duplicate-invariant → no distinct shuffle
+    sh = shingle_table(_t(spark, sf_dir, "documents"), "text", "doc_id", k=3,
+                       dedupe=False)
     seeds = spark.range(8).select(F.col("id").cast("int").alias("h"))
     return (sh.crossJoin(F.broadcast(seeds))
             .select("doc_id", "h",

@@ -100,3 +100,44 @@ def test_index_save_load_roundtrip(spark, clustered, tmp_path):
                    for r in search_batch(idx2, q, k=5).collect())
     assert before == after
     assert idx2.params.cfg.m == cfg.m
+
+
+def test_search_survives_corrupt_ciphertexts(spark, clustered):
+    """SuperFailureModeIT analog: flip bytes in some stored ciphertexts —
+    skip-mode decrypt drops them (reference decryptErr accounting,
+    QueryServiceImpl.java:241-270) and search still answers from the
+    intact rows; corrupted ids never appear in results."""
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.lsh.params import LshConfig
+    from fspann_query_system_spark.query.ann import AnnIndex, search_batch
+    from fspann_query_system_spark.crypto.keys import KeyManager
+    from fspann_query_system_spark.crypto.aes import encrypt_vectors
+
+    df, X = clustered
+    km = KeyManager(master=bytes(32))
+    bc = spark.sparkContext.broadcast(km.key_map())
+    enc = encrypt_vectors(df, bc, 1)
+    corrupt_ids = set(range(0, 2000, 100))           # 20 of 2000 damaged
+    # flip the 9th ciphertext byte to zero: GCM tag check must fail
+    corrupted = enc.withColumn(
+        "ciphertext",
+        F.when(F.col("id").isin(list(corrupt_ids)),
+               F.concat(F.substring("ciphertext", 1, 8),
+                        F.expr("X'00'"),
+                        F.expr("substring(ciphertext, 10)")))
+        .otherwise(F.col("ciphertext")))
+    cfg = LshConfig(dim=16, m=8, lam=2, tables=3, divisions=1, block_size=32,
+                    probes=4, refinement_limit=300, seed=5)
+    idx = AnnIndex.build(df, cfg).with_encrypted_points(corrupted, bc, mode="skip")
+    q = df.filter(F.col("id").isin([0, 500, 999])) \
+          .select(F.col("id").alias("q_id"), "vector")
+    res = search_batch(idx, q, k=5).collect()
+    assert len(res) > 0
+    returned_ids = {r.id for r in res}
+    assert not (returned_ids & corrupt_ids)          # damaged rows excluded
+    # same index over the intact store can return the damaged ids again
+    idx_ok = AnnIndex.build(df, cfg, params=idx.params) \
+        .with_encrypted_points(enc, bc, mode="skip")
+    ok_ids = {r.id for r in search_batch(idx_ok, q, k=5).collect()}
+    assert ok_ids & corrupt_ids                       # 0, 500 retrievable again
+    assert {r.q_id for r in res} == {0, 500, 999}     # every query answered

@@ -71,7 +71,11 @@ def main(argv: list[str] | None = None) -> int:
     n_base = system._base.count()
     if args.groundtruth and os.path.exists(args.groundtruth):
         gt = load_groundtruth(spark, args.groundtruth)
-        validate_groundtruth(gt, dataset_size=n_base)
+        check = validate_groundtruth(gt, dataset_size=n_base)
+        if not check["ids_in_range"]:
+            print(f"ERROR: groundtruth ids out of range for dataset of "
+                  f"{n_base} vectors: {check}", file=sys.stderr)
+            return 2
     else:
         gt = (system.groundtruth(queries, k=max_k)
               .select("q_id", F.col("neighbor_ids")))

@@ -85,13 +85,16 @@ class ForwardSecureANNSystem:
         q_rows = queries.select("q_id", "vector").collect()
         keyed = [(r.q_id, QueryCache.key_of(r.vector, k, self._index_epoch), r)
                  for r in q_rows]
+        # cache entries are (id, distance, rank) WITHOUT q_id: the key is
+        # the query geometry, so a later query with the same vector but a
+        # different q_id must get the rows re-stamped with ITS q_id
         hit_rows, miss = [], []
         for q_id, ck, r in keyed:
             cached = self.cache.get(ck)
             if cached is None:
                 miss.append((ck, r))
             else:
-                hit_rows.extend(cached)
+                hit_rows.extend((q_id, *row) for row in cached)
         if miss:
             mdf = self.spark.createDataFrame(
                 [(r.q_id, list(r.vector)) for _, r in miss],
@@ -100,11 +103,11 @@ class ForwardSecureANNSystem:
             got = res.select("q_id", "id", "distance", "rank").collect()
             by_q: dict = {}
             for row in got:
-                by_q.setdefault(row.q_id, []).append(tuple(row))
+                by_q.setdefault(row.q_id, []).append((row.id, row.distance, row.rank))
             for ck, r in miss:
                 rows = by_q.get(r.q_id, [])
                 self.cache.put(ck, rows)
-                hit_rows.extend(rows)
+                hit_rows.extend((r.q_id, *row) for row in rows)
         return self.spark.createDataFrame(
             hit_rows, "q_id LONG, id LONG, distance DOUBLE, rank INT")
 
@@ -149,8 +152,13 @@ class ForwardSecureANNSystem:
         """SELECTIVE RE-ENCRYPT phase (reference
         ``runSelectiveReencryptionIfNeeded:1739-1804``): forced rotation,
         drain touched set, migrate touched stale rows, census."""
+        return self.reencrypt_touched_to(self.keys.rotate())
+
+    def reencrypt_touched_to(self, new_version: int) -> dict:
+        """Migration body without the rotation — callers that share one
+        KeyManager across several indexes (MultiDimSystem) rotate ONCE
+        and migrate every index to the same version."""
         touched = self.tracker.drain()
-        new_version = self.keys.rotate()
         if touched is None:
             return {"version": new_version, "migrated": 0}
         self.profiler.start("reencrypt")
@@ -228,8 +236,10 @@ class MultiDimSystem:
         return self.systems[dim].search(queries, **kw)
 
     def rotate_and_reencrypt_touched(self) -> dict:
-        """One rotation event migrates touched rows in every dim."""
-        out = {}
-        for d, sub in self.systems.items():
-            out[d] = sub.rotate_and_reencrypt_touched()
-        return out
+        """One rotation event migrates touched rows in every dim: the
+        shared KeyManager rotates exactly once, then every dim migrates
+        to that same version (rotating per dim would advance the retained
+        key window D times per event and leave D-1 dims stale)."""
+        new_version = next(iter(self.systems.values())).keys.rotate()
+        return {d: sub.reencrypt_touched_to(new_version)
+                for d, sub in self.systems.items()}

@@ -32,6 +32,7 @@ class BackgroundReencryptionScheduler:
     def start(self) -> None:
         if self._thread is not None:
             raise RuntimeError("already started")
+        self._stop.clear()          # allow restart after stop()
 
         def loop():
             while not self._stop.wait(self.interval_sec):

@@ -93,11 +93,17 @@ def fingerprint_md5(text) -> Column:
     return F.md5(F.concat_ws(" ", tokens(text)))
 
 
-def word_shingles(text, k: int = 3) -> Column:
-    """Array of k-word shingles (space-joined), the minhash input unit."""
-    t = tokens(text)
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """Array of k-word shingles from a token-array column.  Pass a plain
+    column reference, not an expression: the HOF lambda re-evaluates a
+    captured expression per array element (~3x slower at sf0.1)."""
     n = F.size(t)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n >= k,
                   F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
                   ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def word_shingles(text, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined), the minhash input unit."""
+    return shingles_from_tokens(tokens(text), k)

@@ -63,19 +63,13 @@ def shingle_table(df: DataFrame, text_col: str = "text",
     (``dedupe=False``; map-side only — correct for consumers invariant
     under duplicates, like MinHash's min-aggregation).
 
-    Tokens are materialized into a column before the shingle transform:
-    a lambda that captures the raw ``tokens(text)`` expression re-evaluates
-    the split per array element (HOFs break common-subexpression reuse),
-    which is ~3x slower at sf0.1."""
-    from ..functions.text import tokens
-    t = F.col("_toks")
-    n = F.size(t)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.when(n >= k,
-                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
-                ).otherwise(F.array(F.concat_ws(" ", t)))
+    Tokens are materialized into a column before the shingle transform
+    (see ``shingles_from_tokens``: a captured expression is re-evaluated
+    per element inside the HOF lambda, ~3x slower at sf0.1)."""
+    from ..functions.text import tokens, shingles_from_tokens
     out = (df.withColumn("_toks", tokens(text_col))
-           .select(F.col(id_col), F.explode(sh).alias("shingle")))
+           .select(F.col(id_col),
+                   F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("shingle")))
     return out.distinct() if dedupe else out
 
 
@@ -221,12 +215,15 @@ def simhash_fast(df: DataFrame, text_col: str = "text",
     id_type = df.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # bit b of the 60-bit code = bit (3 - b%4) of hex nibble b//4,
-        # exactly the native plan's ascii arithmetic
+        import re
+        # ASCII \s+ split to match the native plan's Java regex (Python's
+        # str.split also breaks on Unicode whitespace like NBSP; Java \s
+        # does not) — bit b of the code = bit (3 - b%4) of hex nibble b//4
+        ws = re.compile(r"\s+", re.ASCII)
         for pdf in batches:
             ids, sigs = [], []
             for pid, text in zip(pdf[id_col], pdf[text_col]):
-                toks = {t for t in str(text).lower().split() if t}
+                toks = {t for t in ws.split(str(text).lower()) if t}
                 if not toks:
                     continue
                 votes = np.zeros(bits, dtype=np.int64)

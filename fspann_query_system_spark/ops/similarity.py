@@ -82,7 +82,7 @@ def cosine_topk_sql_shape(base: DataFrame, queries: DataFrame, k: int = 10,
 def ivf_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 10, nprobe: int = 2,
              id_col: str = "id", vector_col: str = "vector",
-             q_id_col: str = "q_id") -> DataFrame:
+             q_id_col: str = "q_id", q_vector_col: str = "vector") -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the base set
     into |centroids| cells, probe the ``nprobe`` nearest cells per query,
     exact-rank only the candidates inside probed cells.
@@ -109,7 +109,8 @@ def ivf_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
               .filter(F.col("_rn") == 1)
               .select("id", F.col("_cid").alias("cell"), "_bv"))
 
-    q = queries.select(F.col(q_id_col).alias("q_id"), F.col("vector").alias("_qv"))
+    q = queries.select(F.col(q_id_col).alias("q_id"),
+                       F.col(q_vector_col).alias("_qv"))
     w_probe = Window.partitionBy("q_id").orderBy("_qd", "_cid")
     probes = (q.crossJoin(cent)
               .withColumn("_qd", l2_expr("_qv", "_cv"))
@@ -173,8 +174,12 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
             mask = (sims >= thr) & (bids[:, None] < ids_[None, :])
             bi, aj = np.nonzero(mask)
             if len(bi):
+                s = sims[bi, aj]
+                # HALF_UP like F.round / DuckDB round (np.round is
+                # half-to-even and can disagree on exact midpoints)
+                rounded = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
                 yield pd.DataFrame({"id_a": bids[bi], "id_b": ids_[aj],
-                                    "cosine": np.round(sims[bi, aj], 6)})
+                                    "cosine": rounded})
 
     return df.select(id_col, vector_col).mapInPandas(
         run, schema="id_a BIGINT, id_b BIGINT, cosine DOUBLE")

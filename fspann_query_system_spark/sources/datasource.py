@@ -87,9 +87,11 @@ class VecFileReader(DataSourceReader):
         self.n_parts = max(1, min(n_parts, self.n_records or 1))
 
     def partitions(self):
+        if self.n_records == 0:
+            return [_Range(0, 0)]                 # empty file → empty scan
         per = -(-self.n_records // self.n_parts)  # ceil
         return [_Range(lo, min(lo + per, self.n_records))
-                for lo in range(0, self.n_records, per)] or [_Range(0, 0)]
+                for lo in range(0, self.n_records, per)]
 
     def read(self, part: _Range):
         import numpy as np

@@ -7,6 +7,14 @@ into the state and emits the running totals.  The batch twin
 (``workloads.q_sessionization``) is the verifiable spec — on a finite
 input the stream's final counts equal the batch plan's output (tested).
 
+Ordering contract: events are sorted by event time WITHIN each
+micro-batch, but the fold assumes batches arrive in event-time order
+relative to each other (an event older than the state's ``last_ts``
+would move time backwards).  That holds for availableNow over a static
+source and for append-ordered file streams; for genuinely out-of-order
+sources, put a watermark-sorted stage upstream or widen the state to a
+buffered event list flushed past the watermark.
+
 State size is O(active users) × 16 bytes — bounded by the watermark-style
 timeout at scale (users idle past the gap can be evicted because any
 future event necessarily opens a new session; eviction changes no

@@ -212,7 +212,10 @@ def test_multi_dim_system_shared_rotation(spark):
     v_before = mds[8].keys.current_version
     out = mds.rotate_and_reencrypt_touched()
     assert set(out) == {8, 12}
-    assert mds[8].keys.current_version > v_before
+    # ONE rotation event: shared version advances exactly once, and both
+    # dims migrated to that same version
+    assert mds[8].keys.current_version == v_before + 1
+    assert {o["version"] for o in out.values()} == {v_before + 1}
 
 
 def test_background_reencryption_scheduler():
@@ -228,3 +231,32 @@ def test_background_reencryption_scheduler():
     sch.stop()
     assert sch.runs >= 3
     assert sch.last_result == sch.runs
+    runs_before = sch.runs
+    sch.start()                                   # restart must work
+    _t.sleep(0.2)
+    sch.stop()
+    assert sch.runs > runs_before
+
+
+def test_search_cached_restamps_q_id_for_same_vector(spark):
+    """Cache key ignores q_id (logical token): a second query with the
+    SAME vector but a DIFFERENT q_id must get rows under its own q_id."""
+    import numpy as np
+    from fspann_query_system_spark.api import ForwardSecureANNSystem
+    from fspann_query_system_spark.config import SystemConfig
+    rng = np.random.default_rng(9)
+    X = rng.normal(0, 1, (150, 10))
+    vec = spark.createDataFrame([(i, X[i].tolist()) for i in range(150)],
+                                "id LONG, vector ARRAY<DOUBLE>")
+    cfg = SystemConfig(dim=10, m=5, lam=2, tables=3, divisions=1,
+                       probes=3, refinement_limit=80, top_k=4)
+    sys_ = ForwardSecureANNSystem(spark, cfg, master_key=bytes(32))
+    sys_.index_vectors(vec)
+    q1 = spark.createDataFrame([(1, X[7].tolist())], "q_id LONG, vector ARRAY<DOUBLE>")
+    r1 = sys_.search_cached(q1).collect()
+    assert {r.q_id for r in r1} == {1}
+    q2 = spark.createDataFrame([(77, X[7].tolist())], "q_id LONG, vector ARRAY<DOUBLE>")
+    r2 = sys_.search_cached(q2).collect()          # cache hit on geometry
+    assert sys_.cache.hits >= 1
+    assert {r.q_id for r in r2} == {77}            # re-stamped, not q_id=1
+    assert sorted((r.id, r.rank) for r in r2) == sorted((r.id, r.rank) for r in r1)

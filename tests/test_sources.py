@@ -107,3 +107,11 @@ def test_vecfile_datasource_parallel_scan(spark, tmp_path):
     got = {r.q_id: list(r.neighbor_ids)
            for r in spark.read.format("vecfile").load(pi).collect()}
     assert got == {0: [3, 1, 4], 1: [1, 5, 9], 2: [2, 6, 5]}
+
+
+def test_vecfile_datasource_empty_file(spark, tmp_path):
+    from fspann_query_system_spark.sources import datasource
+    datasource.register(spark)
+    p = str(tmp_path / "empty.fvecs")
+    open(p, "wb").close()
+    assert spark.read.format("vecfile").load(p).count() == 0

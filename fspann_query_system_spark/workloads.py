@@ -37,11 +37,12 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"
 LSH_CFG = LshConfig(dim=64, m=8, lam=2, tables=2, divisions=1, seed=123,
                     block_size=64, probes=4, refinement_limit=200)
 
-# Flagship ANN config (rows-only check → free to size for recall; tuned at
-# sf0.1: recall@10 = 0.505 vs brute force at ~30% refine budget — in the
-# reference's own recall band for weakly-clustered data, BASELINE.md
-# GloVe/SIFT-fast rows)
-FLAGSHIP_CFG = LshConfig(dim=64, m=10, lam=2, tables=8, divisions=2,
+# Flagship ANN config (rows-only check → free to size for recall; swept at
+# sf0.1 via tools/recall_sweep.py: recall@10 = 0.573 vs brute force at ~30%
+# refine budget (λ=3 beats λ=2's 0.505 at identical budget — more bits per
+# projection sharpens partition locality) — in the reference's own recall
+# band for weakly-clustered data, BASELINE.md GloVe/SIFT-fast rows)
+FLAGSHIP_CFG = LshConfig(dim=64, m=8, lam=3, tables=8, divisions=2,
                          seed=123, block_size=64, probes=8,
                          refinement_limit=600)
 
@@ -521,22 +522,39 @@ sh AS (
 
 
 def q_minhash(spark, sf_dir):
-    from .ops.dedup import shingle_table
+    from .ops.dedup import _minhash_rows
+    # ONE md5 per shingle → 60-bit int; per-h values are rotate-xor
+    # bijections of it (8x less hashing than md5 per (h, shingle));
     # multiset shingles: min() is duplicate-invariant → no distinct shuffle
-    sh = shingle_table(_t(spark, sf_dir, "documents"), "text", "doc_id", k=3,
-                       dedupe=False)
-    seeds = spark.range(8).select(F.col("id").cast("int").alias("h"))
-    return (sh.crossJoin(F.broadcast(seeds))
-            .select("doc_id", "h",
-                    F.md5(F.concat_ws("|", F.col("h"), F.col("shingle"))).alias("hv"))
-            .groupBy("doc_id", "h").agg(F.min("hv").alias("minhash")))
+    return (_minhash_rows(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                          k=3, n_hashes=8)
+            .select("doc_id", "h", F.col("mh").alias("minhash")))
+
+
+def _sql_minhash_cte(n_hashes: int) -> str:
+    """seeds + per-(doc,h) minima CTEs mirroring ops.dedup._minhash_rows:
+    same md5-prefix base hash, same rotate-xor constants."""
+    from .ops.dedup import minhash_mix_params, MINHASH_BITS
+    seeds = ", ".join(f"({h}, {rot}, {cst})"
+                      for h, rot, cst in minhash_mix_params(n_hashes))
+    B = MINHASH_BITS
+    return f"""
+seeds(h, rot, cst) AS (SELECT * FROM (VALUES {seeds})),
+base AS (SELECT doc_id,
+                ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS u
+         FROM sh),
+mh AS (
+  SELECT doc_id, h,
+         min(xor(((u & ((1::BIGINT << ({B} - rot)) - 1)) << rot)
+                 | (u >> ({B} - rot)), cst)) AS mh
+  FROM base CROSS JOIN seeds
+  GROUP BY doc_id, h)"""
 
 
 SQL_MINHASH = f"""
-WITH {_SQL_SHINGLES_CTE}
-SELECT doc_id, h, min(md5(h || '|' || shingle)) AS minhash
-FROM sh CROSS JOIN (SELECT unnest(range(0, 8))::INT AS h)
-GROUP BY doc_id, h
+WITH {_SQL_SHINGLES_CTE},
+{_sql_minhash_cte(8)}
+SELECT doc_id, h, mh AS minhash FROM mh
 """
 
 
@@ -799,13 +817,9 @@ def q_minhash_bands(spark, sf_dir):
 
 SQL_MINHASH_BANDS = f"""
 WITH {_SQL_SHINGLES_CTE},
-mh AS (SELECT doc_id, h, min(md5(h || '|' || shingle)) AS mh
-       FROM sh CROSS JOIN (SELECT unnest(range(0, 8))::INT AS h)
-       GROUP BY doc_id, h),
-bh AS (SELECT doc_id, h AS band, md5(mh) AS band_hash FROM mh)
+{_sql_minhash_cte(8)}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
-FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
-                    AND a.doc_id < b.doc_id
+FROM mh a JOIN mh b ON a.h = b.h AND a.mh = b.mh AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
 

@@ -380,20 +380,32 @@ def q_streaming_window_agg(spark, sf_dir):
     import uuid
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", 1)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
-    ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    agg = (ev.withColumn("bucket", F.floor(F.unix_timestamp("ts") / 300))
-           .groupBy("bucket", "event_type")
-           .agg(F.count("*").alias("n_events"),
-                F.round(F.sum("value"), 4).alias("total_value")))
-    name = "stream_sink_" + uuid.uuid4().hex[:8]
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name)
+    # Stateful-op partition count is pinned at first checkpoint; size it to
+    # the STATE cardinality (bucket × event_type — thousands of rows), not
+    # the batch-shuffle default: each state partition carries a store
+    # instance + commit, pure overhead when state is small.  Deployments
+    # with wide state override via SPARK_GRAFT_STREAM_PARTS.
+    import os
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+    try:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        agg = (ev.withColumn("bucket", F.floor(F.unix_timestamp("ts") / 300))
+               .groupBy("bucket", "event_type")
+               .agg(F.count("*").alias("n_events"),
+                    F.round(F.sum("value"), 4).alias("total_value")))
+        name = "stream_sink_" + uuid.uuid4().hex[:8]
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 def q_json_extract(spark, sf_dir):

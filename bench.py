@@ -36,6 +36,7 @@ HEADLINE = [
     "lsh_partition_bounds",
     "ann_search",
     "dedup_exact",
+    "winnow_fingerprints",
     "minhash_bands",
     "near_dup_embedding",
     "ivf_ann",

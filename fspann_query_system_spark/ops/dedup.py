@@ -99,22 +99,60 @@ def _minhash_base(shingle) -> "F.Column":
 def _minhash_rows(df: DataFrame, text_col: str, id_col: str, k: int,
                   n_hashes: int) -> DataFrame:
     """(id, h, mh BIGINT): per-document minimum of each mixed hash.
-    Shingles stay a multiset: min() is duplicate-invariant, so the
-    distinct shuffle is skipped, and the groupBy's map-side partial min
-    shrinks the exchange to n_docs × n_hashes rows."""
+
+    One aggregate with n_hashes min() columns — no per-variant row
+    explosion: each shingle row is consumed once and updates n_hashes
+    accumulator slots (all whole-stage-codegen), the shuffle carries one
+    row per document, and the (id, h, mh) shape is restored by
+    unpivoting the n_docs-row result.  Shingles stay a multiset: min()
+    is duplicate-invariant, so the distinct shuffle is skipped."""
     sh = (shingle_table(df, text_col, id_col, k, dedupe=False)
           .select(F.col(id_col), _minhash_base("shingle").alias("_u")))
     u = F.col("_u")
-    variants = [
-        F.struct(
-            F.lit(h).alias("h"),
-            (F.shiftleft(u.bitwiseAND(F.lit((1 << (MINHASH_BITS - rot)) - 1)), rot)
-             .bitwiseOR(F.shiftright(u, MINHASH_BITS - rot))
-             .bitwiseXOR(F.lit(cst))).alias("hv"))
+    mins = [
+        F.min(F.shiftleft(u.bitwiseAND(F.lit((1 << (MINHASH_BITS - rot)) - 1)), rot)
+              .bitwiseOR(F.shiftright(u, MINHASH_BITS - rot))
+              .bitwiseXOR(F.lit(cst))).alias(f"_m{h}")
         for h, rot, cst in minhash_mix_params(n_hashes)]
-    return (sh.select(id_col, F.explode(F.array(*variants)).alias("_v"))
-            .select(id_col, F.col("_v.h").alias("h"), F.col("_v.hv").alias("hv"))
-            .groupBy(id_col, "h").agg(F.min("hv").alias("mh")))
+    wide = sh.groupBy(id_col).agg(*mins)
+    variants = [F.struct(F.lit(h).alias("h"), F.col(f"_m{h}").alias("mh"))
+                for h in range(n_hashes)]
+    return (wide.select(id_col, F.explode(F.array(*variants)).alias("_v"))
+            .select(id_col, F.col("_v.h").alias("h"), F.col("_v.mh").alias("mh")))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the rolling-hash fingerprint family): hash every k-gram in position
+    order, slide a ``window``-wide frame over the hash sequence, keep the
+    minimum of each frame, dedup.  Guarantees any shared run of
+    ``window + k - 1`` tokens between two documents yields at least one
+    shared fingerprint, at ~2/(window+1) the storage of full shingling.
+
+    Entirely native: posexplode → one frame-min window per doc → distinct.
+    Docs with fewer than ``window`` shingles emit the global min (one
+    fingerprint) so every non-empty doc is representable.
+
+    Output: (id, fingerprint BIGINT) rows."""
+    from ..functions.text import tokens, shingles_from_tokens
+    shp = (df.withColumn("_toks", tokens(text_col))
+           .select(F.col(id_col),
+                   F.posexplode(shingles_from_tokens(F.col("_toks"), k))
+                   .alias("pos", "shingle"))
+           .select(id_col, "pos", _minhash_base("shingle").alias("hv")))
+    frame = (Window.partitionBy(id_col).orderBy("pos")
+             .rowsBetween(0, window - 1))
+    part = Window.partitionBy(id_col)
+    out = (shp.select(F.col(id_col),
+                      F.col("pos"),
+                      F.min("hv").over(frame).alias("fingerprint"),
+                      F.count("*").over(part).alias("_n"))
+           .filter((F.col("pos") <= F.col("_n") - window)
+                   | ((F.col("_n") < window) & (F.col("pos") == 0)))
+           .select(id_col, "fingerprint").distinct())
+    return out
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",

@@ -517,6 +517,45 @@ FROM documents
 """
 
 
+WINNOW_WINDOW = 4
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling k-gram hash, frame-min, dedup) — the
+    plagiarism/near-dup fingerprint family; one window shuffle per doc."""
+    from .ops.dedup import winnow_fingerprints
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), "text",
+                               "doc_id", k=3, window=WINNOW_WINDOW)
+
+
+SQL_WINNOW = f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS w
+  FROM documents),
+shp AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END) AS shingle,
+         unnest(range(1, CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 2 END)) AS pos
+  FROM docs),
+h AS (SELECT doc_id, pos,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hv
+      FROM shp),
+wm AS (SELECT doc_id, pos,
+              min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_WINDOW - 1} FOLLOWING) AS fingerprint,
+              count(*) OVER (PARTITION BY doc_id) AS n
+       FROM h)
+SELECT DISTINCT doc_id, fingerprint
+FROM wm
+WHERE pos <= n - {WINNOW_WINDOW - 1} OR (n < {WINNOW_WINDOW} AND pos = 1)
+"""
+
+
 _SQL_SHINGLES_CTE = """
 docs AS (
   SELECT doc_id,
@@ -1122,6 +1161,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "minhash": q_minhash,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash": q_simhash,
@@ -1163,6 +1203,7 @@ def oracle_sql_map() -> dict[str, str]:
         "doc_stats": SQL_DOC_STATS,
         "lang_id": SQL_LANG_ID,
         "fingerprints": SQL_FINGERPRINTS,
+        "winnow_fingerprints": SQL_WINNOW,
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,
         "simhash": SQL_SIMHASH,

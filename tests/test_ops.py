@@ -51,6 +51,24 @@ def test_minhash_near_dup_detection(docs):
     assert (0, 1) in pairs
 
 
+def test_winnow_fingerprints(docs, spark):
+    from fspann_query_system_spark.ops.dedup import winnow_fingerprints
+    fps = {}
+    for r in winnow_fingerprints(docs.filter(F.col("doc_id") != 5),
+                                 window=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    # winnowing guarantee: a shared token run of >= window + k - 1 (= 6)
+    # tokens forces >= 1 shared fingerprint; docs 0/1 share 8 leading tokens
+    assert fps[0] & fps[1]
+    # identical normalized text -> identical fingerprint set
+    assert fps[0] == fps[2]
+    # unrelated docs share nothing
+    assert not (fps[0] & fps[3])
+    # doc with fewer shingles than the window emits exactly one fingerprint
+    short = spark.createDataFrame([(9, "two words")], "doc_id LONG, text STRING")
+    assert winnow_fingerprints(short, window=4).count() == 1
+
+
 def test_jaccard_pairs(docs):
     j = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs, k=3).collect()}
     assert j[(0, 2)] == 1.0

@@ -19,16 +19,54 @@ time.  This is the layout that scales: the bounds table for 1B vectors is
 ~16M rows ≈ a few hundred MB, still driver-collectable per (table,
 division); beyond that, routing becomes a bucketed range join.
 
-Scale note: the row_number window below puts each (table, division) group
-in a single task.  Fine to ~10^8 codes per group; the two-pass
-repartitionByRange + offset variant is the 100TB path (tracked for a
-later round).
+Scale path: the global per-(table, division) rank is computed in TWO
+passes so no single task ever sees a whole group — (1) range-partition
+by the full sort key and rank *locally* inside each range slice (the
+window's partition key includes the slice id, so every slice ranks in
+parallel), (2) add per-(slice, table, division) start offsets computed
+from a tiny count aggregate (≤ slices × L × D rows, driver-collected
+and broadcast-joined).  Slice ordering follows range ordering, so
+``offset + local_rank`` is exactly the global sort rank — this is the
+standard distributed ranking scheme (zipWithIndex's plan, kept in the
+DataFrame API).  A 10^9-code group costs two shuffles of the codes
+table and never a hot task.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _global_rank(codes: DataFrame, id_col: str) -> DataFrame:
+    """Add ``rn``: 0-based rank of each row within its (table, division)
+    group under ORDER BY (code_key, id) — no single-task window."""
+    spark = codes.sparkSession
+    n_slices = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sliced = (codes
+              .repartitionByRange(n_slices, "table", "division",
+                                  "code_key", id_col)
+              .withColumn("_slice", F.spark_partition_id()))
+    w_local = (Window.partitionBy("_slice", "table", "division")
+               .orderBy("code_key", id_col))
+    # persist BEFORE the counts job: _slice comes from the physical
+    # partitioning, so downstream reads must see the same materialization
+    # the offsets were computed from (a re-planned recompute could slice
+    # differently and silently skew every rank)
+    local = (sliced.withColumn("_lrn", F.row_number().over(w_local) - F.lit(1))
+             .persist())
+    counts = (local.groupBy("_slice", "table", "division").count()
+              .collect())
+    offsets, running = [], {}
+    for r in sorted(counts, key=lambda r: (r.table, r.division, r._slice)):
+        td = (r.table, r.division)
+        offsets.append((r._slice, r.table, r.division, running.get(td, 0)))
+        running[td] = running.get(td, 0) + r["count"]
+    off_df = codes.sparkSession.createDataFrame(
+        offsets, "_slice INT, table INT, division INT, _off LONG")
+    return (local.join(F.broadcast(off_df), on=["_slice", "table", "division"])
+            .withColumn("rn", F.col("_lrn") + F.col("_off"))
+            .drop("_slice", "_lrn", "_off"))
 
 
 def build_partitions(codes: DataFrame, block_size: int = 64,
@@ -39,8 +77,7 @@ def build_partitions(codes: DataFrame, block_size: int = 64,
     codes_with_part adds ``part_idx``; bounds has one row per (table,
     division, part_idx): min_key, max_key, center_key, rep_bits, n_ids.
     """
-    w = Window.partitionBy("table", "division").orderBy("code_key", id_col)
-    ranked = codes.withColumn("rn", F.row_number().over(w) - F.lit(1))
+    ranked = _global_rank(codes, id_col)
     with_part = ranked.withColumn(
         "part_idx", (F.col("rn") / F.lit(block_size)).cast("int"))
 

@@ -69,15 +69,29 @@ def _global_rank(codes: DataFrame, id_col: str) -> DataFrame:
             .drop("_slice", "_lrn", "_off"))
 
 
+#: below this many code rows the two-pass ranking's extra jobs (range
+#: sampling + counts collect) cost more than the single-task window saves
+DISTRIBUTED_RANK_THRESHOLD = 2_000_000
+
+
 def build_partitions(codes: DataFrame, block_size: int = 64,
-                     id_col: str = "id") -> tuple[DataFrame, DataFrame]:
+                     id_col: str = "id",
+                     n_codes: int | None = None) -> tuple[DataFrame, DataFrame]:
     """codes(id, table, division, code_key, code_bits) →
     (codes_with_part, bounds).
 
     codes_with_part adds ``part_idx``; bounds has one row per (table,
     division, part_idx): min_key, max_key, center_key, rep_bits, n_ids.
+
+    ``n_codes`` is an optional row-count hint: when given and small, the
+    rank is one window (fewer jobs); when absent or large, the two-pass
+    distributed ranking runs — the safe default at scale.
     """
-    ranked = _global_rank(codes, id_col)
+    if n_codes is not None and n_codes <= DISTRIBUTED_RANK_THRESHOLD:
+        w = Window.partitionBy("table", "division").orderBy("code_key", id_col)
+        ranked = codes.withColumn("rn", F.row_number().over(w) - F.lit(1))
+    else:
+        ranked = _global_rank(codes, id_col)
     with_part = ranked.withColumn(
         "part_idx", (F.col("rn") / F.lit(block_size)).cast("int"))
 

@@ -63,7 +63,12 @@ class AnnIndex:
         if params is None:
             params = fit_params_from_df(vectors, cfg, vector_col=vector_col)
         codes = code_vectors(vectors, params, id_col=id_col, vector_col=vector_col)
-        codes_p, bounds = build_partitions(codes, cfg.block_size, id_col=id_col)
+        # count() is a cheap metadata scan on columnar sources and picks
+        # the ranking strategy: one window for small builds, two-pass
+        # distributed ranking past DISTRIBUTED_RANK_THRESHOLD codes
+        n_codes = vectors.count() * cfg.tables * cfg.divisions
+        codes_p, bounds = build_partitions(codes, cfg.block_size, id_col=id_col,
+                                           n_codes=n_codes)
         codes_p = codes_p.persist()
         bounds = bounds.persist()
         points = vectors.select(F.col(id_col).alias("id"),

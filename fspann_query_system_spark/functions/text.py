@@ -35,6 +35,22 @@ def token_count(text) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer shape (contractions | letter runs | digit runs
+# | punctuation runs), restricted to the regex subset with identical
+# leftmost-first semantics in Java regex and RE2/DuckDB (no lookarounds,
+# no unicode classes; whitespace separates and is never a token).
+# Counting its matches approximates a BPE tokenizer's sequence length
+# well enough for length-based corpus filtering without shipping a vocab.
+BPE_SPLIT_RE = "'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9'\\s]+|'"
+
+
+def bpe_token_count(text) -> Column:
+    """Approximate BPE token count: matches of the pre-tokenizer regex
+    over lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(c), F.lit(BPE_SPLIT_RE))
+
+
 def stopword_hits(text, lang: str = "en") -> Column:
     lst = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(tokens(text), lambda t: F.array_contains(lst, t)))

@@ -1,17 +1,20 @@
 from .dedup import (exact_duplicates, dedup_exact, shingle_table,
                     minhash_signatures, minhash_band_pairs, jaccard_pairs,
+                    winnow_fingerprints,
                     simhash, simhash_fast, simhash_near_pairs)
 from .similarity import (cosine_topk, cosine_topk_sql_shape, ivf_topk,
                          embedding_near_dups)
-from .multimodal import (make_media_table, image_features, frame_sample,
-                         media_summary)
+from .multimodal import (make_media_table, image_features, resize_images,
+                         audio_features, frame_sample, media_summary)
 from .skew import salted_agg, salted_join, explain_shuffles
 
 __all__ = [
     "exact_duplicates", "dedup_exact", "shingle_table",
     "minhash_signatures", "minhash_band_pairs", "jaccard_pairs",
+    "winnow_fingerprints",
     "simhash", "simhash_fast", "simhash_near_pairs",
     "cosine_topk", "cosine_topk_sql_shape", "ivf_topk", "embedding_near_dups",
-    "make_media_table", "image_features", "frame_sample", "media_summary",
+    "make_media_table", "image_features", "resize_images", "audio_features",
+    "frame_sample", "media_summary",
     "salted_agg", "salted_join", "explain_shuffles",
 ]

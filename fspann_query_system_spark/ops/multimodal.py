@@ -97,6 +97,74 @@ def image_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
             .mapInPandas(run, schema="media_id BIGINT, feat ARRAY<DOUBLE>"))
 
 
+def resize_images(media: DataFrame, out_w: int = 32,
+                  out_h: int = 32) -> DataFrame:
+    """(media_id, content BINARY, meta) — nearest-neighbor resize to a
+    fixed shape, the thumbnail/normalization step of an image pipeline.
+    The resample index math is real; only the decode is a stub.  Output
+    payload is the raw HxWx3 uint8 buffer (a real pipeline would
+    re-encode; the byte length out_h*out_w*3 is asserted in tests)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bufs = [], []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                try:
+                    img = _decode_image_stub(bytes(content), int(meta["width"]),
+                                             int(meta["height"]))
+                except ValueError:
+                    continue
+                h, w = img.shape[:2]
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                ids.append(mid)
+                bufs.append(img[yi][:, xi].tobytes())
+            if ids:
+                yield pd.DataFrame({"media_id": ids,
+                                    "content": pd.Series(bufs, dtype=object)})
+
+    out = (media.filter(F.col("kind") == "image")
+           .select("media_id", "content", "meta")
+           .mapInPandas(run, schema="media_id BIGINT, content BINARY"))
+    return out.withColumn(
+        "meta", F.struct(F.lit(out_w).cast("int").alias("width"),
+                         F.lit(out_h).cast("int").alias("height"),
+                         F.lit(3).alias("channels"),
+                         F.lit(None).cast("int").alias("sample_rate"),
+                         F.lit(None).cast("int").alias("n_frames")))
+
+
+def audio_features(media: DataFrame, n_windows: int = 8) -> DataFrame:
+    """(media_id, feat ARRAY<DOUBLE>) — windowed RMS + zero-crossing-rate
+    features per audio payload (2*n_windows dims).  The DSP kernel is
+    real numpy over a sha-seeded fake waveform; a real implementation
+    swaps the decode for soundfile/ffmpeg."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                raw = bytes(content)
+                if not raw:
+                    continue
+                seed = int.from_bytes(hashlib.sha256(raw).digest()[:8], "big")
+                rng = np.random.Generator(np.random.PCG64(seed))
+                sr = int(meta["sample_rate"] or 16000)
+                wave = rng.normal(0.0, 0.25, size=sr)   # 1s stub waveform
+                win = np.array_split(wave, n_windows)
+                rms = [float(np.sqrt((w * w).mean())) for w in win]
+                zcr = [float((np.diff(np.sign(w)) != 0).mean()) for w in win]
+                ids.append(mid)
+                feats.append(rms + zcr)
+            if ids:
+                yield pd.DataFrame({"media_id": ids,
+                                    "feat": pd.Series(feats, dtype=object)})
+
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_id", "content", "meta")
+            .mapInPandas(run, schema="media_id BIGINT, feat ARRAY<DOUBLE>"))
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """(media_id, frame_idx) — video frame sampling plan: explode the
     declared frame count, keep every Nth.  Decode-per-frame would slot in

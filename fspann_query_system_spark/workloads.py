@@ -451,6 +451,7 @@ def q_doc_stats(spark, sf_dir):
     return d.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_actual"),
         F.regexp_count("text", F.lit(T.PUNCT_CLASS)).alias("n_punct"),
         T.stopword_hits("text", "en").alias("en_stopword_hits"),
@@ -460,6 +461,8 @@ def q_doc_stats(spark, sf_dir):
 SQL_DOC_STATS = """
 SELECT doc_id,
   len(toks) AS n_tokens,
+  len(regexp_extract_all(lower(text),
+      '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9''\\s]+|''')) AS n_bpe_tokens,
   length(text) AS n_chars_actual,
   length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
   len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','as','by','at','be','this','that','it','or','are'], t))) AS en_stopword_hits,

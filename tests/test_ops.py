@@ -98,6 +98,20 @@ def test_text_functions(docs):
     assert 0.0 <= out[3].q <= 1.0
 
 
+def test_bpe_token_count(spark):
+    rows = [
+        (0, "don't stop"),              # don / 't / stop
+        (1, "hello,   world!!"),        # hello / , / world / !!
+        (2, "a1b2"),                    # a / 1 / b / 2
+        (3, ""),
+        (4, "it's we're i'll"),         # it 's we 're i 'll
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r.n for r in
+           df.select("doc_id", T.bpe_token_count("text").alias("n")).collect()}
+    assert got == {0: 3, 1: 4, 2: 4, 3: 0, 4: 6}
+
+
 def test_cosine_topk_blocked_vs_sql_shape(spark, clustered):
     df, X = clustered
     q = df.limit(5).select(F.col("id").alias("q_id"), "vector")
@@ -137,6 +151,28 @@ def test_multimodal_plumbing(spark):
     fs = frame_sample(vids, every_n=7)
     assert fs.count() > 0
     assert media_summary(media).collect()[0].n == 11
+
+
+def test_multimodal_resize_and_audio(spark):
+    from fspann_query_system_spark.ops.multimodal import (make_media_table,
+                                                          resize_images,
+                                                          audio_features)
+    rows = [(i, f"payload-{i}".encode()) for i in range(5)] + [(99, b"")]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    media = make_media_table(df, "payload", "image")
+    th = {r.media_id: r for r in resize_images(media, 16, 8).collect()}
+    assert len(th) == 5                       # empty payload dropped
+    assert all(len(bytes(r.content)) == 16 * 8 * 3 for r in th.values())
+    assert all(r.meta.width == 16 and r.meta.height == 8 for r in th.values())
+    audio = make_media_table(df, "payload", "audio")
+    feats = {r.media_id: r.feat for r in audio_features(audio, n_windows=8).collect()}
+    assert len(feats) == 5
+    assert all(len(v) == 16 for v in feats.values())
+    # RMS of the 0.25-sigma stub waveform sits near 0.25; ZCR near 0.5
+    some = next(iter(feats.values()))
+    assert 0.15 < some[0] < 0.35 and 0.3 < some[8] < 0.7
+    again = {r.media_id: r.feat for r in audio_features(audio, n_windows=8).collect()}
+    assert feats == again
 
 
 def test_ivf_topk_subset_and_self_hit(spark, clustered):

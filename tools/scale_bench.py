@@ -1,0 +1,97 @@
+"""1M-vector scale benchmark — the SCALE.md §8 run, reproducible.
+
+Generates 1M × 64-d clustered vectors (64 clusters, sigma controls LSH-
+friendliness), then measures: AES-GCM encrypt-all, index build (the
+distributed two-pass ranking engages above DISTRIBUTED_RANK_THRESHOLD
+codes), batched encrypted search at two batch sizes, recall@100 vs a
+numpy exact oracle.
+
+Usage: python3 tools/scale_bench.py [n_vectors] [n_queries]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from fspann_query_system_spark.session import get_spark            # noqa: E402
+from fspann_query_system_spark.lsh.params import LshConfig, fit_params  # noqa: E402
+from fspann_query_system_spark.query.ann import AnnIndex, search_batch  # noqa: E402
+
+DIM = 64
+K = 100
+CFG = dict(m=18, lam=2, tables=6, divisions=2, probes=8,
+           refinement_limit=8000)     # reference SIFT_P4_FAST refine budget
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark("scale-bench",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 4.0, (64, DIM)).astype(np.float32)
+    assign = rng.integers(0, 64, n)
+    X = (centers[assign] + rng.normal(0, 1.0, (n, DIM)).astype(np.float32))
+
+    t0 = time.time()
+    vec = spark.createDataFrame(
+        ((i, X[i].tolist()) for i in range(n)), "id LONG, vector ARRAY<DOUBLE>")
+    vec = vec.repartition(32).persist()
+    vec.count()
+    print(f"materialize {n} vectors: {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    cfg = LshConfig(dim=DIM, seed=11, block_size=64, **CFG)
+    params = fit_params(X[:10000], cfg)
+    idx = AnnIndex.build(vec, cfg, params=params)
+    idx.codes.count()          # force build
+    idx.routing()
+    t_build = time.time() - t0
+    print(f"index build (code + partition, distributed rank): {t_build:.1f}s",
+          flush=True)
+
+    from fspann_query_system_spark.crypto.keys import KeyManager
+    from fspann_query_system_spark.crypto.aes import encrypt_vectors
+    km = KeyManager(master=bytes(32))
+    keys_bc = spark.sparkContext.broadcast(km.key_map())
+    t0 = time.time()
+    enc = encrypt_vectors(vec, keys_bc, km.current_version).persist()
+    enc.count()
+    t_enc = time.time() - t0
+    print(f"AES-GCM encrypt all {n}: {t_enc:.1f}s", flush=True)
+    idx_enc = idx.with_encrypted_points(enc, keys_bc)
+
+    qi = rng.choice(n, nq, replace=False)
+    queries = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in qi], "q_id LONG, vector ARRAY<DOUBLE>")
+
+    for label, qdf, m in (("batched", queries, nq), ("small", queries.limit(20), 20)):
+        t0 = time.time()
+        res = search_batch(idx_enc, qdf, k=K).collect()
+        dt = time.time() - t0
+        print(f"encrypted search {label} ({m} queries): {dt:.1f}s "
+              f"= {1000*dt/m:.0f} ms/query ({len(res)} rows)", flush=True)
+
+    got: dict[int, set] = {}
+    res = search_batch(idx_enc, queries, k=K).collect()
+    for r in res:
+        got.setdefault(r.q_id, set()).add(r.id)
+    # exact oracle on a query subsample (numpy blocked)
+    sub = qi[:50]
+    rec = []
+    for q in sub:
+        d2 = ((X - X[q]) ** 2).sum(1)
+        gt = set(np.argsort(d2, kind="stable")[:K].tolist())
+        rec.append(len(got.get(int(q), set()) & gt) / K)
+    print(f"recall@{K} over {len(sub)} queries: {np.mean(rec):.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "minhash_bands",
     "near_dup_embedding",
+    "sq8_quantize",
     "ivf_ann",
     "version_census",
     "streaming_window_agg",

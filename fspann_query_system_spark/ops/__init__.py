@@ -3,7 +3,7 @@ from .dedup import (exact_duplicates, dedup_exact, shingle_table,
                     winnow_fingerprints,
                     simhash, simhash_fast, simhash_near_pairs)
 from .similarity import (cosine_topk, cosine_topk_sql_shape, ivf_topk,
-                         embedding_near_dups)
+                         embedding_near_dups, sq8_stats, sq8_quantize)
 from .multimodal import (make_media_table, image_features, resize_images,
                          audio_features, frame_sample, media_summary)
 from .skew import salted_agg, salted_join, explain_shuffles
@@ -14,6 +14,7 @@ __all__ = [
     "winnow_fingerprints",
     "simhash", "simhash_fast", "simhash_near_pairs",
     "cosine_topk", "cosine_topk_sql_shape", "ivf_topk", "embedding_near_dups",
+    "sq8_stats", "sq8_quantize",
     "make_media_table", "image_features", "resize_images", "audio_features",
     "frame_sample", "media_summary",
     "salted_agg", "salted_join", "explain_shuffles",

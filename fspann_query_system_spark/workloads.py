@@ -878,6 +878,36 @@ GROUP BY 1, 2
 """
 
 
+def q_sq8_quantize(spark, sf_dir):
+    """SQ8 scalar quantization of the embeddings table: per-dim codebook
+    from one tiny aggregate, then a shuffle-free map-side encode — the
+    4x memory-reduction path for ANN payloads at scale."""
+    from .ops.similarity import sq8_stats, sq8_quantize
+    base = _emb(spark, sf_dir)
+    mins, maxs = sq8_stats(base)
+    return (sq8_quantize(base, mins, maxs)
+            .select("id", "codes", F.round("mse", 9).alias("mse")))
+
+
+SQL_SQ8 = """
+WITH e AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+ex AS (SELECT id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
+st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+q AS (SELECT id, pos, x, mn, mx - mn AS rg,
+             CASE WHEN mx > mn
+                  THEN CAST(round((x - mn) / (mx - mn) * 255) AS INT)
+                  ELSE 0 END AS code
+      FROM ex JOIN st USING (pos)),
+r AS (SELECT id, pos, code,
+             (x - (mn + code / 255.0 * rg)) * (x - (mn + code / 255.0 * rg)) AS e2
+      FROM q)
+SELECT id, list(code ORDER BY pos) AS codes, round(avg(e2), 9) AS mse
+FROM r GROUP BY id
+"""
+
+
 NEAR_DUP_THRESHOLD = 0.45  # synthetic embeddings top out at cos ~0.51
 
 
@@ -1165,6 +1195,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "sq8_quantize": q_sq8_quantize,
     "minhash": q_minhash,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash": q_simhash,
@@ -1207,6 +1238,7 @@ def oracle_sql_map() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "fingerprints": SQL_FINGERPRINTS,
         "winnow_fingerprints": SQL_WINNOW,
+        "sq8_quantize": SQL_SQ8,
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,
         "simhash": SQL_SIMHASH,

@@ -153,6 +153,24 @@ def test_multimodal_plumbing(spark):
     assert media_summary(media).collect()[0].n == 11
 
 
+def test_sq8_quantize_roundtrip(spark, clustered):
+    from fspann_query_system_spark.ops.similarity import sq8_stats, sq8_quantize
+    df, X = clustered
+    mins, maxs = sq8_stats(df)
+    assert np.allclose(mins, X.min(axis=0)) and np.allclose(maxs, X.max(axis=0))
+    out = sq8_quantize(df, mins, maxs).collect()
+    assert len(out) == len(X)
+    step = (np.array(maxs) - np.array(mins)) / 255.0
+    worst_mse = float((step ** 2).mean())   # error bounded by one code step
+    for r in out:
+        assert all(0 <= c <= 255 for c in r.codes)
+        assert 0.0 <= r.mse <= worst_mse
+    # reconstruction matches numpy reference for a spot row
+    r0 = next(r for r in out if r.id == 0)
+    codes_np = np.round((X[0] - mins) / np.where(step > 0, step * 255, 1) * 255)
+    assert list(codes_np.astype(int)) == list(r0.codes)
+
+
 def test_multimodal_resize_and_audio(spark):
     from fspann_query_system_spark.ops.multimodal import (make_media_table,
                                                           resize_images,

@@ -42,7 +42,11 @@ def _global_rank(codes: DataFrame, id_col: str) -> DataFrame:
     """Add ``rn``: 0-based rank of each row within its (table, division)
     group under ORDER BY (code_key, id) — no single-task window."""
     spark = codes.sparkSession
-    n_slices = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # slice count: full shuffle parallelism at scale, but no more slices
+    # than the input has partitions (each extra slice is sampling + task
+    # overhead with nothing to parallelize)
+    n_slices = min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                   max(4, codes.rdd.getNumPartitions()))
     sliced = (codes
               .repartitionByRange(n_slices, "table", "division",
                                   "code_key", id_col)

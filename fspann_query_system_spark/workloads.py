@@ -442,6 +442,22 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_cube_revenue(spark, sf_dir):
+    """Grouping-sets coverage: CUBE over (status, priority) — all four
+    grouping combinations in one pass (partial-agg then one exchange)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # ===========================================================================
 # text / dedup workloads (documents table)
 # ===========================================================================
@@ -1191,6 +1207,7 @@ QUERIES = {
     "event_window_agg": q_event_window_agg,
     "json_extract": q_json_extract,
     "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
     "doc_stats": q_doc_stats,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -1234,6 +1251,7 @@ def oracle_sql_map() -> dict[str, str]:
         "event_window_agg": SQL_WINDOW_AGG,
         "json_extract": SQL_JSON,
         "rollup_revenue": SQL_ROLLUP,
+        "cube_revenue": SQL_CUBE,
         "doc_stats": SQL_DOC_STATS,
         "lang_id": SQL_LANG_ID,
         "fingerprints": SQL_FINGERPRINTS,

@@ -43,6 +43,7 @@ HEADLINE = [
     "ivf_ann",
     "version_census",
     "streaming_window_agg",
+    "streaming_sessionization",
 ]
 
 

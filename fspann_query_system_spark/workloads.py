@@ -408,6 +408,37 @@ def q_streaming_window_agg(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+def q_streaming_sessionization(spark, sf_dir):
+    """St5/custom-stateful twin of q_sessionization: the
+    applyInPandasWithState sessionizer over an availableNow stream.
+    events.parquet is one file → one micro-batch → the update-mode sink
+    holds exactly the final per-user totals, so the batch twin's SQL
+    oracle applies verbatim (full gate for the custom stateful op)."""
+    import os
+    import uuid
+    from .streaming.stateful import stateful_sessionize
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+    try:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        ev = (stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+              .select("user_id", "event_id", "ts"))
+        out = stateful_sessionize(ev)
+        name = "sess_sink_" + uuid.uuid4().hex[:8]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 def q_json_extract(spark, sf_dir):
     """JSON props extraction + aggregate."""
     ev = _t(spark, sf_dir, "events")
@@ -1204,6 +1235,7 @@ QUERIES = {
     "candidate_min_merge": q_candidate_min_merge,
     "tombstone_anti_join": q_tombstone_anti_join,
     "sessionization": q_sessionization,
+    "streaming_sessionization": q_streaming_sessionization,
     "event_window_agg": q_event_window_agg,
     "json_extract": q_json_extract,
     "rollup_revenue": q_rollup_revenue,
@@ -1248,6 +1280,7 @@ def oracle_sql_map() -> dict[str, str]:
         "candidate_min_merge": SQL_MIN_MERGE,
         "tombstone_anti_join": SQL_TOMBSTONE,
         "sessionization": SQL_SESSION,
+        "streaming_sessionization": SQL_SESSION,
         "event_window_agg": SQL_WINDOW_AGG,
         "json_extract": SQL_JSON,
         "rollup_revenue": SQL_ROLLUP,

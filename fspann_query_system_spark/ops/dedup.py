@@ -59,18 +59,20 @@ def shingle_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3,
                   dedupe: bool = True) -> DataFrame:
     """(id, shingle) — the set representation of each document
-    (``dedupe=True``; a full shuffle) or the raw multiset
-    (``dedupe=False``; map-side only — correct for consumers invariant
-    under duplicates, like MinHash's min-aggregation).
+    (``dedupe=True``) or the raw multiset (``dedupe=False``).  Both are
+    map-side only: "distinct" here means distinct WITHIN a document, so
+    it is ``array_distinct`` on the per-row shingle array, never a
+    global exchange (rows are unique by construction afterwards).
 
     Tokens are materialized into a column before the shingle transform
     (see ``shingles_from_tokens``: a captured expression is re-evaluated
     per element inside the HOF lambda, ~3x slower at sf0.1)."""
     from ..functions.text import tokens, shingles_from_tokens
-    out = (df.withColumn("_toks", tokens(text_col))
-           .select(F.col(id_col),
-                   F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("shingle")))
-    return out.distinct() if dedupe else out
+    sh = shingles_from_tokens(F.col("_toks"), k)
+    if dedupe:
+        sh = F.array_distinct(sh)
+    return (df.withColumn("_toks", tokens(text_col))
+            .select(F.col(id_col), F.explode(sh).alias("shingle")))
 
 
 MINHASH_BITS = 60        # base hash width: 15 hex chars of md5 fit a BIGINT
@@ -252,16 +254,17 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     |A∩B| from the shared-shingle join; |A∪B| = |A|+|B|-|A∩B|.  At scale
     this runs after LSH banding restricts the pair set.
 
-    Shingles are collapsed to 64-bit hashes BEFORE the distinct and the
-    self-join: every shuffle then moves (id, long) rows instead of
-    (id, ~25-byte string) and the join compares longs, ~1.5x at sf0.1
-    and growing with shingle width.  A hash collision would merge two
-    distinct shingles (P ≈ n²/2⁶⁴ — at even 10¹⁰ corpus shingles that is
-    ~0.005, and per-pair effect is one count); exactness at gate scale is
-    covered by the oracle match."""
-    sh = (shingle_table(df, text_col, id_col, k, dedupe=False)
+    Shingles are collapsed to 64-bit hashes BEFORE the self-join: every
+    shuffle then moves (id, long) rows instead of (id, ~25-byte string)
+    and the join compares longs, ~1.5x at sf0.1 and growing with shingle
+    width.  Per-document dedup is map-side (``shingle_table`` uses
+    array_distinct — no global exchange).  A hash collision would merge
+    two distinct shingles (P ≈ n²/2⁶⁴ — at even 10¹⁰ corpus shingles
+    that is ~0.005, and per-pair effect is one count); exactness at gate
+    scale is covered by the oracle match."""
+    sh = (shingle_table(df, text_col, id_col, k, dedupe=True)
           .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-          .distinct().persist())
+          .persist())
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

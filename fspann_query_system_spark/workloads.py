@@ -323,7 +323,7 @@ WITH flagged AS (
               ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM flagged GROUP BY user_id
 """
 
@@ -704,7 +704,8 @@ bits AS (
   FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b),
 votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit)
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN CAST(pow(2, 59 - bit) AS BIGINT) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, 59 - bit) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -932,8 +933,14 @@ def q_sq8_quantize(spark, sf_dir):
     from .ops.similarity import sq8_stats, sq8_quantize
     base = _emb(spark, sf_dir)
     mins, maxs = sq8_stats(base)
+    # Registry output carries a scalar digest of the code array (the raw
+    # ARRAY<INT> column is kept on the ops API, but array cells are not
+    # sortable/hashable by the driver's canonicalizer).
     return (sq8_quantize(base, mins, maxs)
-            .select("id", "codes", F.round("mse", 9).alias("mse")))
+            .select("id",
+                    F.md5(F.concat_ws(",", F.col("codes").cast("array<string>")))
+                     .alias("codes_digest"),
+                    F.round("mse", 9).alias("mse")))
 
 
 SQL_SQ8 = """
@@ -950,7 +957,9 @@ q AS (SELECT id, pos, x, mn, mx - mn AS rg,
 r AS (SELECT id, pos, code,
              (x - (mn + code / 255.0 * rg)) * (x - (mn + code / 255.0 * rg)) AS e2
       FROM q)
-SELECT id, list(code ORDER BY pos) AS codes, round(avg(e2), 9) AS mse
+SELECT id,
+       md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos)) AS codes_digest,
+       round(avg(e2), 9) AS mse
 FROM r GROUP BY id
 """
 
@@ -1193,7 +1202,7 @@ def q_version_census(spark, sf_dir):
 SQL_VERSION_CENSUS = f"""
 SELECT CAST(vec_id // {ROTATE_EVERY} + 1 AS INT) AS key_version,
        count(*) AS n_points,
-       sum(len(embedding) * 8 + 16) AS total_ct_bytes
+       CAST(sum(len(embedding) * 8 + 16) AS BIGINT) AS total_ct_bytes
 FROM embeddings GROUP BY 1
 """
 

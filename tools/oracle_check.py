@@ -23,11 +23,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    """Dtype-sensitive canonical value, mirroring the driver's fetchdf-based
+    hash: an int64 6 and a float64 6.0 must NOT compare equal (DuckDB
+    sum(<integer>) -> HUGEINT -> float64 through fetchdf is exactly the drift
+    this must catch; Python's 6.0 == 6 would mask it)."""
+    if hasattr(v, "item"):          # numpy scalar -> python, keeping the class
+        v = v.item()
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
-        return round(v, 9)
-    if hasattr(v, "item"):
-        return norm(v.item())
-    return v
+        return ("f", round(v, 9))
+    if isinstance(v, bytes):
+        return ("y", v)
+    return ("s", str(v))
 
 
 def rows_normalized(cols, rows):
@@ -54,9 +64,11 @@ def main():
                 print(f"  {name:28s} rows-only: {len(s_rows)} rows "
                       f"({time.time()-t0:.1f}s)")
                 continue
-            rel = con.sql(oracles[name])
-            d_cols = [c.lower() for c in rel.columns]
-            d_rows = rel.fetchall()
+            # fetchdf (NOT fetchall) — the driver goes through pandas, where
+            # HUGEINT becomes float64; fetchall would hide that dtype drift.
+            ddf = con.sql(oracles[name]).fetchdf()
+            d_cols = [c.lower() for c in ddf.columns]
+            d_rows = list(ddf.itertuples(index=False, name=None))
             a = rows_normalized(s_cols, s_rows)
             b = rows_normalized(d_cols, d_rows)
             if sorted(s_cols) != sorted(d_cols):

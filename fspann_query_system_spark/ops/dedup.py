@@ -247,12 +247,23 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3,
-                  threshold: float = 0.0) -> DataFrame:
+                  threshold: float = 0.0,
+                  max_df: int | None = None) -> DataFrame:
     """Exact shingle-set Jaccard for all pairs sharing >= 1 shingle:
     (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
 
-    |A∩B| from the shared-shingle join; |A∪B| = |A|+|B|-|A∩B|.  At scale
-    this runs after LSH banding restricts the pair set.
+    |A∩B| from the shared-shingle join; |A∪B| = |A|+|B|-|A∩B|.
+
+    ``max_df`` is the scale guard: a shingle occurring in more than
+    ``max_df`` documents contributes df² rows to the self-join — one
+    boilerplate trigram shared by 1M docs is a 10¹²-row straggler task.
+    With the cap, such shingles are dropped from the shingle *sets*
+    (numerator and sizes alike, so the result is still an exact Jaccard
+    — over the stopword-filtered sets), standard near-dup practice.  The
+    heavy-hitter list is tiny by construction (≤ n_shingle_rows/max_df
+    entries), so it broadcast-anti-joins without re-shuffling.  The
+    other scale route is composing with ``minhash_band_pairs`` to
+    restrict the pair set first (see tests/test_facade.py).
 
     Shingles are collapsed to 64-bit hashes BEFORE the self-join: every
     shuffle then moves (id, long) rows instead of (id, ~25-byte string)
@@ -263,8 +274,12 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     that is ~0.005, and per-pair effect is one count); exactness at gate
     scale is covered by the oracle match."""
     sh = (shingle_table(df, text_col, id_col, k, dedupe=True)
-          .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-          .persist())
+          .select(F.col(id_col), F.xxhash64("shingle").alias("shingle")))
+    if max_df is not None:
+        freq = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") > max_df).select("shingle"))
+        sh = sh.join(F.broadcast(freq), on="shingle", how="left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -46,6 +46,16 @@ FLAGSHIP_CFG = LshConfig(dim=64, m=8, lam=3, tables=8, divisions=2,
                          seed=123, block_size=64, probes=8,
                          refinement_limit=600)
 
+# Second ANN entry sized so the routing/probe/prefilter stages are
+# *selective* at the driver's oracle scale (sf0.01 = 500 vectors →
+# 32 partitions per family, probes=3): at that scale the flagship's
+# probes=8 window covers every partition, which would certify only the
+# refine stage.  This config makes the driver gate exercise binary-search
+# routing, hamming-ranked multi-probe, and the bounded-refinement cut.
+SELECTIVE_CFG = LshConfig(dim=64, m=8, lam=3, tables=4, divisions=2,
+                          seed=77, block_size=16, probes=3,
+                          refinement_limit=120)
+
 
 def _t(spark, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
@@ -659,18 +669,25 @@ SELECT doc_id, h, mh AS minhash FROM mh
 """
 
 
+JACCARD_MAX_DF = 100  # shingle document-frequency cap (self-join skew guard)
+
+
 def q_jaccard_pairs(spark, sf_dir):
     from .ops.dedup import jaccard_pairs
     return jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id",
-                         k=3, threshold=0.05)
+                         k=3, threshold=0.05, max_df=JACCARD_MAX_DF)
 
 
 SQL_JACCARD = f"""
 WITH {_SQL_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shc AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh
+                    GROUP BY shingle HAVING count(*) <= {JACCARD_MAX_DF})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
@@ -867,20 +884,141 @@ FROM keys a JOIN keys b
 """
 
 
-def q_ann_search(spark, sf_dir):
-    """Flagship: full LSH-routed ANN search (no SQL oracle — rows-only
-    check; accuracy is validated in tests against the exact oracle)."""
+def _ann_params(sf_dir: str, cfg: LshConfig, cache: dict) -> LshParams:
+    if sf_dir not in cache:
+        cache[sf_dir] = fit_params(_emb_matrix(sf_dir), cfg)
+    return cache[sf_dir]
+
+
+def _q_ann(spark, sf_dir, cfg: LshConfig, cache: dict):
     from .query.ann import AnnIndex, search_batch
     base = _emb(spark, sf_dir)
-    if sf_dir not in _FLAGSHIP_CACHE:
-        _FLAGSHIP_CACHE[sf_dir] = fit_params(_emb_matrix(sf_dir), FLAGSHIP_CFG)
-    params = _FLAGSHIP_CACHE[sf_dir]
+    params = _ann_params(sf_dir, cfg, cache)
     idx = AnnIndex.build(base, params.cfg, params=params)
     queries = (base.filter(F.col("id") < N_VEC_QUERIES)
                .select(F.col("id").alias("q_id"), "vector"))
     return (search_batch(idx, queries, k=10)
             .select("q_id", "id", F.round("distance", 6).alias("distance"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+def q_ann_search(spark, sf_dir):
+    """Flagship: full LSH-routed ANN search, checked end-to-end against a
+    generated full-pipeline SQL oracle (``sql_ann_search``)."""
+    return _q_ann(spark, sf_dir, FLAGSHIP_CFG, _FLAGSHIP_CACHE)
+
+
+_SELECTIVE_CACHE: dict[str, LshParams] = {}
+
+
+def q_ann_search_selective(spark, sf_dir):
+    """Same pipeline under a config whose probe budget is a strict subset
+    of the partitions at oracle scale — certifies routing + multi-probe +
+    bounded refinement, not just the refine stage."""
+    return _q_ann(spark, sf_dir, SELECTIVE_CFG, _SELECTIVE_CACHE)
+
+
+def sql_ann_search(params: LshParams, n_queries: int, k: int = 10) -> str:
+    """Generated full-pipeline DuckDB oracle for the LSH ANN search
+    (reference ``QueryServiceImpl.search:101-352``,
+    ``PartitionedIndexService.lookupCandidatesWithScores:618-714``):
+
+      code-key CTE (bit-exact ``code_family`` reproduction)
+      → greedy block bounds with representative centers (O1)
+      → binary-search routing with nearest-gap fallback (O2)
+      → hamming-ranked multi-probe inside the ±probes window (O3)
+      → candidate min-merge across families (J2/A1)
+      → ranked-hamming prefilter + bounded refinement (F4/O5)
+      → exact L2 left-fold (identical fp op order to ``l2_expr``)
+      → per-query rank with (dist, id) tie-break (A2/A3).
+
+    The whole routed pipeline is SQL-expressible because nbits = m*lam
+    <= 63 makes the packed code word exactly ``code_key << 1``, so every
+    hamming the pipeline takes (query bits vs partition rep bits) equals
+    bit_count(xor(code_key_q, center_key)).
+    """
+    cfg = params.cfg
+    assert cfg.m * cfg.lam <= 63, "word/key hamming equivalence needs nbits <= 63"
+    bs, probes, T = cfg.block_size, cfg.probes, cfg.hamming_threshold
+    pre = f"(CASE WHEN ham > {T} THEN 1 ELSE 0 END), " if T > 0 else ""
+    return f"""
+WITH {_sql_code_key_cte(params)},
+ranked AS (
+  SELECT id, "table", division, code_key,
+         row_number() OVER (PARTITION BY "table", division
+                            ORDER BY code_key, id) - 1 AS rn
+  FROM keys),
+bnd AS (
+  SELECT "table", division, CAST(rn // {bs} AS INT) AS part_idx,
+         min(code_key) AS min_key, max(code_key) AS max_key,
+         min(rn) AS first_rn, count(*) AS n_ids
+  FROM ranked GROUP BY 1, 2, 3),
+bounds AS (
+  SELECT b.*, r.code_key AS center_key
+  FROM bnd b JOIN ranked r
+    ON r."table" = b."table" AND r.division = b.division
+   AND r.rn = b.first_rn + (b.n_ids - 1) // 2),
+np AS (SELECT "table", division, CAST(count(*) AS INT) AS npart
+       FROM bounds GROUP BY 1, 2),
+qk AS (SELECT id AS q_id, "table", division, code_key AS qkey
+       FROM keys WHERE id < {n_queries}),
+pos AS (
+  SELECT q.q_id, q."table", q.division, q.qkey, n.npart,
+         coalesce(max(CASE WHEN b.min_key <= q.qkey THEN b.part_idx END),
+                  -1) AS pos
+  FROM qk q
+  JOIN np n ON n."table" = q."table" AND n.division = q.division
+  JOIN bounds b ON b."table" = q."table" AND b.division = q.division
+  GROUP BY 1, 2, 3, 4, 5),
+routed AS (
+  SELECT p.q_id, p."table", p.division, p.qkey,
+         CASE WHEN p.pos >= 0 AND p.qkey <= bp.max_key THEN p.pos
+              WHEN greatest(bl.min_key - p.qkey, p.qkey - bl.max_key, 0)
+                   <= greatest(br.min_key - p.qkey, p.qkey - br.max_key, 0)
+                   THEN greatest(p.pos, 0)
+              ELSE least(p.pos + 1, p.npart - 1) END AS routed
+  FROM pos p
+  LEFT JOIN bounds bp ON bp."table" = p."table" AND bp.division = p.division
+                     AND bp.part_idx = p.pos
+  JOIN bounds bl ON bl."table" = p."table" AND bl.division = p.division
+                AND bl.part_idx = greatest(p.pos, 0)
+  JOIN bounds br ON br."table" = p."table" AND br.division = p.division
+                AND br.part_idx = least(p.pos + 1, p.npart - 1)),
+probe AS (
+  SELECT r.q_id, r."table", r.division, b.part_idx,
+         CAST(bit_count(xor(r.qkey, b.center_key)) AS BIGINT) AS part_ham,
+         row_number() OVER (
+           PARTITION BY r.q_id, r."table", r.division
+           ORDER BY bit_count(xor(r.qkey, b.center_key)),
+                    abs(b.part_idx - r.routed), b.part_idx) AS pr
+  FROM routed r
+  JOIN bounds b ON b."table" = r."table" AND b.division = r.division
+  WHERE b.part_idx BETWEEN r.routed - {probes} AND r.routed + {probes}),
+cand AS (
+  SELECT s.q_id, r.id, min(s.part_ham) AS ham
+  FROM (SELECT * FROM probe WHERE pr <= {probes}) s
+  JOIN ranked r ON r."table" = s."table" AND r.division = s.division
+               AND CAST(r.rn // {bs} AS INT) = s.part_idx
+  GROUP BY 1, 2),
+kept AS (
+  SELECT q_id, id FROM (
+    SELECT q_id, id,
+           row_number() OVER (PARTITION BY q_id ORDER BY {pre}ham, id) AS cr
+    FROM cand) WHERE cr <= {cfg.refinement_limit}),
+scored AS (
+  SELECT kt.q_id, kt.id,
+         sqrt(list_reduce(list_transform(list_zip(qe.v, be.v),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                          (acc, x) -> acc + x)) AS dist
+  FROM kept kt
+  JOIN e qe ON qe.id = kt.q_id
+  JOIN e be ON be.id = kt.id)
+SELECT q_id, id, round(dist, 6) AS distance, CAST(rnk AS INT) AS rank
+FROM (SELECT q_id, id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
+      FROM scored)
+WHERE rnk <= {k}
+"""
 
 
 # ===========================================================================
@@ -1263,6 +1401,7 @@ QUERIES = {
     "lsh_partition_bounds": q_lsh_partition_bounds,
     "hamming_pairs": q_hamming_pairs,
     "ann_search": q_ann_search,
+    "ann_search_selective": q_ann_search_selective,
     "dedup_exact": q_dedup_exact,
     "minhash_bands": q_minhash_bands,
     "near_dup_embedding": q_near_dup_embedding,
@@ -1318,6 +1457,13 @@ def oracle_sql_map() -> dict[str, str]:
         "ratio_eval": SQL_RATIO,
         "corpus_filter": SQL_CORPUS_FILTER,
         "promo_revenue": SQL_PROMO,
-        # "ann_search": intentionally absent — approximate result has no
-        # SQL oracle; driver records rows-only.
+        # Full-pipeline generated oracles: the SQL reproduces routing,
+        # multi-probe, min-merge, bounded refinement, and exact refine
+        # from the same fitted params the Spark plan uses.
+        "ann_search": sql_ann_search(
+            _ann_params(ORACLE_SF_DIR, FLAGSHIP_CFG, _FLAGSHIP_CACHE),
+            N_VEC_QUERIES),
+        "ann_search_selective": sql_ann_search(
+            _ann_params(ORACLE_SF_DIR, SELECTIVE_CFG, _SELECTIVE_CACHE),
+            N_VEC_QUERIES),
     }

@@ -76,6 +76,24 @@ def test_jaccard_pairs(docs):
     assert (0, 3) not in j
 
 
+def test_jaccard_df_cap(spark):
+    # 6 docs all sharing one boilerplate trigram; pairwise overlap is ONLY
+    # that trigram.  With max_df=3 the frequent shingle is dropped from the
+    # shingle sets, so no pair shares anything -> the self-join input is
+    # empty and no pairs come out; uncapped, all 15 pairs appear.
+    rows = [(i, f"common boiler plate unique{i} token{i} word{i}")
+            for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    uncapped = jaccard_pairs(d, k=3, threshold=0.01)
+    assert uncapped.count() == 15
+    capped = jaccard_pairs(d, k=3, threshold=0.01, max_df=3)
+    assert capped.count() == 0
+    # sizes shrink too: the cap removes the shingle from the sets, not
+    # just the join (jaccard over filtered sets stays exact)
+    solo = jaccard_pairs(d.limit(2), k=3, threshold=0.01, max_df=3)
+    assert solo.count() == 1  # df=2 <= 3 within the subset: shingle kept
+
+
 def test_simhash_similarity(docs):
     sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     def ham(a, b):

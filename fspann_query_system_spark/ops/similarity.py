@@ -79,51 +79,113 @@ def cosine_topk_sql_shape(base: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
+                   id_col: str, vector_col: str,
+                   c_id_col: str, c_vector_col: str,
+                   keep_vector: bool) -> DataFrame:
+    """Shared coarse-quantizer kernel: for each row, the ``n_cells``
+    nearest centroids by L2, ties broken by lowest centroid id →
+    (id[, vector], cell[, cell_rank]).
+
+    Arrow-batched numpy against the broadcast centroid matrix — strictly
+    map-side: no crossJoin, no shuffle, no window.  Per batch it is |C|
+    vectorized row-sweeps (``(B - C_j)² @ 1``), so memory is O(batch×|C|)
+    distances, never a batch×|C|×dim cube."""
+    spark = df.sparkSession
+    c_rows = centroids.select(c_id_col, c_vector_col).collect()
+    cid = np.array([r[0] for r in c_rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in c_rows], dtype=np.float64)
+    order = np.argsort(cid, kind="stable")      # argmin ties -> lowest cid
+    bc = spark.sparkContext.broadcast((cid[order], C[order], n_cells))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cid_, C_, nc_req = bc.value
+        nc = min(nc_req, len(cid_))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vector_col].to_numpy()])
+            d2 = np.empty((len(B), len(cid_)), dtype=np.float64)
+            for j in range(len(cid_)):
+                d2[:, j] = np.square(B - C_[j]).sum(axis=1)
+            out = {id_col: np.repeat(pdf[id_col].to_numpy(), nc)}
+            if keep_vector:
+                out[vector_col] = np.repeat(pdf[vector_col].to_numpy(), nc)
+            if nc_req == 1:
+                # argmin returns the first (= lowest-cid) minimum
+                out["cell"] = cid_[np.argmin(d2, axis=1)]
+            else:
+                near = np.argsort(d2, axis=1, kind="stable")[:, :nc]
+                out["cell"] = cid_[near].ravel()
+                out["cell_rank"] = np.tile(np.arange(1, nc + 1), len(B))
+            yield pd.DataFrame(out)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vector_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}"
+    if keep_vector:
+        schema += f", {vector_col} {vec_type}"
+    schema += ", cell BIGINT"
+    if n_cells > 1:
+        schema += ", cell_rank INT"
+    return df.select(id_col, vector_col).mapInPandas(run, schema=schema)
+
+
+def ivf_assign(base: DataFrame, centroids: DataFrame,
+               id_col: str = "id", vector_col: str = "vector",
+               c_id_col: str = "id", c_vector_col: str = "vector") -> DataFrame:
+    """Ingest-time IVF cell assignment: (id, vector, cell), one row per
+    input row, strictly map-side.  Computed ONCE when the index is built;
+    persist it (or ``ivf_save`` it) and reuse across queries — query time
+    never re-derives assignments (reference layout idea:
+    ``GreedyPartitioner.java:37-76`` id→partition materialization)."""
+    return _nearest_cells(base, centroids, 1, id_col, vector_col,
+                          c_id_col, c_vector_col, keep_vector=True)
+
+
+def ivf_save(assigned: DataFrame, path: str) -> None:
+    """Persist the assigned base set hive-partitioned by cell: a probe of
+    nprobe cells then reads nprobe/|C| of the files — partition pruning
+    does the scan elimination at 100TB (PartitionFilters in the scan
+    node; asserted by tests/test_plan_quality.py)."""
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
 def ivf_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 10, nprobe: int = 2,
              id_col: str = "id", vector_col: str = "vector",
-             q_id_col: str = "q_id", q_vector_col: str = "vector") -> DataFrame:
-    """IVF (inverted-file) approximate top-k: coarse-quantize the base set
-    into |centroids| cells, probe the ``nprobe`` nearest cells per query,
-    exact-rank only the candidates inside probed cells.
+             q_id_col: str = "q_id", q_vector_col: str = "vector",
+             assigned: DataFrame | None = None) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: probe the ``nprobe``
+    nearest cells per query, exact-rank only candidates in probed cells.
 
-    Declarative plan (all native exprs — oracle-checkable):
-      assign  = base × broadcast(centroids) → argmin L2 → (id, cell)
-      probes  = queries × broadcast(centroids) → rank ≤ nprobe → (q_id, cell)
-      cands   = probes ⋈ assign on cell      (the only real shuffle)
-      rank    = exact L2 window top-k over candidates
+    Query-time plan (no crossJoin anywhere):
+      probes  = map-side numpy top-nprobe cells per query  (tiny: Q×nprobe)
+      cands   = broadcast(probes) ⋈ assigned on cell — the assigned table
+                never shuffles; with an ``ivf_save`` layout the probe
+                values prune partitions at file level
+      rank    = exact L2 window top-k over candidates (the only shuffle)
 
-    At 100TB the assignment is computed once at ingest and stored as a
-    partition column, so a query touches only nprobe/|C| of the data —
-    file-level pruning does the scan elimination (same layout idea as the
-    LSH partition table, ``GreedyPartitioner.java:37-76``)."""
-    cent = F.broadcast(centroids.select(F.col(id_col).alias("_cid"),
-                                        F.col(vector_col).alias("_cv")))
+    Pass ``assigned`` (from :func:`ivf_assign`, persisted or reloaded
+    from an ``ivf_save`` layout) to reuse the ingest-time assignment;
+    when omitted it is derived on the fly (still map-side)."""
     from ..functions.distance import l2_expr
-
-    b = base.select(F.col(id_col).alias("id"), F.col(vector_col).alias("_bv"))
-    w_assign = Window.partitionBy("id").orderBy("_cd", "_cid")
-    assign = (b.crossJoin(cent)
-              .withColumn("_cd", l2_expr("_bv", "_cv"))
-              .withColumn("_rn", F.row_number().over(w_assign))
-              .filter(F.col("_rn") == 1)
-              .select("id", F.col("_cid").alias("cell"), "_bv"))
-
-    q = queries.select(F.col(q_id_col).alias("q_id"),
-                       F.col(q_vector_col).alias("_qv"))
-    w_probe = Window.partitionBy("q_id").orderBy("_qd", "_cid")
-    probes = (q.crossJoin(cent)
-              .withColumn("_qd", l2_expr("_qv", "_cv"))
-              .withColumn("_rn", F.row_number().over(w_probe))
-              .filter(F.col("_rn") <= nprobe)
-              .select("q_id", F.col("_cid").alias("cell"), "_qv"))
-
-    w_rank = Window.partitionBy("q_id").orderBy("dist", "id")
-    return (probes.join(assign, "cell")
-            .withColumn("dist", l2_expr("_qv", "_bv"))
+    if assigned is None:
+        assigned = ivf_assign(base, centroids, id_col, vector_col,
+                              id_col, vector_col)
+    probes = _nearest_cells(
+        queries, centroids, nprobe, q_id_col, q_vector_col,
+        id_col, vector_col, keep_vector=True).drop("cell_rank")
+    qp = (probes.withColumnRenamed(q_vector_col, "_qv")
+          if q_vector_col in probes.columns else probes)
+    cand = (assigned.withColumnRenamed(vector_col, "_bv")
+            .join(F.broadcast(qp), on="cell"))
+    w_rank = Window.partitionBy(q_id_col).orderBy("dist", id_col)
+    return (cand.withColumn("dist", l2_expr("_qv", "_bv"))
             .withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= k)
-            .select("q_id", "id", "dist", "rank"))
+            .select(q_id_col, id_col, "dist", "rank"))
 
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,

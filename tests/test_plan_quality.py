@@ -98,3 +98,33 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_ivf_query_plan_has_no_crossjoin_and_prunes_partitions(spark, tmp_path):
+    """IVF assignment is ingest-time (map-side numpy), never a
+    base×centroids crossJoin; probing an ivf_save layout must prune cell
+    partitions at file level."""
+    from fspann_query_system_spark.ops.similarity import (ivf_assign,
+                                                          ivf_save, ivf_topk)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    cent = emb.filter(F.col("id") < 8)
+    q = emb.filter(F.col("id") < 5).select(F.col("id").alias("q_id"), "vector")
+
+    out = ivf_topk(emb, q, cent, k=5, nprobe=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # ingest-time layout: hive-partitioned by cell; a cell filter prunes
+    path = str(tmp_path / "ivf")
+    ivf_save(ivf_assign(emb, cent), path)
+    loaded = spark.read.parquet(path)
+    pruned = _formatted(loaded.filter(F.col("cell").isin(0, 3)))
+    assert "PartitionFilters" in pruned and "cell" in pruned.split(
+        "PartitionFilters")[1].split("\n")[0]
+    # probing the layout still returns the same top-k as the inline path
+    via_layout = ivf_topk(emb, q, cent, k=5, nprobe=2, assigned=loaded)
+    a = sorted((r.q_id, r.id, r.rank) for r in out.collect())
+    b = sorted((r.q_id, r.id, r.rank) for r in via_layout.collect())
+    assert a == b

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..lsh.coding import code_vectors, code_family, _popcount
+from ..lsh.coding import code_vectors, code_family, _popcount, with_hamming
 from ..lsh.params import LshParams, LshConfig, fit_params_from_df
 from ..lsh.partitioner import build_partitions
 from ..functions.distance import l2_expr
@@ -197,12 +197,139 @@ def _route_probes(q_codes: DataFrame, routing_bc, probes: int) -> DataFrame:
         run, schema="q_id BIGINT, table INT, division INT, part_idx INT, part_ham BIGINT")
 
 
+def _route_probes_join(q_codes: DataFrame, bounds: DataFrame,
+                       probes: int) -> DataFrame:
+    """Join-based twin of :func:`_route_probes` for bounds tables past the
+    broadcast budget (SCALE.md §1: ≥ ~1B vectors per (table, division) the
+    bounds are ~16M rows × L×D and stop being driver-collectable).
+
+    Same semantics, fully distributed:
+      1. as-of lookup of pos = last partition with min_key <= q_key, via
+         union + range-partitioned sort with per-slice carry-in fixup (the
+         two-pass scheme of ``partitioner._global_rank`` — no single-task
+         window, works because part_idx is monotone in min_key);
+      2. containment / nearest-gap decision through equi-joins on
+         (table, division, part_idx);
+      3. probe window exploded to (routed±probes) ∩ [0, npart), equi-join
+         to bounds reps, native-expression hamming, per-(q,t,d) rank.
+
+    Everything shuffles on keys with q_id or part_idx in them — no
+    driver collect of anything proportional to the index."""
+    spark = q_codes.sparkSession
+    qc = q_codes.select("q_id", "table", "division", "code_key", "code_bits")
+
+    # --- 1. distributed as-of: pos = max part_idx with min_key <= key ---
+    b_side = bounds.select(
+        "table", "division", F.col("min_key").alias("key"),
+        F.col("part_idx").cast("long").alias("_bpi"), F.lit(1).alias("_isb"),
+        F.lit(None).cast("long").alias("q_id"))
+    q_side = qc.select(
+        "table", "division", F.col("code_key").alias("key"),
+        F.lit(None).cast("long").alias("_bpi"), F.lit(0).alias("_isb"),
+        "q_id")
+    n_slices = min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                   max(4, q_codes.rdd.getNumPartitions()))
+    # _isb descending in the sort: a bound AT the query key counts
+    # (searchsorted side="right" semantics)
+    u = (b_side.unionByName(q_side)
+         .repartitionByRange(n_slices, "table", "division", "key",
+                             F.desc("_isb"))
+         .withColumn("_slice", F.spark_partition_id()))
+    w_asof = (Window.partitionBy("_slice", "table", "division")
+              .orderBy("key", F.desc("_isb"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # persist BEFORE the carry job — same materialization pitfall as
+    # partitioner._global_rank (_slice comes from physical partitioning)
+    local = (u.withColumn("_lpos", F.last("_bpi", ignorenulls=True).over(w_asof))
+             .persist())
+    carry_rows = (local.groupBy("_slice", "table", "division")
+                  .agg(F.max("_bpi").alias("_mx")).collect())
+    carries, running = [], {}
+    for r in sorted(carry_rows, key=lambda r: (r.table, r.division, r._slice)):
+        td = (r.table, r.division)
+        carries.append((r._slice, r.table, r.division, running.get(td)))
+        if r._mx is not None:
+            running[td] = max(running.get(td, -1), r._mx)
+    carry_df = spark.createDataFrame(
+        carries, "_slice INT, table INT, division INT, _carry LONG")
+    pos_df = (local.filter(F.col("_isb") == 0)
+              .join(F.broadcast(carry_df), on=["_slice", "table", "division"])
+              .select("q_id", "table", "division",
+                      F.coalesce("_lpos", "_carry", F.lit(-1)).alias("pos")))
+
+    # --- 2. containment / nearest-gap routing (equi-joins) ---
+    npart = bounds.groupBy("table", "division").agg(
+        F.max("part_idx").alias("_maxpi"))
+    bk = bounds.select("table", "division", "part_idx", "min_key", "max_key")
+    with_q = (pos_df.join(qc, on=["q_id", "table", "division"])
+              .join(F.broadcast(npart), on=["table", "division"])
+              .withColumn("_lidx", F.greatest("pos", F.lit(0)).cast("int"))
+              .withColumn("_ridx", F.least(F.col("pos") + 1,
+                                           F.col("_maxpi")).cast("int")))
+
+    def _b(alias):
+        # fully-renamed projection: chained joins stay unambiguous
+        return bk.select(F.col("table").alias(f"_{alias}t"),
+                         F.col("division").alias(f"_{alias}d"),
+                         F.col("part_idx").alias(f"_{alias}pi"),
+                         F.col("min_key").alias(f"_{alias}min"),
+                         F.col("max_key").alias(f"_{alias}max"))
+
+    qk = F.col("code_key")
+    gap_l = F.greatest(F.col("_lmin") - qk, qk - F.col("_lmax"), F.lit(0))
+    gap_r = F.greatest(F.col("_rmin") - qk, qk - F.col("_rmax"), F.lit(0))
+    # equi-join the three referenced bounds rows (pos may be -1 → left join)
+    routed = (with_q
+              .join(_b("p"), on=[F.col("table") == F.col("_pt"),
+                                 F.col("division") == F.col("_pd"),
+                                 F.col("pos") == F.col("_ppi")], how="left")
+              .join(_b("l"), on=[F.col("table") == F.col("_lt"),
+                                 F.col("division") == F.col("_ld"),
+                                 F.col("_lidx") == F.col("_lpi")])
+              .join(_b("r"), on=[F.col("table") == F.col("_rt"),
+                                 F.col("division") == F.col("_rd"),
+                                 F.col("_ridx") == F.col("_rpi")])
+              .withColumn(
+                  "routed",
+                  F.when((F.col("pos") >= 0) & (qk <= F.col("_pmax")),
+                         F.col("pos").cast("int"))
+                  .when(gap_l <= gap_r, F.col("_lidx"))
+                  .otherwise(F.col("_ridx")))
+              .select("q_id", "table", "division", "code_bits", "routed",
+                      "_maxpi"))
+
+    # --- 3. probe window ∩ [0, npart), rep-hamming rank ---
+    window = routed.withColumn(
+        "part_idx",
+        F.explode(F.sequence(
+            F.greatest(F.col("routed") - probes, F.lit(0)),
+            F.least(F.col("routed") + probes, F.col("_maxpi")))))
+    reps = bounds.select("table", "division", "part_idx", "rep_bits")
+    hammed = with_hamming(window.join(reps, on=["table", "division", "part_idx"]),
+                          "code_bits", "rep_bits", "part_ham")
+    w_rank = Window.partitionBy("q_id", "table", "division").orderBy(
+        F.col("part_ham").asc(),
+        F.abs(F.col("part_idx") - F.col("routed")).asc(),
+        F.col("part_idx").asc())
+    return (hammed.withColumn("_pr", F.row_number().over(w_rank))
+            .filter(F.col("_pr") <= probes)
+            .select("q_id", "table", "division", "part_idx",
+                    F.col("part_ham").cast("long").alias("part_ham")))
+
+
 def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
                  probes: int | None = None,
                  refinement_limit: int | None = None,
                  hamming_threshold: int | None = None,
-                 q_id_col: str = "q_id", q_vector_col: str = "vector") -> DataFrame:
-    """Top-k ANN for a whole query set → (q_id, id, distance, rank)."""
+                 q_id_col: str = "q_id", q_vector_col: str = "vector",
+                 routing_mode: str = "broadcast") -> DataFrame:
+    """Top-k ANN for a whole query set → (q_id, id, distance, rank).
+
+    ``routing_mode``: "broadcast" (default) collects the bounds once and
+    binary-searches them in executors — right whenever the bounds fit the
+    driver (≲ low-GB; up to ~100M-vector per-(t,d) scale).  "join" keeps
+    routing fully distributed (:func:`_route_probes_join`) for bounds
+    tables past the broadcast budget; identical output (tested)."""
     cfg = index.params.cfg
     probes = probes or cfg.probes
     refinement_limit = refinement_limit or cfg.refinement_limit
@@ -212,7 +339,13 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
                        F.col(q_vector_col).alias("vector"))
     q_codes = code_vectors(q, index.params, id_col="q_id", vector_col="vector")
 
-    probes_df = _route_probes(q_codes, index.routing(), probes)
+    if routing_mode == "join":
+        probes_df = _route_probes_join(q_codes, index.bounds, probes)
+    elif routing_mode == "broadcast":
+        probes_df = _route_probes(q_codes, index.routing(), probes)
+    else:
+        raise ValueError(f"routing_mode must be 'broadcast' or 'join', "
+                         f"got {routing_mode!r}")
 
     # shuffle 1: probe partitions → member ids; min-merge across tables/divisions
     cand = (probes_df.join(index.codes.select("table", "division", "part_idx", "id"),

@@ -141,3 +141,17 @@ def test_search_survives_corrupt_ciphertexts(spark, clustered):
     ok_ids = {r.id for r in search_batch(idx_ok, q, k=5).collect()}
     assert ok_ids & corrupt_ids                       # 0, 500 retrievable again
     assert {r.q_id for r in res} == {0, 500, 999}     # every query answered
+
+
+def test_join_routing_matches_broadcast(index, queries):
+    """routing_mode="join" (the >broadcast-budget fallback) must produce
+    byte-identical results to the broadcast binary-search path."""
+    idx, df, X = index
+    a = sorted((r.q_id, r.id, round(r.distance, 9), r.rank)
+               for r in search_batch(idx, queries, k=10).collect())
+    b = sorted((r.q_id, r.id, round(r.distance, 9), r.rank)
+               for r in search_batch(idx, queries, k=10,
+                                     routing_mode="join").collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        search_batch(idx, queries, k=10, routing_mode="bogus")

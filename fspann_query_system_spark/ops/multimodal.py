@@ -55,8 +55,8 @@ def make_media_table(df: DataFrame, payload_col: str, kind: str,
 
 def _decode_image_stub(content: bytes, width: int, height: int) -> np.ndarray:
     """DETERMINISTIC FAKE decode: sha256-seeded pixel noise of the declared
-    shape.  Real implementation: PIL.Image.open(BytesIO(content)).
-    Raises on empty payloads like a real codec would."""
+    shape (the no-codec fallback).  Raises on empty payloads like a real
+    codec would."""
     if not content:
         raise ValueError("empty media payload")
     seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "big")
@@ -64,19 +64,50 @@ def _decode_image_stub(content: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
-def image_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
+def _decode_image_pil(content: bytes, width: int, height: int) -> np.ndarray:
+    """Real decode via PIL (any format PIL reads; declared meta ignored —
+    the actual image shape wins).  Import stays inside the function so the
+    closure cloudpickles cleanly to Python workers."""
+    from io import BytesIO
+    from PIL import Image
+    if not content:
+        raise ValueError("empty media payload")
+    img = np.asarray(Image.open(BytesIO(content)).convert("RGB"))
+    if img.ndim != 3:
+        raise ValueError("undecodable image payload")
+    return img
+
+
+def default_image_decoder():
+    """The real-codec dispatch: PIL-backed when PIL is importable, the
+    deterministic stub otherwise.  Resolved at PLAN time on the driver;
+    both branches ship to workers as plain cloudpickled callables, so the
+    plan shape is identical either way (tests run both: the PIL branch
+    under importorskip, the injection seam with a custom decoder)."""
+    try:
+        import PIL  # noqa: F401
+        return _decode_image_pil
+    except ImportError:
+        return _decode_image_stub
+
+
+def image_features(media: DataFrame, feat_dim: int = 16,
+                   decoder=None) -> DataFrame:
     """(media_id, feat ARRAY<DOUBLE>) — decode + pooled-statistics feature
-    vector per image, batched through mapInPandas.  The feature kernel
-    (channel-wise moments over a grid) is real; only the decode is a stub."""
+    vector per image, batched through mapInPandas.  ``decoder`` is any
+    callable ``(bytes, width, height) -> HxWx3 uint8``; default
+    :func:`default_image_decoder` (PIL if present, stub otherwise).
+    Undecodable payloads are dropped, matching codec-pipeline practice."""
+    decoder = decoder or default_image_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, feats = [], []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 try:
-                    img = _decode_image_stub(bytes(content), int(meta["width"]),
-                                             int(meta["height"]))
-                except ValueError:
+                    img = decoder(bytes(content), int(meta["width"]),
+                                  int(meta["height"]))
+                except (ValueError, OSError):
                     continue
                 x = img.astype(np.float64) / 255.0
                 g = feat_dim // 4
@@ -98,21 +129,23 @@ def image_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
 
 
 def resize_images(media: DataFrame, out_w: int = 32,
-                  out_h: int = 32) -> DataFrame:
+                  out_h: int = 32, decoder=None) -> DataFrame:
     """(media_id, content BINARY, meta) — nearest-neighbor resize to a
     fixed shape, the thumbnail/normalization step of an image pipeline.
-    The resample index math is real; only the decode is a stub.  Output
+    The resample index math is real; decode follows ``decoder`` (PIL when
+    present, stub otherwise — see :func:`default_image_decoder`).  Output
     payload is the raw HxWx3 uint8 buffer (a real pipeline would
     re-encode; the byte length out_h*out_w*3 is asserted in tests)."""
+    decoder = decoder or default_image_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, bufs = [], []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 try:
-                    img = _decode_image_stub(bytes(content), int(meta["width"]),
-                                             int(meta["height"]))
-                except ValueError:
+                    img = decoder(bytes(content), int(meta["width"]),
+                                  int(meta["height"]))
+                except (ValueError, OSError):
                     continue
                 h, w = img.shape[:2]
                 yi = (np.arange(out_h) * h) // out_h
@@ -134,26 +167,72 @@ def resize_images(media: DataFrame, out_w: int = 32,
                          F.lit(None).cast("int").alias("n_frames")))
 
 
-def audio_features(media: DataFrame, n_windows: int = 8) -> DataFrame:
+def _decode_audio_stub(content: bytes, sample_rate: int) -> np.ndarray:
+    """Deterministic sha-seeded 1s noise waveform (no-codec fallback)."""
+    if not content:
+        raise ValueError("empty audio payload")
+    seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "big")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.normal(0.0, 0.25, size=sample_rate or 16000)
+
+
+def _decode_audio_wav(content: bytes, sample_rate: int) -> np.ndarray:
+    """REAL codec: stdlib ``wave`` parse of RIFF/WAV payloads →
+    channel-averaged float64 waveform in [-1, 1] (the container ships no
+    soundfile/ffmpeg, but WAV needs neither).  Declared meta sample_rate
+    is ignored — the header wins."""
+    import io
+    import wave as wavmod
+    if not content:
+        raise ValueError("empty audio payload")
+    with wavmod.open(io.BytesIO(content)) as w:
+        sw, ch = w.getsampwidth(), w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dt is None:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    a = np.frombuffer(raw, dtype=dt).astype(np.float64)
+    if dt == np.uint8:                      # 8-bit WAV is unsigned
+        a -= 128.0
+    a = a.reshape(-1, ch).mean(axis=1)
+    return a / float(1 << (8 * sw - 1))
+
+
+def default_audio_decoder():
+    """WAV payloads decode for real with the stdlib codec; anything the
+    parser rejects is NOT silently faked — callers opt into the stub
+    explicitly (``decoder=_decode_audio_stub``) for synthetic pipelines."""
+    return _decode_audio_wav
+
+
+def audio_features(media: DataFrame, n_windows: int = 8,
+                   decoder=None) -> DataFrame:
     """(media_id, feat ARRAY<DOUBLE>) — windowed RMS + zero-crossing-rate
-    features per audio payload (2*n_windows dims).  The DSP kernel is
-    real numpy over a sha-seeded fake waveform; a real implementation
-    swaps the decode for soundfile/ffmpeg."""
+    features per audio payload (2*n_windows dims).  The DSP kernel is real
+    numpy; ``decoder`` is ``(bytes, sample_rate) -> float waveform``:
+    ``"wav"``/default → stdlib WAV parse (a real codec), ``"stub"`` →
+    deterministic sha-seeded waveform for payloads that aren't audio,
+    or any custom callable.  Undecodable payloads are dropped."""
+    if decoder in (None, "wav"):
+        decoder = default_audio_decoder()
+    elif decoder == "stub":
+        decoder = _decode_audio_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, feats = [], []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                raw = bytes(content)
-                if not raw:
+                try:
+                    wave = decoder(bytes(content),
+                                   int(meta["sample_rate"] or 16000))
+                except Exception:   # wave.Error subclasses Exception only
                     continue
-                seed = int.from_bytes(hashlib.sha256(raw).digest()[:8], "big")
-                rng = np.random.Generator(np.random.PCG64(seed))
-                sr = int(meta["sample_rate"] or 16000)
-                wave = rng.normal(0.0, 0.25, size=sr)   # 1s stub waveform
+                if len(wave) == 0:
+                    continue
                 win = np.array_split(wave, n_windows)
                 rms = [float(np.sqrt((w * w).mean())) for w in win]
-                zcr = [float((np.diff(np.sign(w)) != 0).mean()) for w in win]
+                zcr = [float((np.diff(np.sign(w)) != 0).mean()) if len(w) > 1
+                       else 0.0 for w in win]
                 ids.append(mid)
                 feats.append(rms + zcr)
             if ids:

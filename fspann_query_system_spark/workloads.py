@@ -1354,7 +1354,10 @@ def q_media_features(spark, sf_dir):
     d = (_t(spark, sf_dir, "documents")
          .withColumn("payload", F.encode("text", "utf-8")))
     media = make_media_table(d, "payload", "image", id_col="doc_id")
-    feats = image_features(media, feat_dim=16)
+    # stub decoder pinned explicitly: the payloads are synthetic text
+    # bytes, so the result must not depend on whether PIL is installed
+    from .ops.multimodal import _decode_image_stub
+    feats = image_features(media, feat_dim=16, decoder=_decode_image_stub)
     sizes = media.select("media_id", F.length("content").alias("n_bytes"))
     return (feats.join(sizes, "media_id")
             .select("media_id", "n_bytes", F.size("feat").alias("feat_dim")))

@@ -201,14 +201,87 @@ def test_multimodal_resize_and_audio(spark):
     assert all(len(bytes(r.content)) == 16 * 8 * 3 for r in th.values())
     assert all(r.meta.width == 16 and r.meta.height == 8 for r in th.values())
     audio = make_media_table(df, "payload", "audio")
-    feats = {r.media_id: r.feat for r in audio_features(audio, n_windows=8).collect()}
+    feats = {r.media_id: r.feat
+             for r in audio_features(audio, n_windows=8,
+                                     decoder="stub").collect()}
     assert len(feats) == 5
     assert all(len(v) == 16 for v in feats.values())
     # RMS of the 0.25-sigma stub waveform sits near 0.25; ZCR near 0.5
     some = next(iter(feats.values()))
     assert 0.15 < some[0] < 0.35 and 0.3 < some[8] < 0.7
-    again = {r.media_id: r.feat for r in audio_features(audio, n_windows=8).collect()}
+    again = {r.media_id: r.feat
+             for r in audio_features(audio, n_windows=8,
+                                     decoder="stub").collect()}
     assert feats == again
+    # default decoder is the REAL stdlib WAV codec: text payloads are not
+    # WAV, so every row is dropped rather than silently faked
+    assert audio_features(audio, n_windows=8).count() == 0
+
+
+def test_real_wav_codec_and_decoder_injection(spark):
+    """Real-codec paths: stdlib WAV decode end-to-end through executors,
+    and the image-decoder injection seam (the PIL branch uses the same
+    seam; see test_pil_image_decode for the PIL-present case)."""
+    import io
+    import wave as wavmod
+    from fspann_query_system_spark.ops.multimodal import (make_media_table,
+                                                          audio_features,
+                                                          image_features)
+
+    def wav_bytes(freq_hz, amp, sr=8000, n=8000):
+        t = np.arange(n) / sr
+        pcm = (amp * np.sin(2 * np.pi * freq_hz * t) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    rows = [(1, wav_bytes(440, 0.5)), (2, wav_bytes(880, 0.1)),
+            (3, b"not a wav at all")]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    audio = make_media_table(df, "payload", "audio")
+    feats = {r.media_id: r.feat
+             for r in audio_features(audio, n_windows=4).collect()}
+    assert set(feats) == {1, 2}               # non-WAV payload dropped
+    # sine RMS = amp/sqrt(2); windowed RMS of a pure tone is flat
+    assert abs(feats[1][0] - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(feats[2][0] - 0.1 / np.sqrt(2)) < 0.01
+    # ZCR of a pure tone = 2*freq/sr
+    assert abs(feats[1][4] - 2 * 440 / 8000) < 0.02
+    assert abs(feats[2][4] - 2 * 880 / 8000) < 0.02
+
+    # image-decoder injection: a custom callable rides the same seam the
+    # PIL branch uses, cloudpickled through real Python workers
+    def gradient_decoder(content, width, height):
+        if not content:
+            raise ValueError("empty")
+        v = np.arange(height * width * 3, dtype=np.uint8)
+        return (v.reshape(height, width, 3) + (content[0] % 7)).astype(np.uint8)
+
+    media = make_media_table(df, "payload", "image")
+    out = {r.media_id: r.feat
+           for r in image_features(media, feat_dim=16,
+                                   decoder=gradient_decoder).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(len(v) == 16 for v in out.values())
+    stub = {r.media_id: r.feat for r in image_features(media, 16).collect()}
+    assert out[1] != stub[1]                  # decoder actually took effect
+
+
+def test_pil_image_decode():
+    """Runs only where PIL exists: the real-codec branch of the image
+    decoder dispatch."""
+    pytest.importorskip("PIL")
+    import io
+    from PIL import Image
+    from fspann_query_system_spark.ops.multimodal import (
+        _decode_image_pil, default_image_decoder)
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 4), (10, 20, 30)).save(buf, format="PNG")
+    img = _decode_image_pil(buf.getvalue(), 0, 0)
+    assert img.shape == (4, 8, 3) and tuple(img[0, 0]) == (10, 20, 30)
+    assert default_image_decoder() is _decode_image_pil
 
 
 def test_ivf_topk_subset_and_self_hit(spark, clustered):

@@ -35,6 +35,7 @@ HEADLINE = [
     "lsh_codes",
     "lsh_partition_bounds",
     "ann_search",
+    "ann_search_selective",
     "dedup_exact",
     "winnow_fingerprints",
     "minhash_bands",

@@ -79,7 +79,14 @@ class ForwardSecureANNSystem:
         LRU+TTL query cache, ``ForwardSecureANNSystem.java:1103-1151``):
         split the batch into cache hits and misses by logical token key,
         run the probe pipeline only for misses, merge.  The epoch in the
-        key invalidates on every index rebuild / payload swap."""
+        key invalidates on every index rebuild / payload swap.
+
+        DRIVER-BOUNDED BY DESIGN: the query batch and its results are
+        collected, so memory is O(|batch| * (dim + k)) on the driver —
+        fine for the interactive lookup pattern this cache mirrors
+        (reference caches per-query in driver RAM too), wrong for bulk
+        scoring.  Batches past ~10^5 queries should call :meth:`search`
+        directly, which never collects."""
         from .query.cache import QueryCache
         k = k or self.config.top_k
         q_rows = queries.select("q_id", "vector").collect()

@@ -29,18 +29,23 @@ K = 100
 REFINE = 8000          # matched budget: reference SIFT_P4_FAST
 
 SWEEP = [
-    # r1 baseline for comparison
-    dict(m=18, lam=2, tables=6, divisions=2, probes=8, block_size=64),
-    # fill the budget: more probes at same geometry
-    dict(m=18, lam=2, tables=6, divisions=2, probes=16, block_size=64),
-    # more tables (more independent chances), probes sized to ~10k pool
-    dict(m=18, lam=2, tables=8, divisions=2, probes=10, block_size=64),
-    # lam=3 (sharper partition locality — won the sf0.1 flagship sweep)
-    dict(m=16, lam=3, tables=8, divisions=2, probes=10, block_size=64),
-    dict(m=12, lam=3, tables=8, divisions=2, probes=10, block_size=64),
-    # coarser blocks: same pool from fewer probes
-    dict(m=18, lam=2, tables=8, divisions=2, probes=6, block_size=128),
+    # round-3 confirm: the round-2 winner + one stretch pool (24k)
+    dict(m=20, lam=2, tables=8, divisions=2, probes=8, block_size=128),
+    dict(m=20, lam=2, tables=8, divisions=2, probes=12, block_size=128),
 ]
+
+# round-2 sweep (pool 16k):
+# m18 λ2 T8 p8  b128 → 0.726 @ 103 ms/q
+# m18 λ2 T8 p16 b64  → 0.734 @  71 ms/q
+# m20 λ2 T8 p8  b128 → 0.746 @  62 ms/q   ← winner
+
+# round-1 sweep (results in recall_sweep_1m.jsonl / SCALE.md §8):
+# baseline m18 λ2 T6 p8 b64 pool 6k   → 0.475   (coverage-bound: pool < refine)
+# m18 λ2 T6 p16 b64        pool 12k  → 0.693 @ 116 ms/q
+# m18 λ2 T8 p10 b64        pool 10k  → 0.629 @  84 ms/q
+# m16 λ3 T8 p10 b64        pool 10k  → 0.605 @  66 ms/q
+# m12 λ3 T8 p10 b64        pool 10k  → 0.435   (too few bits: fuzzy keys)
+# m18 λ2 T8 p6  b128       pool 12k  → 0.683 @  79 ms/q
 
 
 def main():

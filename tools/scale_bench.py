@@ -24,8 +24,12 @@ from fspann_query_system_spark.query.ann import AnnIndex, search_batch  # noqa: 
 
 DIM = 64
 K = 100
-CFG = dict(m=18, lam=2, tables=6, divisions=2, probes=8,
+CFG = dict(m=20, lam=2, tables=8, divisions=2, probes=8, block_size=128,
            refinement_limit=8000)     # reference SIFT_P4_FAST refine budget
+# Swept at 1M (tools/recall_sweep_1m.py, results in recall_sweep_1m.jsonl):
+# the round-1 config (m18 T6 p8 b64) had candidate pool T*D*probes*block =
+# 6144 < the 8000 refine budget — coverage-bound, recall 0.475.  Sizing the
+# pool to ~2x the budget and adding projections/tables: recall@100 0.746.
 
 
 def main():
@@ -48,7 +52,7 @@ def main():
     print(f"materialize {n} vectors: {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
-    cfg = LshConfig(dim=DIM, seed=11, block_size=64, **CFG)
+    cfg = LshConfig(dim=DIM, seed=11, **CFG)
     params = fit_params(X[:10000], cfg)
     idx = AnnIndex.build(vec, cfg, params=params)
     idx.codes.count()          # force build

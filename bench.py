@@ -45,6 +45,7 @@ HEADLINE = [
     "version_census",
     "streaming_window_agg",
     "streaming_sessionization",
+    "streaming_dedup",
 ]
 
 

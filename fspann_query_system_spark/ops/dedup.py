@@ -274,12 +274,16 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     that is ~0.005, and per-pair effect is one count); exactness at gate
     scale is covered by the oracle match."""
     sh = (shingle_table(df, text_col, id_col, k, dedupe=True)
-          .select(F.col(id_col), F.xxhash64("shingle").alias("shingle")))
+          .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+          .persist())   # persist BEFORE the df pass or shingling runs twice
     if max_df is not None:
+        # partial (map-side) aggregation absorbs hot shingles; a window
+        # count over partitionBy(shingle) would put a hot shingle's whole
+        # row set in one task — the very skew this cap exists to kill
         freq = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
                 .filter(F.col("_df") > max_df).select("shingle"))
-        sh = sh.join(F.broadcast(freq), on="shingle", how="left_anti")
-    sh = sh.persist()
+        sh = (sh.join(F.broadcast(freq), on="shingle", how="left_anti")
+              .persist())
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

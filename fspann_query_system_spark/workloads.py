@@ -418,6 +418,49 @@ def q_streaming_window_agg(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact-dedup: the St1 micro-batch path composed with the
+    dedup fingerprint — canonical-id assignment as a running streaming
+    aggregate (complete mode), byte-identical to the batch group-by, so
+    the stream gets a full oracle.  This is the shape a training-data
+    ingest pipeline runs: dedup state accumulates as document files
+    arrive."""
+    import uuid
+    import os
+    from .functions import text as T
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+    try:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("pathGlobFilter", "documents.parquet")
+                  .parquet(sf_dir))
+        agg = (stream
+               .select("doc_id", T.fingerprint_md5("text").alias("fingerprint"))
+               .groupBy("fingerprint")
+               .agg(F.min("doc_id").alias("canonical_id"),
+                    F.count("*").alias("n_copies")))
+        name = "stream_sink_" + uuid.uuid4().hex[:8]
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+SQL_STREAMING_DEDUP = """
+SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM (SELECT doc_id,
+             md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                             t -> t != ''), ' ')) AS fingerprint
+      FROM documents)
+GROUP BY fingerprint
+"""
+
+
 def q_streaming_sessionization(spark, sf_dir):
     """St5/custom-stateful twin of q_sessionization: the
     applyInPandasWithState sessionizer over an availableNow stream.
@@ -1386,6 +1429,7 @@ QUERIES = {
     "tombstone_anti_join": q_tombstone_anti_join,
     "sessionization": q_sessionization,
     "streaming_sessionization": q_streaming_sessionization,
+    "streaming_dedup": q_streaming_dedup,
     "event_window_agg": q_event_window_agg,
     "json_extract": q_json_extract,
     "rollup_revenue": q_rollup_revenue,
@@ -1432,6 +1476,7 @@ def oracle_sql_map() -> dict[str, str]:
         "tombstone_anti_join": SQL_TOMBSTONE,
         "sessionization": SQL_SESSION,
         "streaming_sessionization": SQL_SESSION,
+        "streaming_dedup": SQL_STREAMING_DEDUP,
         "event_window_agg": SQL_WINDOW_AGG,
         "json_extract": SQL_JSON,
         "rollup_revenue": SQL_ROLLUP,

@@ -114,6 +114,64 @@ class AnnIndex:
         bounds = spark.read.parquet(f"{path}/bounds").persist()
         return cls(params=params, codes=codes, bounds=bounds, points=points)
 
+    def insert(self, new_vectors: DataFrame, mode: str = "append",
+               id_col: str = "id", vector_col: str = "vector") -> "AnnIndex":
+        """Insert a batch of vectors (reference ``PartitionedIndexService
+        .insert:312-345``: stage codes, then ``build:395-428`` re-derives
+        the greedy partitions wholesale on finalize).
+
+        ``mode="rebuild"`` reproduces the reference semantics: union the
+        new codes and re-run greedy partitioning — exact block invariants,
+        at the cost of re-sorting everything (the reference pays the same).
+
+        ``mode="append"`` is the Spark-native incremental path: each new
+        code routes to its nearest EXISTING partition with the identical
+        binary-search rule queries use, so lookups find appended points by
+        construction; partition min/max/rep stay fixed (routing metadata,
+        not containment proofs) and only n_ids is refreshed.  O(new) work,
+        never touches existing rows.  Blocks can grow past block_size
+        under sustained appends — rebuild periodically (reference behavior
+        on finalize) to restore the block-size invariant."""
+        from dataclasses import replace
+        cfg = self.params.cfg
+        new_codes = code_vectors(new_vectors, self.params,
+                                 id_col=id_col, vector_col=vector_col)
+        new_points = new_vectors.select(F.col(id_col).alias("id"),
+                                        F.col(vector_col).alias("vector"))
+        points = self.points.unionByName(new_points)
+        if mode == "rebuild":
+            all_codes = (self.codes.drop("part_idx")
+                         .unionByName(new_codes.withColumnRenamed(id_col, "id")))
+            codes_p, bounds = build_partitions(all_codes, cfg.block_size,
+                                               id_col="id")
+            return replace(self, codes=codes_p.persist(),
+                           bounds=bounds.persist(), points=points,
+                           _routing_bc=None)
+        if mode != "append":
+            raise ValueError(f"mode must be 'append' or 'rebuild', got {mode!r}")
+        routed = _route_nearest(
+            new_codes.withColumnRenamed(id_col, "id"), self.routing())
+        codes = self.codes.unionByName(routed)
+        counts = routed.groupBy("table", "division", "part_idx").count()
+        bounds = (self.bounds
+                  .join(counts, on=["table", "division", "part_idx"],
+                        how="left")
+                  .withColumn("n_ids", F.col("n_ids")
+                              + F.coalesce(F.col("count"), F.lit(0)))
+                  .drop("count"))
+        return replace(self, codes=codes.persist(), bounds=bounds.persist(),
+                       points=points, _routing_bc=None)
+
+    def delete(self, ids: DataFrame, id_col: str = "id") -> "AnnIndex":
+        """Tombstone-delete: filter the payload table; routing state is
+        untouched (reference F3 semantics — deleted ids stay in partitions
+        and are dropped at the candidate⋈payload join, so a delete is O(1)
+        metadata work, and queries simply never return them)."""
+        from dataclasses import replace
+        tomb = ids.select(F.col(id_col).alias("id"))
+        return replace(self,
+                       points=self.points.join(tomb, on="id", how="left_anti"))
+
     def routing(self):
         """Collect + broadcast per-(t,d) partition bounds for driver-free
         binary-search routing in executors.  Bounds are N/block rows —
@@ -195,6 +253,49 @@ def _route_probes(q_codes: DataFrame, routing_bc, probes: int) -> DataFrame:
 
     return q_codes.mapInPandas(
         run, schema="q_id BIGINT, table INT, division INT, part_idx INT, part_ham BIGINT")
+
+
+def _route_nearest(codes: DataFrame, routing_bc) -> DataFrame:
+    """(id, table, division, code_key, code_bits) → same + ``part_idx`` of
+    the containment/nearest partition — the insert-side twin of the query
+    router (identical binary-search + nearest-gap rule, reference
+    ``GreedyPartitioner.findNearestPartition:101-124``), so appended
+    points are reachable by the query path by construction."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        packed = routing_bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            parts = np.empty(n, dtype=np.int32)
+            keep = np.ones(n, dtype=bool)
+            for i, row in enumerate(pdf.itertuples(index=False)):
+                td = (row.table, row.division)
+                if td not in packed:
+                    keep[i] = False
+                    continue
+                min_keys, max_keys, _ = packed[td]
+                npart = len(min_keys)
+                qk = row.code_key
+                pos = int(np.searchsorted(min_keys, qk, side="right")) - 1
+                if pos >= 0 and qk <= max_keys[pos]:
+                    routed = pos
+                else:
+                    left = pos if pos >= 0 else 0
+                    right = min(pos + 1, npart - 1)
+                    dl = max(min_keys[left] - qk, qk - max_keys[left], 0)
+                    dr = max(min_keys[right] - qk, qk - max_keys[right], 0)
+                    routed = left if dl <= dr else right
+                parts[i] = routed
+            out = pdf[keep].copy()
+            out["part_idx"] = parts[keep]
+            yield out
+
+    from pyspark.sql.types import StructType, StructField, IntegerType
+    out_schema = StructType(list(codes.schema.fields)
+                            + [StructField("part_idx", IntegerType())])
+    return codes.mapInPandas(run, schema=out_schema)
 
 
 def _route_probes_join(q_codes: DataFrame, bounds: DataFrame,

@@ -155,3 +155,54 @@ def test_join_routing_matches_broadcast(index, queries):
     assert a == b
     with pytest.raises(ValueError):
         search_batch(idx, queries, k=10, routing_mode="bogus")
+
+
+def test_insert_append_and_rebuild(spark, clustered):
+    """Dynamic maintenance (reference insert:312-345 + build:395-428):
+    appended vectors are reachable by search; rebuild reproduces a fresh
+    build exactly; delete tombstones without touching routing state."""
+    df, X = clustered
+    base = df.filter(F.col("id") < 1900)
+    held = df.filter(F.col("id") >= 1900)          # 100 held-out vectors
+    cfg = LshConfig(dim=16, m=8, lam=2, tables=4, divisions=2, seed=42,
+                    block_size=32, probes=5, refinement_limit=400)
+    idx = AnnIndex.build(base, cfg)
+
+    # --- append: new points must be reachable (self-hit at rank 1) ---
+    idx2 = idx.insert(held, mode="append")
+    q_new = held.select(F.col("id").alias("q_id"), "vector")
+    res = search_batch(idx2, q_new, k=5).collect()
+    top = {r.q_id: r.id for r in res if r.rank == 1}
+    assert set(top) == set(range(1900, 2000))
+    assert all(top[q] == q for q in top)           # found themselves
+    # old points still reachable
+    q_old = base.filter(F.col("id") < 10).select(
+        F.col("id").alias("q_id"), "vector")
+    top_old = {r.q_id: r.id for r in search_batch(idx2, q_old, k=5).collect()
+               if r.rank == 1}
+    assert all(top_old[q] == q for q in top_old)
+    # n_ids accounting: totals grew by exactly the appended code count
+    n_before = sum(r.n_ids for r in idx.bounds.collect())
+    n_after = sum(r.n_ids for r in idx2.bounds.collect())
+    assert n_after - n_before == 100 * cfg.tables * cfg.divisions
+
+    # --- rebuild: identical to building from scratch on the union ---
+    idx3 = idx.insert(held, mode="rebuild")
+    fresh = AnnIndex.build(df, cfg, params=idx.params)
+    a = sorted(tuple(r) for r in idx3.bounds.select(
+        "table", "division", "part_idx", "min_key", "max_key", "n_ids").collect())
+    b = sorted(tuple(r) for r in fresh.bounds.select(
+        "table", "division", "part_idx", "min_key", "max_key", "n_ids").collect())
+    assert a == b
+
+    with pytest.raises(ValueError):
+        idx.insert(held, mode="bogus")
+
+    # --- delete: tombstoned ids vanish from results, routing untouched ---
+    victims = spark.createDataFrame([(i,) for i in range(1900, 1950)], "id LONG")
+    idx4 = idx2.delete(victims)
+    res4 = search_batch(idx4, q_new, k=5).collect()
+    ids4 = {r.id for r in res4}
+    assert not (ids4 & set(range(1900, 1950)))     # deleted: gone
+    assert any(i in ids4 for i in range(1950, 2000))  # survivors remain
+    assert idx4.codes is idx2.codes                # routing state untouched

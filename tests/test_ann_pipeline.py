@@ -206,3 +206,36 @@ def test_insert_append_and_rebuild(spark, clustered):
     assert not (ids4 & set(range(1900, 1950)))     # deleted: gone
     assert any(i in ids4 for i in range(1950, 2000))  # survivors remain
     assert idx4.codes is idx2.codes                # routing state untouched
+
+
+@pytest.mark.parametrize("cfg_kw", [
+    # tight everything: probes ≪ partitions, refine binds hard
+    dict(m=6, lam=2, tables=2, divisions=2, seed=5, block_size=8,
+         probes=2, refinement_limit=50),
+    # lam=3, single division, F4 threshold active (exercises the
+    # (ham > T) prefilter branch in BOTH the plan and the generated SQL)
+    dict(m=10, lam=3, tables=3, divisions=1, seed=9, block_size=16,
+         probes=3, refinement_limit=80, hamming_threshold=8),
+], ids=["tight_selective", "lam3_threshold_div1"])
+def test_generated_ann_oracle_matches_pipeline(spark, cfg_kw):
+    """The generated full-pipeline SQL oracle must track the live plan
+    across config space, not just the two registry configs."""
+    import duckdb
+    from fspann_query_system_spark.workloads import (sql_ann_search,
+                                                     _emb_matrix, _emb)
+    from fspann_query_system_spark.lsh.params import fit_params
+    sf = "/root/testdata/sf0.01"
+    cfg = LshConfig(dim=64, **cfg_kw)
+    params = fit_params(_emb_matrix(sf), cfg)
+    idx = AnnIndex.build(_emb(spark, sf), cfg, params=params)
+    q = (_emb(spark, sf).filter(F.col("id") < 20)
+         .select(F.col("id").alias("q_id"), "vector"))
+    spark_rows = sorted(
+        (r.q_id, r.id, round(r.distance, 6), r.rank)
+        for r in search_batch(idx, q, k=10).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    duck_rows = sorted(
+        (int(a), int(b), round(float(c), 6), int(d))
+        for a, b, c, d in con.sql(sql_ann_search(params, 20)).fetchall())
+    assert spark_rows == duck_rows

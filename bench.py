@@ -41,6 +41,7 @@ HEADLINE = [
     "minhash_bands",
     "near_dup_embedding",
     "sq8_quantize",
+    "sq8_ann",
     "ivf_ann",
     "version_census",
     "streaming_window_agg",

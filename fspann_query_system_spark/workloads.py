@@ -1145,6 +1145,58 @@ FROM r GROUP BY id
 """
 
 
+SQ8_RERANK = 4
+
+
+def q_sq8_ann(spark, sf_dir):
+    """Compressed-refine ANN: approx rank on SQ8 codes (4x less scanned
+    data), exact re-rank of the top k*rerank with true vectors — the
+    memory path the SQ8 codebook exists for, as a gated two-stage plan."""
+    from .ops.similarity import sq8_stats, sq8_topk
+    base = _emb(spark, sf_dir)
+    mins, maxs = sq8_stats(base)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (sq8_topk(base, queries, mins, maxs, k=10, rerank=SQ8_RERANK)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+SQL_SQ8_ANN = f"""
+WITH e AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+ex AS (SELECT id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
+st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+recon AS (
+  SELECT id, pos,
+         mn + (CASE WHEN mx > mn
+                    THEN CAST(round((x - mn) / (mx - mn) * 255) AS INT)
+                    ELSE 0 END) / 255.0 * (mx - mn) AS r
+  FROM ex JOIN st USING (pos)),
+qx AS (SELECT id AS q_id, unnest(v) AS qx, unnest(range(1, len(v) + 1)) AS pos
+       FROM e WHERE id < {N_VEC_QUERIES}),
+ad AS (SELECT q.q_id, r.id, sum((r.r - q.qx) * (r.r - q.qx)) AS d2
+       FROM recon r JOIN qx q USING (pos) GROUP BY 1, 2),
+short AS (
+  SELECT q_id, id FROM (
+    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+                                        ORDER BY d2, id) AS ar
+    FROM ad) WHERE ar <= {10 * SQ8_RERANK}),
+scored AS (
+  SELECT s.q_id, s.id,
+         sqrt(list_reduce(list_transform(list_zip(qe.v, be.v),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                          (acc, x) -> acc + x)) AS dist
+  FROM short s JOIN e qe ON qe.id = s.q_id JOIN e be ON be.id = s.id)
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rnk AS INT) AS rank
+FROM (SELECT q_id, id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
+      FROM scored)
+WHERE rnk <= 10
+"""
+
+
 NEAR_DUP_THRESHOLD = 0.45  # synthetic embeddings top out at cos ~0.51
 
 
@@ -1439,6 +1491,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "winnow_fingerprints": q_winnow_fingerprints,
     "sq8_quantize": q_sq8_quantize,
+    "sq8_ann": q_sq8_ann,
     "minhash": q_minhash,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash": q_simhash,
@@ -1486,6 +1539,7 @@ def oracle_sql_map() -> dict[str, str]:
         "fingerprints": SQL_FINGERPRINTS,
         "winnow_fingerprints": SQL_WINNOW,
         "sq8_quantize": SQL_SQ8,
+        "sq8_ann": SQL_SQ8_ANN,
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,
         "simhash": SQL_SIMHASH,

@@ -405,3 +405,26 @@ def test_simhash_near_pairs_matches_bruteforce(spark):
                 want[(i, j)] = h
     assert got == want
     assert (0, 1) in got and (0, 3) in got and (0, 4) not in got
+
+
+def test_sq8_topk_compressed_refine(spark, clustered):
+    from fspann_query_system_spark.ops.similarity import sq8_stats, sq8_topk
+    from fspann_query_system_spark.query.exact import knn_exact
+    df, X = clustered
+    mins, maxs = sq8_stats(df)
+    q = df.filter(F.col("id") < 15).select(F.col("id").alias("q_id"), "vector")
+    out = sq8_topk(df, q, mins, maxs, k=5, rerank=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(15))
+    for q_id, rows in by_q.items():
+        first = min(rows, key=lambda r: r.rank)
+        assert first.id == q_id and first.dist == 0.0   # exact self-hit
+    # 8-bit codes on well-separated clusters: top-5 ≈ exact top-5
+    ex = {}
+    for r in knn_exact(df, q, k=5).collect():
+        ex.setdefault(r.q_id, set()).add(r.id)
+    hits = sum(len(ex[qid] & {r.id for r in rows})
+               for qid, rows in by_q.items())
+    assert hits >= 70  # recall@5 >= 0.93 over 15 queries

@@ -239,3 +239,30 @@ def test_generated_ann_oracle_matches_pipeline(spark, cfg_kw):
         (int(a), int(b), round(float(c), 6), int(d))
         for a, b, c, d in con.sql(sql_ann_search(params, 20)).fetchall())
     assert spark_rows == duck_rows
+
+
+def test_load_insert_save_cycle(spark, clustered, tmp_path):
+    """Operational cycle: build → save → load → append-insert → save →
+    reload — appended points stay reachable across the persistence
+    boundary (the reference cannot do this at all: its codes live only
+    in RAM, SURVEY §3.4)."""
+    df, X = clustered
+    old = df.filter(F.col("id") < 1950)
+    new = df.filter(F.col("id") >= 1950)
+    # family/probe budget as in test_insert_append_and_rebuild: appended
+    # points rank by their partition REP's hamming, so a too-tight refine
+    # cut with few families can drop them before exact scoring (isolated
+    # experimentally: 3 families + refine=150 loses 43/50 self-hits,
+    # 8 families + refine=400 loses none — persistence is not a factor)
+    cfg = LshConfig(dim=16, m=8, lam=2, tables=4, divisions=2, block_size=32,
+                    probes=5, refinement_limit=400, seed=42)
+    p1, p2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    AnnIndex.build(old, cfg).save(p1)
+    idx = AnnIndex.load(spark, p1, points=old).insert(new, mode="append")
+    idx.save(p2)
+    idx2 = AnnIndex.load(spark, p2, points=idx.points)
+    q = new.select(F.col("id").alias("q_id"), "vector")
+    top = {r.q_id: r.id for r in search_batch(idx2, q, k=3).collect()
+           if r.rank == 1}
+    assert set(top) == set(range(1950, 2000))
+    assert all(top[q_] == q_ for q_ in top)

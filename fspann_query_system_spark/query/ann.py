@@ -342,8 +342,13 @@ def _route_probes_join(q_codes: DataFrame, bounds: DataFrame,
          .repartitionByRange(n_slices, "table", "division", "key",
                              F.desc("_isb"))
          .withColumn("_slice", F.spark_partition_id()))
+    # ordering: (key, bounds-before-queries, part_idx asc) — the _bpi
+    # tie-break makes last() return the MAX part_idx among equal-min_key
+    # bounds, matching searchsorted(side="right") in the broadcast path
+    # (equal keys spanning block boundaries are common at scale; without
+    # this the as-of result is nondeterministic among duplicate keys)
     w_asof = (Window.partitionBy("_slice", "table", "division")
-              .orderBy("key", F.desc("_isb"))
+              .orderBy("key", F.desc("_isb"), F.asc_nulls_last("_bpi"))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     # persist BEFORE the carry job — same materialization pitfall as
     # partitioner._global_rank (_slice comes from physical partitioning)

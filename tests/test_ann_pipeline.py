@@ -266,3 +266,29 @@ def test_load_insert_save_cycle(spark, clustered, tmp_path):
            if r.rank == 1}
     assert set(top) == set(range(1950, 2000))
     assert all(top[q_] == q_ for q_ in top)
+
+
+def test_join_routing_with_duplicate_keys(spark):
+    """Regression: equal code keys spanning block boundaries (mass-
+    duplicated vectors) once made the join-path as-of lookup pick a
+    nondeterministic part_idx among equal min_keys — caught by a 1M diff
+    run, invisible at 2k scale.  Duplicated vectors force duplicate keys
+    at ANY scale."""
+    rng = np.random.default_rng(3)
+    protos = rng.normal(0, 3.0, (12, 16))
+    # 40 copies of each prototype (+15 uniques) → every block boundary
+    # inside a prototype run has equal min/max keys
+    X = np.vstack([np.repeat(protos, 40, axis=0), rng.normal(0, 3.0, (15, 16))])
+    df = spark.createDataFrame([(i, X[i].tolist()) for i in range(len(X))],
+                               "id LONG, vector ARRAY<DOUBLE>").persist()
+    cfg = LshConfig(dim=16, m=8, lam=2, tables=3, divisions=2, seed=13,
+                    block_size=16, probes=3, refinement_limit=120)
+    idx = AnnIndex.build(df, cfg)
+    q = df.filter(F.col("id") % 37 == 0).select(F.col("id").alias("q_id"),
+                                                "vector")
+    a = sorted((r.q_id, r.id, r.rank)
+               for r in search_batch(idx, q, k=10).collect())
+    b = sorted((r.q_id, r.id, r.rank)
+               for r in search_batch(idx, q, k=10,
+                                     routing_mode="join").collect())
+    assert a == b

@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_exact",
     "winnow_fingerprints",
     "minhash_bands",
+    "dedup_clusters",
     "near_dup_embedding",
     "sq8_quantize",
     "sq8_ann",

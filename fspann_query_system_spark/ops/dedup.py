@@ -383,3 +383,44 @@ def simhash(df: DataFrame, text_col: str = "text",
     return (votes.select(id_col,
                          F.when(F.col("v") > 0, weight).otherwise(F.lit(0)).alias("bv"))
             .groupBy(id_col).agg(F.sum("bv").alias("simhash")))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the candidate-pair graph
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """(id, component) for every id in ``pairs``; component = the minimum
+    id reachable through the pair graph (min-label propagation).
+
+    This is the step that turns pairwise near-dup evidence into
+    *canonical document assignment*: transitive duplicates (A≈B, B≈C,
+    A̸≈C) must share one canonical id, which no pairwise operator gives.
+
+    Plan per round: one shuffle join (labels flow one hop along edges) +
+    one min-aggregate; the frontier is localCheckpoint-ed so the lineage
+    does not grow with iterations.  Rounds = O(component diameter) —
+    near-dup graphs from banding are clique-ish with tiny diameters, so
+    2–4 rounds in practice.  For adversarial long-chain graphs at scale,
+    the same join primitive supports the large-star/small-star
+    alternation (O(log n) rounds); diameter-bound propagation is the
+    right default for dedup workloads."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    und = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .distinct().persist())
+    labels = (und.select(F.col("a").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        msgs = (und.join(labels.withColumnRenamed("id", "a"), on="a")
+                .select(F.col("b").alias("id"), "label"))
+        new = (labels.unionByName(msgs).groupBy("id")
+               .agg(F.min("label").alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("label", "_old"), on="id")
+                   .filter(F.col("label") != F.col("_old")).limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("id", F.col("label").alias("component"))

@@ -1107,6 +1107,42 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash-band candidate pairs → connected
+    components → canonical component id per document (transitive dups
+    share one canonical id — the step pairwise dedup can't provide)."""
+    from .ops.dedup import minhash_band_pairs, connected_components
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_band_pairs(docs, "text", "doc_id",
+                               k=3, n_hashes=8, bands=8)
+    comp = connected_components(pairs)
+    return (docs.select("doc_id")
+            .join(comp.withColumnRenamed("id", "doc_id"), on="doc_id",
+                  how="left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("component")))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_SHINGLES_CTE},
+{_sql_minhash_cte(8)},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b ON a.h = b.h AND a.mh = b.mh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a),
+comp AS (SELECT src AS id, least(src, min(dst)) AS component
+         FROM reach GROUP BY src)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def q_sq8_quantize(spark, sf_dir):
     """SQ8 scalar quantization of the embeddings table: per-dim codebook
     from one tiny aggregate, then a shuffle-free map-side encode — the
@@ -1504,6 +1540,7 @@ QUERIES = {
     "ann_search_selective": q_ann_search_selective,
     "dedup_exact": q_dedup_exact,
     "minhash_bands": q_minhash_bands,
+    "dedup_clusters": q_dedup_clusters,
     "near_dup_embedding": q_near_dup_embedding,
     "ivf_ann": q_ivf_ann,
     "recall_eval": q_recall_eval,
@@ -1550,6 +1587,7 @@ def oracle_sql_map() -> dict[str, str]:
         "hamming_pairs": sql_hamming_pairs(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_bands": SQL_MINHASH_BANDS,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "near_dup_embedding": SQL_NEAR_DUP,
         "ivf_ann": SQL_IVF,
         "recall_eval": SQL_RECALL,

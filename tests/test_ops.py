@@ -428,3 +428,15 @@ def test_sq8_topk_compressed_refine(spark, clustered):
     hits = sum(len(ex[qid] & {r.id for r in rows})
                for qid, rows in by_q.items())
     assert hits >= 70  # recall@5 >= 0.93 over 15 queries
+
+
+def test_connected_components_transitive(spark):
+    from fspann_query_system_spark.ops.dedup import connected_components
+    # chain 1-2-3 (1 and 3 never paired directly), island 7-8, singleton-
+    # free: only ids in pairs appear
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13)],
+        "id_a LONG, id_b LONG")
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7,
+                    10: 10, 11: 10, 12: 10, 13: 10}

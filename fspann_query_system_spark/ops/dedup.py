@@ -390,37 +390,108 @@ def simhash(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 50,
+                         stats: dict | None = None) -> DataFrame:
     """(id, component) for every id in ``pairs``; component = the minimum
-    id reachable through the pair graph (min-label propagation).
+    id reachable through the pair graph.
 
     This is the step that turns pairwise near-dup evidence into
     *canonical document assignment*: transitive duplicates (A≈B, B≈C,
     A̸≈C) must share one canonical id, which no pairwise operator gives.
 
-    Plan per round: one shuffle join (labels flow one hop along edges) +
-    one min-aggregate; the frontier is localCheckpoint-ed so the lineage
-    does not grow with iterations.  Rounds = O(component diameter) —
-    near-dup graphs from banding are clique-ish with tiny diameters, so
-    2–4 rounds in practice.  For adversarial long-chain graphs at scale,
-    the same join primitive supports the large-star/small-star
-    alternation (O(log n) rounds); diameter-bound propagation is the
-    right default for dedup workloads."""
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    und = (e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-           .distinct().persist())
-    labels = (und.select(F.col("a").alias("id")).distinct()
-              .withColumn("label", F.col("id")))
+    Algorithm: alternating large-star / small-star contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+
+      large-star  — every node links each strictly-larger neighbor to
+                    the minimum of its closed neighborhood;
+      small-star  — edges re-orient larger→smaller, then every node
+                    links its smaller neighbors and itself to that
+                    minimum.
+
+    Each half-step is one groupBy-min plus one join over the CURRENT
+    edge set — which contracts geometrically as stars collapse — and the
+    alternation reaches the fixpoint in O(log n) rounds on ANY topology,
+    vs O(diameter) for min-label propagation (a 10³-deep chain of
+    gradually-drifting boilerplate converges in ~10 rounds, not 10³).
+    Per round there is exactly ONE materializing action (the
+    localCheckpoint truncating lineage) plus one tiny aggregate over the
+    just-checkpointed blocks that tests the fixpoint STRUCTURALLY: the
+    edge set is a disjoint union of stars iff no node both points
+    somewhere and is pointed at, and no node carries two roots — and a
+    star set is provably invariant under both steps.  Testing the
+    current round's output directly fires one round earlier than
+    comparing signatures across rounds, and never joins against the
+    previous state.  At the fixpoint every surviving edge IS a (member,
+    component-min) label, so the labeling falls out of the last edge set
+    without a propagation pass.
+
+    Raises RuntimeError if ``max_iter`` rounds pass without reaching the
+    fixpoint — a partially-contracted labeling must never be consumed as
+    correct.  Pass ``stats={}`` to receive {"rounds": r} back (used by
+    the convergence-rate tests)."""
+    # canonical initial edge set, checkpointed once: every round reads e
+    # twice (union with its swap / join with its min table) and the
+    # upstream plan (e.g. minhash banding) must not recompute per read
+    e0 = (pairs.select(F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+                       F.least(F.col(id_a), F.col(id_b)).alias("v"))
+          .distinct().localCheckpoint(eager=True))
+    singles = e0.filter(F.col("u") == F.col("v")).select("u")
+    e = e0.filter(F.col("u") != F.col("v"))
+    converged, rounds = False, 0
     for _ in range(max_iter):
-        msgs = (und.join(labels.withColumnRenamed("id", "a"), on="a")
-                .select(F.col("b").alias("id"), "label"))
-        new = (labels.unionByName(msgs).groupBy("id")
-               .agg(F.min("label").alias("label"))
-               .localCheckpoint(eager=True))
-        changed = (new.join(labels.withColumnRenamed("label", "_old"), on="id")
-                   .filter(F.col("label") != F.col("_old")).limit(1).count())
-        labels = new
-        if changed == 0:
+        rounds += 1
+        # -- large-star: m = min over closed neighborhood; larger
+        #    neighbors re-attach to m
+        und = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mn_l = und.groupBy("u").agg(F.min("v").alias("_mn"))
+        # no distinct here: duplicate ls edges cannot multiply (the next
+        # join is against a one-row-per-key min table) and the ss-side
+        # distinct collapses them — saves one full-edge shuffle per round
+        ls = (und.join(mn_l, on="u")
+              .filter(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("_nu"),
+                      F.least(F.col("u"), F.col("_mn")).alias("_nv"))
+              .filter(F.col("_nu") != F.col("_nv"))
+              .select(F.col("_nu").alias("u"), F.col("_nv").alias("v")))
+        # -- small-star: ls already satisfies u > v (neighbor > center >=
+        #    min), so the larger→smaller orientation is free; smaller
+        #    neighbors and the center all attach to the minimum
+        mn_s = ls.groupBy("u").agg(F.min("v").alias("_mn"))
+        ss = (ls.join(mn_s, on="u")
+              .filter(F.col("v") != F.col("_mn"))
+              .select(F.col("v").alias("_nu"), F.col("_mn").alias("_nv"))
+              .unionByName(mn_s.select(F.col("u").alias("_nu"),
+                                       F.col("_mn").alias("_nv")))
+              .distinct()
+              .select(F.col("_nu").alias("u"), F.col("_nv").alias("v")))
+        e = ss.localCheckpoint(eager=True)
+        # star test: member rows map n -> its root, root rows map n -> n;
+        # any node with two distinct images breaks star-ness (either it
+        # carries two roots, or it is both member and root)
+        not_star = (e.select(F.col("u").alias("n"), F.col("v").alias("root"))
+                    .unionByName(e.select(F.col("v").alias("n"),
+                                          F.col("v").alias("root")))
+                    .groupBy("n")
+                    .agg(F.count_distinct("root").alias("nr"))
+                    .filter(F.col("nr") > 1).limit(1).count())
+        if not_star == 0:
+            converged = True
             break
-    und.unpersist()
-    return labels.select("id", F.col("label").alias("component"))
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach the star fixpoint in "
+            f"{max_iter} rounds — refusing to return a partially "
+            f"contracted labeling")
+    # fixpoint edges are (member, root): members each carry exactly one
+    # root, roots never appear on the left.  Self-pairs in the input
+    # label any otherwise-isolated node with itself; the min-agg folds
+    # every source together.
+    return (e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+            .unionByName(e.select(F.col("v").alias("id"),
+                                  F.col("v").alias("component")))
+            .unionByName(singles.select(F.col("u").alias("id"),
+                                        F.col("u").alias("component")))
+            .groupBy("id").agg(F.min("component").alias("component")))

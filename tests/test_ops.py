@@ -440,3 +440,38 @@ def test_connected_components_transitive(spark):
     comp = {r.id: r.component for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7,
                     10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_connected_components_long_chain(spark):
+    """Adversarial path graph (diameter 599): large-star/small-star must
+    converge in O(log n) rounds, where min-label propagation would need
+    one round per hop (and silently truncate at max_iter)."""
+    from fspann_query_system_spark.ops.dedup import connected_components
+    n = 600
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a LONG, id_b LONG")
+    stats = {}
+    comp = {r.id: r.component
+            for r in connected_components(pairs, stats=stats).collect()}
+    assert comp == {i: 0 for i in range(n)}
+    # ~2*log2(n) + fixpoint-detection round; 16 leaves slack over the
+    # observed count while still excluding any O(diameter) behavior
+    assert stats["rounds"] <= 16, stats
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from fspann_query_system_spark.ops.dedup import connected_components
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  "id_a LONG, id_b LONG")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(pairs, max_iter=1)
+
+
+def test_connected_components_self_pairs_and_empty(spark):
+    from fspann_query_system_spark.ops.dedup import connected_components
+    pairs = spark.createDataFrame([(5, 5), (1, 2), (2, 2)],
+                                  "id_a LONG, id_b LONG")
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 5: 5}
+    empty = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    assert connected_components(empty).count() == 0

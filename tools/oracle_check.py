@@ -29,6 +29,11 @@ def norm(v):
     this must catch; Python's 6.0 == 6 would mask it)."""
     if hasattr(v, "item"):          # numpy scalar -> python, keeping the class
         v = v.item()
+    # Spark None and DuckDB NULL (float NaN through fetchdf) must land on
+    # one sentinel: NaN != NaN would otherwise fail every comparison and
+    # make the row sort order-fragile.
+    if v is None or (isinstance(v, float) and v != v):
+        return ("n",)
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, int):

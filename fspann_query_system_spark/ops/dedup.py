@@ -265,31 +265,54 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     other scale route is composing with ``minhash_band_pairs`` to
     restrict the pair set first (see tests/test_facade.py).
 
-    Shingles are collapsed to 64-bit hashes BEFORE the self-join: every
-    shuffle then moves (id, long) rows instead of (id, ~25-byte string)
-    and the join compares longs, ~1.5x at sf0.1 and growing with shingle
-    width.  Per-document dedup is map-side (``shingle_table`` uses
-    array_distinct — no global exchange).  A hash collision would merge
-    two distinct shingles (P ≈ n²/2⁶⁴ — at even 10¹⁰ corpus shingles
-    that is ~0.005, and per-pair effect is one count); exactness at gate
-    scale is covered by the oracle match."""
+    Shingles are collapsed to 64-bit hashes up front: every shuffle then
+    moves (id, long) rows instead of (id, ~25-byte string), ~1.5x at
+    sf0.1 and growing with shingle width.  Per-document dedup is
+    map-side (``shingle_table`` uses array_distinct — no global
+    exchange).  A hash collision would merge two distinct shingles
+    (P ≈ n²/2⁶⁴ — at even 10¹⁰ corpus shingles that is ~0.005, and
+    per-pair effect is one count); exactness at gate scale is covered by
+    the oracle match.
+
+    Physical plan: with ``max_df`` (the scale mode) the shingle rows
+    shuffle ONCE into per-shingle posting lists; the df cap is an array-
+    size filter on the grouped rows (no separate frequency pass or
+    anti-join), and the ≤ max_df-bounded lists expand to ordered pairs
+    map-side.  Intermediates are localCheckpoint-ed, not persist-ed:
+    checkpoint blocks are released when the plan is garbage-collected,
+    where CacheManager-registered persists leak until an explicit
+    unpersist (repeated registry/bench invocations accumulated blocks)."""
     sh = (shingle_table(df, text_col, id_col, k, dedupe=True)
-          .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-          .persist())   # persist BEFORE the df pass or shingling runs twice
+          .select(F.col(id_col), F.xxhash64("shingle").alias("shingle")))
     if max_df is not None:
-        # partial (map-side) aggregation absorbs hot shingles; a window
-        # count over partitionBy(shingle) would put a hot shingle's whole
-        # row set in one task — the very skew this cap exists to kill
-        freq = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-                .filter(F.col("_df") > max_df).select("shingle"))
-        sh = (sh.join(F.broadcast(freq), on="shingle", how="left_anti")
-              .persist())
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (a.join(b, on="shingle")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+        posting = (sh.groupBy("shingle")
+                   .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+                   .filter(F.size("_ids") <= max_df)
+                   .select("_ids")
+                   .localCheckpoint(eager=True))   # read twice: sizes + pairs
+        sizes = (posting.select(F.explode("_ids").alias(id_col))
+                 .groupBy(id_col).agg(F.count("*").alias("sz")))
+        pair_structs = F.flatten(F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+        inter = (posting.filter(F.size("_ids") >= 2)
+                 .select(F.explode(pair_structs).alias("p"))
+                 .select(F.col("p.id_a").alias("id_a"),
+                         F.col("p.id_b").alias("id_b"))
+                 .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
+    else:
+        # uncapped exact mode: posting lists are unbounded (one hot
+        # shingle would make a single giant array row), so pair the rows
+        # with a shingle-keyed self-join instead
+        shc = sh.localCheckpoint(eager=True)      # read 3x: sizes + a + b
+        sizes = shc.groupBy(id_col).agg(F.count("*").alias("sz"))
+        a = shc.select(F.col(id_col).alias("id_a"), "shingle")
+        b = shc.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (a.join(b, on="shingle")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
     out = (inter
            .join(F.broadcast(sizes.select(F.col(id_col).alias("id_a"),
                                           F.col("sz").alias("sz_a"))), "id_a")

@@ -50,7 +50,14 @@ def cosine_topk(base: DataFrame, queries: DataFrame, k: int = 10,
             frames = []
             for qi in range(len(q_ids_)):
                 s = sims[:, qi]
-                part = np.argpartition(-s, kk - 1)[:kk] if kk < n else np.arange(n)
+                if kk < n:
+                    # tie-inclusive cut (see query/exact.py): boundary
+                    # ties must all survive or the result depends on
+                    # batch partitioning
+                    kth = -np.partition(-s, kk - 1)[kk - 1]
+                    part = np.flatnonzero(s >= kth)
+                else:
+                    part = np.arange(n)
                 frames.append(pd.DataFrame({
                     "q_id": np.full(len(part), q_ids_[qi], dtype=np.int64),
                     "id": ids[part], "cosine": s[part]}))
@@ -295,7 +302,12 @@ def sq8_topk(base: DataFrame, queries: DataFrame, mins: list, maxs: list,
             for qi in range(len(q_ids_)):
                 d2 = np.square(R - Q_[qi]).sum(axis=1)
                 if take < n:
-                    part = np.argpartition(d2, take - 1)[:take]
+                    # tie-inclusive cut: duplicated vectors yield equal
+                    # codes AND equal exact distances, so an arbitrary
+                    # boundary subset would make the shortlist (and the
+                    # final top-k) depend on batch partitioning
+                    kth = np.partition(d2, take - 1)[take - 1]
+                    part = np.flatnonzero(d2 <= kth)
                 else:
                     part = np.arange(n)
                 frames.append(pd.DataFrame({

@@ -68,7 +68,12 @@ def knn_exact(base: DataFrame, queries: DataFrame, k: int = 10,
             for qi in range(nq):
                 d2 = np.square(B - Q_[qi]).sum(axis=1)             # (n,)
                 if kk < n:
-                    part = np.argpartition(d2, kk - 1)[:kk]
+                    # tie-inclusive cut: emit EVERY row at the boundary
+                    # value, else which duplicate survives would depend
+                    # on batch partitioning (downstream (distance, id)
+                    # window picks the deterministic winner)
+                    kth = np.partition(d2, kk - 1)[kk - 1]
+                    part = np.flatnonzero(d2 <= kth)
                 else:
                     part = np.arange(n)
                 out_q.append(np.full(len(part), q_ids_[qi], dtype=np.int64))

@@ -430,6 +430,41 @@ def test_sq8_topk_compressed_refine(spark, clustered):
     assert hits >= 70  # recall@5 >= 0.93 over 15 queries
 
 
+def test_topk_boundary_ties_deterministic(spark):
+    """Duplicated vectors put exact ties on the partial-top-k boundary:
+    every kernel must return the lowest-id winners regardless of how the
+    base table is partitioned (tie-inclusive batch cut + (score, id)
+    window)."""
+    from fspann_query_system_spark.query.exact import knn_exact
+    from fspann_query_system_spark.ops.similarity import (sq8_topk,
+                                                          sq8_stats)
+    # 40 identical vectors + 2 distinct closer ones
+    rows = ([(i, [1.0, 1.0, 1.0, 1.0]) for i in range(40)]
+            + [(100, [0.5, 0.5, 0.5, 0.5]), (101, [0.4, 0.4, 0.4, 0.4])])
+    q = spark.createDataFrame([(0, [0.0, 0.0, 0.0, 0.0])],
+                              "q_id LONG, vector ARRAY<DOUBLE>")
+    expect_knn = {101, 100} | set(range(8))   # closest two, then lowest ids
+    for nparts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>") \
+                  .repartition(nparts)
+        got = {r.id for r in knn_exact(df, q, k=10).collect()}
+        assert got == expect_knn, (nparts, sorted(got))
+        mins, maxs = sq8_stats(df)
+        got8 = {r.id for r in sq8_topk(df, q, mins, maxs, k=10,
+                                       rerank=1).collect()}
+        assert got8 == expect_knn, (nparts, sorted(got8))
+    # cosine: all 40 dups have cosine 1.0 with the query direction
+    from fspann_query_system_spark.ops.similarity import cosine_topk
+    qc = spark.createDataFrame([(0, [1.0, 1.0, 1.0, 1.0])],
+                               "q_id LONG, vector ARRAY<DOUBLE>")
+    for nparts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>") \
+                  .repartition(nparts)
+        got = {r.id for r in cosine_topk(df, qc, k=10).collect()}
+        # every vector is parallel to the query -> pure id tie-break
+        assert got == set(range(10)), (nparts, sorted(got))
+
+
 def test_connected_components_transitive(spark):
     from fspann_query_system_spark.ops.dedup import connected_components
     # chain 1-2-3 (1 and 3 never paired directly), island 7-8, singleton-

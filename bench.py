@@ -41,6 +41,7 @@ HEADLINE = [
     "minhash_bands",
     "dedup_clusters",
     "near_dup_embedding",
+    "near_dup_lsh",
     "sq8_quantize",
     "sq8_ann",
     "ivf_ann",

@@ -1254,6 +1254,50 @@ WHERE list_cosine_similarity(a.v, b.v) >= {NEAR_DUP_THRESHOLD}
 """
 
 
+NEAR_DUP_LSH_THRESHOLD = 0.3
+
+
+def q_near_dup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup — the 100TB path certified by the
+    driver gate: candidate pairs come from co-location in >= 1 LSH
+    partition of the flagship AnnIndex (bucketed equi-join; the all-pairs
+    product never materializes), then exact cosine verifies each
+    candidate.  Shares the flagship fitted params so the gate's pair set
+    is reproducible in the generated SQL oracle."""
+    from .query.ann import AnnIndex
+    from .ops.similarity import embedding_near_dups
+    base = _emb(spark, sf_dir)
+    params = _ann_params(sf_dir, FLAGSHIP_CFG, _FLAGSHIP_CACHE)
+    idx = AnnIndex.build(base, params.cfg, params=params)
+    return embedding_near_dups(base, NEAR_DUP_LSH_THRESHOLD, index=idx)
+
+
+def sql_near_dup_lsh(params: LshParams, threshold: float) -> str:
+    """Generated DuckDB oracle for the LSH-bucketed near-dup pair set:
+    code-key CTE (bit-exact ``code_family`` reproduction) → greedy block
+    assignment (part_idx = rn // block_size over (code_key, id) order,
+    the ``build_partitions`` layout) → distinct co-located pairs → exact
+    cosine verification."""
+    bs = params.cfg.block_size
+    return f"""
+WITH {_sql_code_key_cte(params)},
+ranked AS (
+  SELECT id, "table", division,
+         row_number() OVER (PARTITION BY "table", division
+                            ORDER BY code_key, id) - 1 AS rn
+  FROM keys),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM ranked a JOIN ranked b
+    ON a."table" = b."table" AND a.division = b.division
+   AND a.rn // {bs} = b.rn // {bs} AND a.id < b.id)
+SELECT p.id_a, p.id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+FROM pairs p JOIN e ea ON ea.id = p.id_a JOIN e eb ON eb.id = p.id_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+"""
+
+
 # ===========================================================================
 # IVF similarity search + evaluation metrics (A5/A6 shapes with full oracle)
 # ===========================================================================
@@ -1542,6 +1586,7 @@ QUERIES = {
     "minhash_bands": q_minhash_bands,
     "dedup_clusters": q_dedup_clusters,
     "near_dup_embedding": q_near_dup_embedding,
+    "near_dup_lsh": q_near_dup_lsh,
     "ivf_ann": q_ivf_ann,
     "recall_eval": q_recall_eval,
     "version_census": q_version_census,
@@ -1606,4 +1651,7 @@ def oracle_sql_map() -> dict[str, str]:
         "ann_search_selective": sql_ann_search(
             _ann_params(ORACLE_SF_DIR, SELECTIVE_CFG, _SELECTIVE_CACHE),
             N_VEC_QUERIES),
+        "near_dup_lsh": sql_near_dup_lsh(
+            _ann_params(ORACLE_SF_DIR, FLAGSHIP_CFG, _FLAGSHIP_CACHE),
+            NEAR_DUP_LSH_THRESHOLD),
     }

@@ -933,11 +933,29 @@ def _ann_params(sf_dir: str, cfg: LshConfig, cache: dict) -> LshParams:
     return cache[sf_dir]
 
 
+_INDEX_CACHE: dict = {}
+
+
+def _ann_index(spark, sf_dir: str, cfg: LshConfig, cache: dict):
+    """One AnnIndex per (session, sf_dir, config), shared by every
+    registry query over that index — the production shape: coding +
+    greedy partitioning happen once at ingest, queries then share the
+    persisted routing state (ann_search and near_dup_lsh read the SAME
+    index, exactly like the reference's long-lived
+    ``PartitionedIndexService``)."""
+    from .query.ann import AnnIndex
+    key = (id(spark), sf_dir, repr(cfg))
+    if key not in _INDEX_CACHE:
+        base = _emb(spark, sf_dir)
+        params = _ann_params(sf_dir, cfg, cache)
+        _INDEX_CACHE[key] = AnnIndex.build(base, params.cfg, params=params)
+    return _INDEX_CACHE[key]
+
+
 def _q_ann(spark, sf_dir, cfg: LshConfig, cache: dict):
-    from .query.ann import AnnIndex, search_batch
+    from .query.ann import search_batch
     base = _emb(spark, sf_dir)
-    params = _ann_params(sf_dir, cfg, cache)
-    idx = AnnIndex.build(base, params.cfg, params=params)
+    idx = _ann_index(spark, sf_dir, cfg, cache)
     queries = (base.filter(F.col("id") < N_VEC_QUERIES)
                .select(F.col("id").alias("q_id"), "vector"))
     return (search_batch(idx, queries, k=10)
@@ -1264,11 +1282,9 @@ def q_near_dup_lsh(spark, sf_dir):
     product never materializes), then exact cosine verifies each
     candidate.  Shares the flagship fitted params so the gate's pair set
     is reproducible in the generated SQL oracle."""
-    from .query.ann import AnnIndex
     from .ops.similarity import embedding_near_dups
     base = _emb(spark, sf_dir)
-    params = _ann_params(sf_dir, FLAGSHIP_CFG, _FLAGSHIP_CACHE)
-    idx = AnnIndex.build(base, params.cfg, params=params)
+    idx = _ann_index(spark, sf_dir, FLAGSHIP_CFG, _FLAGSHIP_CACHE)
     return embedding_near_dups(base, NEAR_DUP_LSH_THRESHOLD, index=idx)
 
 

@@ -53,6 +53,9 @@ class AnnIndex:
     encrypted: bool = False
     decrypt_fn: object = None   # callable df -> df adding "vector" (crypto layer)
     _routing_bc: object = None
+    sq8_codes: DataFrame = None     # (id, codes ARRAY<INT>) compressed shadow
+    sq8_mins: object = None         # per-dim codebook (lists of float)
+    sq8_maxs: object = None
 
     @classmethod
     def build(cls, vectors: DataFrame, cfg: LshConfig,
@@ -74,6 +77,29 @@ class AnnIndex:
         points = vectors.select(F.col(id_col).alias("id"),
                                 F.col(vector_col).alias("vector"))
         return cls(params=params, codes=codes_p, bounds=bounds, points=points)
+
+    def with_sq8(self) -> "AnnIndex":
+        """Attach an SQ8 compressed shadow of the payload vectors (4x
+        smaller than float32, 8x than float64): ``search_batch(...,
+        sq8_rerank=r)`` then ranks hamming-kept candidates on the codes
+        and decrypts/scores only the top k*r per query, cutting AES work
+        by refinement_limit/(k*r) at matched recall (the reference
+        decrypts EVERY kept candidate, ``QueryServiceImpl.java:219-271``).
+
+        Call on the plaintext index BEFORE ``with_encrypted_points`` —
+        the shadow derives from plaintext at ingest, exactly like the
+        LSH codes (same leakage class as the routing state: both are
+        deterministic functions of the vector kept server-side).  One
+        stats aggregate + one map-side encode, computed once."""
+        from dataclasses import replace
+        from ..ops.similarity import sq8_stats, sq8_quantize
+        if self.encrypted:
+            raise ValueError("with_sq8 must run on the plaintext index "
+                             "(before with_encrypted_points)")
+        mins, maxs = sq8_stats(self.points, "vector")
+        codes = (sq8_quantize(self.points, mins, maxs)
+                 .select("id", "codes").persist())
+        return replace(self, sq8_codes=codes, sq8_mins=mins, sq8_maxs=maxs)
 
     def with_encrypted_points(self, encrypted: DataFrame, keys_bc,
                               mode: str = "skip") -> "AnnIndex":
@@ -429,19 +455,64 @@ def _route_probes_join(q_codes: DataFrame, bounds: DataFrame,
                     F.col("part_ham").cast("long").alias("part_ham")))
 
 
+def _sq8_shortlist(index: AnnIndex, kept: DataFrame, qv: DataFrame,
+                   limit: int) -> DataFrame:
+    """Rank hamming-kept candidates by SQ8-reconstructed L2 and keep the
+    ``limit`` best per query → (q_id, id).
+
+    Plan: kept ⋈ sq8_codes on id (the only shuffle that moves codes — and
+    it moves ≤ Q·refinement_limit rows of 1-byte/dim arrays, not vectors),
+    broadcast-join the query vectors, one Arrow kernel for the batched
+    reconstruction+distance, then a per-query (d2, id) window.  Runs
+    strictly BEFORE the payload join, so the decrypt stage sees only
+    limit/refinement_limit of the candidates."""
+    spark = kept.sparkSession
+    mn = np.array(index.sq8_mins, dtype=np.float64)
+    rg = np.array(index.sq8_maxs, dtype=np.float64) - mn
+    bc = spark.sparkContext.broadcast((mn, rg))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mn_, rg_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.vstack([np.asarray(c, dtype=np.float64)
+                           for c in pdf["codes"].to_numpy()])
+            Qm = np.vstack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["_qvec"].to_numpy()])
+            d2 = np.square(mn_ + C / 255.0 * rg_ - Qm).sum(axis=1)
+            yield pd.DataFrame({"q_id": pdf["q_id"], "id": pdf["id"],
+                                "_ad": d2})
+
+    id_type = index.sq8_codes.schema["id"].dataType.simpleString()
+    approx = (kept.join(index.sq8_codes, on="id")
+              .join(F.broadcast(qv), on="q_id")
+              .select("q_id", "id", "codes", "_qvec")
+              .mapInPandas(run, schema=f"q_id BIGINT, id {id_type}, _ad DOUBLE"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_ad").asc(), F.col("id").asc())
+    return (approx.withColumn("_sr", F.row_number().over(w))
+            .filter(F.col("_sr") <= limit).select("q_id", "id"))
+
+
 def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
                  probes: int | None = None,
                  refinement_limit: int | None = None,
                  hamming_threshold: int | None = None,
                  q_id_col: str = "q_id", q_vector_col: str = "vector",
-                 routing_mode: str = "broadcast") -> DataFrame:
+                 routing_mode: str = "broadcast",
+                 sq8_rerank: int | None = None) -> DataFrame:
     """Top-k ANN for a whole query set → (q_id, id, distance, rank).
 
     ``routing_mode``: "broadcast" (default) collects the bounds once and
     binary-searches them in executors — right whenever the bounds fit the
     driver (≲ low-GB; up to ~100M-vector per-(t,d) scale).  "join" keeps
     routing fully distributed (:func:`_route_probes_join`) for bounds
-    tables past the broadcast budget; identical output (tested)."""
+    tables past the broadcast budget; identical output (tested).
+
+    ``sq8_rerank``: with an index built ``.with_sq8()``, rank the
+    hamming-kept candidates on the SQ8 shadow first and decrypt/score
+    only the best k*sq8_rerank per query (compressed-refine; see
+    :meth:`AnnIndex.with_sq8`)."""
     cfg = index.params.cfg
     probes = probes or cfg.probes
     refinement_limit = refinement_limit or cfg.refinement_limit
@@ -472,13 +543,21 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
     kept = (cand.withColumn("_cr", F.row_number().over(w))
             .filter(F.col("_cr") <= refinement_limit).drop("_cr"))
 
+    qv = q.withColumnRenamed("vector", "_qvec")
+
+    # optional compressed-refine: approximate rank on the SQ8 shadow,
+    # so the decrypt/score stage below touches only k*sq8_rerank rows
+    if sq8_rerank is not None:
+        if index.sq8_codes is None:
+            raise ValueError(
+                "sq8_rerank requires an index built with .with_sq8()")
+        kept = _sq8_shortlist(index, kept, qv, k * sq8_rerank)
+
     # J1: candidates ⋈ payloads; decrypt only survivors (C5 after O5).
     if index.encrypted:
         scored_src = index.decrypt_fn(kept.join(index.points, on="id"))
     else:
         scored_src = kept.join(index.points, on="id")
-
-    qv = q.withColumnRenamed("vector", "_qvec")
     scored = (scored_src.join(F.broadcast(qv), on="q_id")
               .withColumn("distance", l2_expr("_qvec", "vector")))
 

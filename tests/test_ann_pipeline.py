@@ -143,6 +143,44 @@ def test_search_survives_corrupt_ciphertexts(spark, clustered):
     assert {r.q_id for r in res} == {0, 500, 999}     # every query answered
 
 
+def test_sq8_prefilter_encrypted_path(spark, clustered, queries):
+    """Compressed-refine inside the encrypted search: rank hamming-kept
+    candidates on the SQ8 shadow, decrypt only top k*rerank — results
+    must track the full-decrypt path (identical here: 8-bit codes on
+    well-separated clusters preserve the candidate order)."""
+    from fspann_query_system_spark.crypto.keys import KeyManager
+    from fspann_query_system_spark.crypto.aes import encrypt_vectors
+    df, X = clustered
+    cfg = LshConfig(dim=16, m=8, lam=2, tables=4, divisions=2, seed=42,
+                    block_size=32, probes=5, refinement_limit=400)
+    km = KeyManager(master=bytes(32))
+    bc = spark.sparkContext.broadcast(km.key_map())
+    enc = encrypt_vectors(df, bc, 1)
+    idx = (AnnIndex.build(df, cfg).with_sq8()
+           .with_encrypted_points(enc, bc, mode="skip"))
+    full = search_batch(idx, queries, k=10)
+    pre = search_batch(idx, queries, k=10, sq8_rerank=4)
+    hits = (pre.select("q_id", "id")
+            .join(full.select("q_id", "id"), ["q_id", "id"]).count())
+    n = full.count()
+    assert n > 0 and hits / n >= 0.95, (hits, n)
+    # exact self-hit survives the compressed shortlist
+    self_q = df.filter(F.col("id") < 3).select(
+        F.col("id").alias("q_id"), "vector")
+    top = {(r.q_id, r.rank): (r.id, r.distance)
+           for r in search_batch(idx, self_q, k=3, sq8_rerank=2).collect()}
+    for qid in range(3):
+        sid, sdist = top[(qid, 1)]
+        assert sid == qid and sdist == 0.0
+    # guard: sq8_rerank without the shadow must raise
+    bare = AnnIndex.build(df, cfg)
+    with pytest.raises(ValueError, match="with_sq8"):
+        search_batch(bare, queries, k=10, sq8_rerank=4)
+    # and with_sq8 after encryption must raise (shadow needs plaintext)
+    with pytest.raises(ValueError, match="plaintext"):
+        idx.with_sq8()
+
+
 def test_join_routing_matches_broadcast(index, queries):
     """routing_mode="join" (the >broadcast-budget fallback) must produce
     byte-identical results to the broadcast binary-search path."""

@@ -269,6 +269,84 @@ def test_real_wav_codec_and_decoder_injection(spark):
     assert out[1] != stub[1]                  # decoder actually took effect
 
 
+def _png_bytes(arr: np.ndarray, filters=None) -> bytes:
+    """Minimal pure-Python PNG encoder (8-bit RGB) for codec tests —
+    each scanline stored under the filter type ``filters[y]`` (0=None,
+    1=Sub, 2=Up, 3=Average, 4=Paeth)."""
+    import struct
+    import zlib
+    h, w, _ = arr.shape
+    raw = b""
+    prev = np.zeros(w * 3, dtype=int)
+    for y in range(h):
+        cur = arr[y].reshape(-1).astype(int)
+        f = filters[y % len(filters)] if filters else 0
+        a = np.concatenate([[0, 0, 0], cur[:-3]])
+        if f == 0:
+            line = cur
+        elif f == 1:
+            line = (cur - a) % 256
+        elif f == 2:
+            line = (cur - prev) % 256
+        elif f == 3:
+            line = (cur - (a + prev) // 2) % 256
+        else:
+            c = np.concatenate([[0, 0, 0], prev[:-3]])
+            p = a + prev - c
+            pred = np.where((abs(p - a) <= abs(p - prev))
+                            & (abs(p - a) <= abs(p - c)), a,
+                            np.where(abs(p - prev) <= abs(p - c), prev, c))
+            line = (cur - pred) % 256
+        raw += bytes([f]) + bytes(line.astype(np.uint8))
+        prev = cur
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_stdlib_decode_roundtrip():
+    """The stdlib PNG codec must reconstruct exact pixels through every
+    scanline filter type — this is the real-image branch CI exercises in
+    a container without PIL."""
+    from fspann_query_system_spark.ops.multimodal import _decode_image_png
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = _decode_image_png(_png_bytes(arr, filters), 0, 0)
+        assert np.array_equal(got, arr), filters
+    with pytest.raises(ValueError):
+        _decode_image_png(b"not a png", 0, 0)
+
+
+def test_png_default_dispatch_in_pipeline(spark):
+    """Without PIL, the DEFAULT image decoder decodes PNG payloads for
+    real (stub only for non-PNG): a solid-color PNG must produce exact
+    pooled statistics through image_features, and resize_images must
+    resample the true pixel grid."""
+    from fspann_query_system_spark.ops.multimodal import (
+        make_media_table, image_features, resize_images)
+    solid = np.full((6, 4, 3), 200, dtype=np.uint8)
+    grad = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    rows = [(1, _png_bytes(solid)), (2, _png_bytes(grad, [4])),
+            (3, b"opaque non-png payload")]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    media = make_media_table(df, "payload", "image")
+    feats = {r.media_id: r.feat
+             for r in image_features(media, feat_dim=16).collect()}
+    assert set(feats) == {1, 2, 3}            # non-PNG falls back to stub
+    # solid 200-image: every pooled mean is 200/255, every std is 0
+    assert abs(feats[1][0] - 200 / 255) < 1e-12 and abs(feats[1][1]) < 1e-12
+    out = {r.media_id: r.content for r in resize_images(media, 2, 2).collect()}
+    assert len(out[1]) == 2 * 2 * 3
+    assert set(bytes(out[1])) == {200}        # true pixels, not stub noise
+    # gradient image: resample picks rows 0/4, cols 0/4 of the REAL array
+    expect = grad[[0, 4]][:, [0, 4]].tobytes()
+    assert bytes(out[2]) == expect
+
+
 def test_pil_image_decode():
     """Runs only where PIL exists: the real-codec branch of the image
     decoder dispatch."""

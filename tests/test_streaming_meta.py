@@ -78,6 +78,76 @@ def test_tombstones_and_drift(spark):
     assert audit.meta_only == 2 and audit.points_only == 0
 
 
+def test_stateful_session_state_carries_across_batches(spark, tmp_path):
+    """Two file drops → two micro-batches (maxFilesPerTrigger=1): a
+    session spanning the batch boundary must CONTINUE (state carry), not
+    restart, and a later event past the gap must open a new session."""
+    import uuid
+    from fspann_query_system_spark.streaming.stateful import stateful_sessionize
+    src = str(tmp_path / "ev")
+    t0 = 1_700_000_000
+    batches = [
+        [(1, 100, t0), (1, 101, t0 + 10), (2, 200, t0)],
+        [(1, 102, t0 + 20),                  # continues session (gap 10 s)
+         (1, 103, t0 + 20 + 7200),           # > 30 min gap: new session
+         (2, 201, t0 + 7200)],
+    ]
+    for rows in batches:
+        df = (spark.createDataFrame(rows, "user_id LONG, event_id LONG, e LONG")
+              .select("user_id", "event_id",
+                      F.expr("timestamp_seconds(e)").alias("ts")))
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)     # distinct mod-times → deterministic batch order
+    stream = (spark.readStream
+              .schema("user_id LONG, event_id LONG, ts TIMESTAMP")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = "sess_mb_" + uuid.uuid4().hex[:8]
+    q = (stateful_sessionize(stream).writeStream.format("memory")
+         .queryName(name).outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    emits = spark.table(name).collect()
+    # user 1 touched in both micro-batches → two update-mode emits
+    assert sum(1 for r in emits if r.user_id == 1) == 2
+    final = {r.user_id: (r.n_sessions, r.n_events)
+             for r in spark.table(name).groupBy("user_id")
+             .agg(F.max("n_sessions").alias("n_sessions"),
+                  F.max("n_events").alias("n_events")).collect()}
+    assert final == {1: (2, 4), 2: (2, 2)}
+
+
+def test_streaming_dedup_state_across_batches(spark, tmp_path):
+    """Running dedup aggregate over two file drops: a duplicate arriving
+    in a LATER micro-batch must fold into the first batch's fingerprint
+    state (canonical id = min across batches, n_copies across batches)."""
+    import uuid
+    from fspann_query_system_spark.functions import text as T
+    src = str(tmp_path / "docs")
+    batches = [
+        [(10, "alpha beta gamma"), (11, "unique one")],
+        [(20, "ALPHA  beta   gamma"), (21, "another doc")],  # dup of 10
+    ]
+    for rows in batches:
+        (spark.createDataFrame(rows, "doc_id LONG, text STRING")
+         .coalesce(1).write.mode("append").parquet(src))
+        time.sleep(1.2)
+    stream = (spark.readStream.schema("doc_id LONG, text STRING")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = (stream
+           .select("doc_id", T.fingerprint_md5("text").alias("fingerprint"))
+           .groupBy("fingerprint")
+           .agg(F.min("doc_id").alias("canonical_id"),
+                F.count("*").alias("n_copies")))
+    name = "dedup_mb_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2          # really ran >1 micro-batch
+    rows = spark.table(name).collect()
+    by_canon = {r.canonical_id: r.n_copies for r in rows}
+    assert by_canon == {10: 2, 11: 1, 21: 1}
+
+
 def test_stateful_sessionization_matches_batch(spark):
     """applyInPandasWithState sessionizer over the finite events stream
     must end with exactly the batch plan's per-user session counts."""

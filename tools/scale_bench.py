@@ -89,12 +89,38 @@ def main():
         got.setdefault(r.q_id, set()).add(r.id)
     # exact oracle on a query subsample (numpy blocked)
     sub = qi[:50]
-    rec = []
-    for q in sub:
-        d2 = ((X - X[q]) ** 2).sum(1)
-        gt = set(np.argsort(d2, kind="stable")[:K].tolist())
-        rec.append(len(got.get(int(q), set()) & gt) / K)
-    print(f"recall@{K} over {len(sub)} queries: {np.mean(rec):.3f}", flush=True)
+
+    def recall_of(by_q: dict[int, set]) -> float:
+        rec = []
+        for q in sub:
+            d2 = ((X - X[q]) ** 2).sum(1)
+            gt = set(np.argsort(d2, kind="stable")[:K].tolist())
+            rec.append(len(by_q.get(int(q), set()) & gt) / K)
+        return float(np.mean(rec))
+
+    print(f"recall@{K} over {len(sub)} queries: {recall_of(got):.3f}",
+          flush=True)
+
+    # --- compressed-refine: SQ8 shadow ranks candidates, decrypt top k*r
+    t0 = time.time()
+    idx8 = idx.with_sq8()
+    idx8.sq8_codes.count()
+    print(f"sq8 shadow build (stats + encode {n}): {time.time()-t0:.1f}s",
+          flush=True)
+    idx8_enc = idx8.with_encrypted_points(enc, keys_bc)
+    for rerank in (4, 8):
+        t0 = time.time()
+        res8 = search_batch(idx8_enc, queries, k=K,
+                            sq8_rerank=rerank).collect()
+        dt = time.time() - t0
+        got8: dict[int, set] = {}
+        for r in res8:
+            got8.setdefault(r.q_id, set()).add(r.id)
+        print(f"encrypted search sq8_rerank={rerank} ({nq} queries): "
+              f"{dt:.1f}s = {1000*dt/nq:.0f} ms/query, "
+              f"recall@{K} {recall_of(got8):.3f} "
+              f"(decrypts {K*rerank}/{CFG['refinement_limit']} per query)",
+              flush=True)
 
 
 if __name__ == "__main__":

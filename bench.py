@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_clusters",
     "near_dup_embedding",
     "near_dup_lsh",
+    "kmeans_centroids",
     "sq8_quantize",
     "sq8_ann",
     "ivf_ann",

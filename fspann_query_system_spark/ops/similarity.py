@@ -151,7 +151,49 @@ def ivf_assign(base: DataFrame, centroids: DataFrame,
                           c_id_col, c_vector_col, keep_vector=True)
 
 
-def ivf_save(assigned: DataFrame, path: str) -> None:
+def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
+               id_col: str = "id", vector_col: str = "vector") -> DataFrame:
+    """Distributed Lloyd k-means for the IVF coarse quantizer →
+    (cell, vector) centroids after ``iters`` rounds.
+
+    Per round, the 100TB shape:
+      assign — map-side numpy against the broadcast centroid matrix
+               (:func:`_nearest_cells`: no crossJoin, no shuffle);
+      update — posexplode to (cell, pos, x) and ONE partial-aggregated
+               groupBy(cell, pos) avg: the shuffle carries k·dim rows,
+               never data rows.
+
+    Determinism across engines: init = the k lowest-id vectors; updated
+    centroid components are rounded to 6 decimals at each round boundary
+    (a quantized update — documented, mirrored in the SQL oracle) so
+    float-summation-order drift cannot butterfly into different
+    assignments next round; argmin ties break toward the lowest cell id
+    on both sides.  Cells left empty by a round keep their previous
+    centroid (mirrored in SQL via left join + coalesce)."""
+    # orderBy+limit is a distributed partial top-k (no global window);
+    # the single-task row_number then runs over k rows only
+    head = df.select(id_col, vector_col).orderBy(id_col).limit(k)
+    w0 = Window.orderBy(id_col)
+    cent = (head.withColumn("_rn", F.row_number().over(w0))
+            .select((F.col("_rn") - 1).cast("long").alias("id"),
+                    F.col(vector_col).alias("vector")))
+    for _ in range(iters):
+        assigned = _nearest_cells(df, cent, 1, id_col, vector_col,
+                                  "id", "vector", keep_vector=True)
+        upd = (assigned
+               .select("cell", F.posexplode(vector_col).alias("pos", "x"))
+               .groupBy("cell", "pos")
+               .agg(F.round(F.avg("x"), 6).alias("v"))
+               .groupBy("cell")
+               .agg(F.sort_array(F.collect_list(F.struct("pos", "v")))
+                    .alias("_s"))
+               .select(F.col("cell").alias("id"),
+                       F.transform("_s", lambda s: s["v"]).alias("vector")))
+        cent = (cent.alias("old")
+                .join(upd.alias("new"), on="id", how="left")
+                .select("id", F.coalesce(F.col("new.vector"),
+                                         F.col("old.vector")).alias("vector")))
+    return cent.select(F.col("id").alias("cell"), "vector")
     """Persist the assigned base set hive-partitioned by cell: a probe of
     nprobe cells then reads nprobe/|C| of the files — partition pruning
     does the scan elimination at 100TB (PartitionFilters in the scan

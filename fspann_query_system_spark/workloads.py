@@ -1318,6 +1318,61 @@ WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
 # IVF similarity search + evaluation metrics (A5/A6 shapes with full oracle)
 # ===========================================================================
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q_kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd k-means (the IVF coarse-quantizer trainer):
+    map-side assign against broadcast centroids, k*dim-row update
+    shuffle, quantized (6dp) round boundaries for cross-engine
+    determinism.  Output is the long-form centroid table."""
+    from .ops.similarity import kmeans_fit
+    cent = kmeans_fit(_emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS)
+    return (cent.select("cell", F.posexplode("vector").alias("pos", "v"))
+            .select("cell", "pos", F.round("v", 6).alias("v")))
+
+
+def sql_kmeans(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as chained CTEs: assign = argmin of the
+    long-form squared distance with (d2, cell) tie-break; update = 6dp-
+    rounded per-(cell, pos) mean; empty cells keep the previous centroid
+    (LEFT JOIN + coalesce, mirroring the Spark plan)."""
+    parts = [
+        "e AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        "ex AS (SELECT id, unnest(v) AS x, "
+        "unnest(range(0, len(v))) AS pos FROM e)",
+        f"init AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v "
+        f"FROM (SELECT * FROM e ORDER BY id LIMIT {k}))",
+        "c0 AS (SELECT cell, unnest(v) AS cv, "
+        "unnest(range(0, len(v))) AS pos FROM init)",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT ex.id, {prev}.cell, "
+            f"sum((ex.x - {prev}.cv) * (ex.x - {prev}.cv)) AS dd "
+            f"FROM ex JOIN {prev} USING (pos) GROUP BY 1, 2)")
+        parts.append(
+            f"a{i} AS (SELECT id, cell FROM ("
+            f"SELECT id, cell, row_number() OVER (PARTITION BY id "
+            f"ORDER BY dd, cell) AS rn FROM d{i}) WHERE rn = 1)")
+        parts.append(
+            f"u{i} AS (SELECT a{i}.cell, ex.pos, round(avg(ex.x), 6) AS cv "
+            f"FROM a{i} JOIN ex USING (id) GROUP BY 1, 2)")
+        parts.append(
+            f"c{i} AS (SELECT {prev}.cell, {prev}.pos, "
+            f"coalesce(u{i}.cv, {prev}.cv) AS cv "
+            f"FROM {prev} LEFT JOIN u{i} "
+            f"ON u{i}.cell = {prev}.cell AND u{i}.pos = {prev}.pos)")
+        prev = f"c{i}"
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT cell, CAST(pos AS INT) AS pos, "
+              f"round(cv, 6) AS v FROM {prev}")
+
+
 N_IVF_CENTROIDS = 16
 IVF_NPROBE = 2
 
@@ -1603,6 +1658,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "near_dup_embedding": q_near_dup_embedding,
     "near_dup_lsh": q_near_dup_lsh,
+    "kmeans_centroids": q_kmeans_centroids,
     "ivf_ann": q_ivf_ann,
     "recall_eval": q_recall_eval,
     "version_census": q_version_census,
@@ -1670,4 +1726,5 @@ def oracle_sql_map() -> dict[str, str]:
         "near_dup_lsh": sql_near_dup_lsh(
             _ann_params(ORACLE_SF_DIR, FLAGSHIP_CFG, _FLAGSHIP_CACHE),
             NEAR_DUP_LSH_THRESHOLD),
+        "kmeans_centroids": sql_kmeans(KMEANS_K, KMEANS_ITERS),
     }

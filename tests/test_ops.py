@@ -387,6 +387,44 @@ def test_ivf_topk_subset_and_self_hit(spark, clustered):
     assert hits >= 45  # recall@5 >= 0.9 over 10 queries
 
 
+def test_kmeans_fit_improves_ivf(spark, clustered):
+    """Lloyd training must move the coarse quantizer toward the true
+    cluster structure: mean point-to-nearest-centroid distance strictly
+    drops vs the naive first-k init, and IVF recall with trained
+    centroids matches or beats the untrained ones."""
+    from fspann_query_system_spark.ops.similarity import (kmeans_fit,
+                                                          ivf_topk)
+    from fspann_query_system_spark.query.exact import knn_exact
+    df, X = clustered
+    k = 8
+    naive = (df.filter(F.col("id") < k)
+             .select(F.col("id").alias("cell"), "vector"))
+    trained = kmeans_fit(df, k=k, iters=3)
+    assert trained.count() == k
+
+    def mean_min_d2(cent_df):
+        C = np.array([r.vector for r in
+                      cent_df.orderBy("cell").collect()], dtype=np.float64)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return float(d2.min(axis=1).mean())
+
+    assert mean_min_d2(trained) < 0.7 * mean_min_d2(naive)
+
+    q = df.filter(F.col("id") < 15).select(F.col("id").alias("q_id"), "vector")
+    gt = {}
+    for r in knn_exact(df, q, k=5).collect():
+        gt.setdefault(r.q_id, set()).add(r.id)
+
+    def recall(cent_df):
+        cent = cent_df.select(F.col("cell").alias("id"), "vector")
+        hits = 0
+        for r in ivf_topk(df, q, cent, k=5, nprobe=2).collect():
+            hits += r.id in gt[r.q_id]
+        return hits / (5 * 15)
+
+    assert recall(trained) >= recall(naive)
+
+
 def test_version_census_workload(spark):
     from fspann_query_system_spark.workloads import q_version_census, ROTATE_EVERY
     rows = q_version_census(spark, "/root/testdata/sf0.001").collect()

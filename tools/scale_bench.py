@@ -24,12 +24,14 @@ from fspann_query_system_spark.query.ann import AnnIndex, search_batch  # noqa: 
 
 DIM = 64
 K = 100
-CFG = dict(m=20, lam=2, tables=8, divisions=2, probes=8, block_size=128,
+CFG = dict(m=22, lam=2, tables=8, divisions=2, probes=8, block_size=128,
            refinement_limit=8000)     # reference SIFT_P4_FAST refine budget
 # Swept at 1M (tools/recall_sweep_1m.py, results in recall_sweep_1m.jsonl):
-# the round-1 config (m18 T6 p8 b64) had candidate pool T*D*probes*block =
-# 6144 < the 8000 refine budget — coverage-bound, recall 0.475.  Sizing the
-# pool to ~2x the budget and adding projections/tables: recall@100 0.746.
+# round 1 (m18 T6 p8 b64) had candidate pool T*D*probes*block = 6144 <
+# the 8000 refine budget — coverage-bound, recall 0.475.  Pool ~2x budget
+# fixed that (r2: m20 → 0.760); r3 raised bits/key again (m22 → 0.776,
+# past the reference's best 0.771) — key discriminativeness beats more
+# tables (T10/T12 at m20 stalled at ~0.75).
 
 
 def main():

@@ -52,13 +52,18 @@ class ForwardSecureANNSystem:
         return self.spark.sparkContext.broadcast(self.keys.key_map())
 
     def index_vectors(self, vectors: DataFrame,
-                      params: LshParams | None = None) -> None:
-        """Build routing state + encrypted store (SURVEY §3.1 steps 3-4)."""
+                      params: LshParams | None = None,
+                      sq8: bool = False) -> None:
+        """Build routing state + encrypted store (SURVEY §3.1 steps 3-4).
+        ``sq8=True`` also attaches the SQ8 compressed shadow at ingest so
+        :meth:`search` can compressed-refine (``sq8_rerank=``)."""
         self.profiler.start("index_build")
         self._base = vectors.persist()
         self.keys.record_ops(self._base.count())
         self.keys.rotate_if_needed()
         plain_idx = AnnIndex.build(self._base, self.config.lsh(), params=params)
+        if sq8:
+            plain_idx = plain_idx.with_sq8()
         self.encrypted = encrypt_vectors(
             self._base, self._keys_bc(), self.keys.current_version).persist()
         self.encrypted.count()
@@ -119,9 +124,12 @@ class ForwardSecureANNSystem:
             hit_rows, "q_id LONG, id LONG, distance DOUBLE, rank INT")
 
     def search(self, queries: DataFrame, k: int | None = None,
-               adaptive: bool = True, with_decoys: bool | None = None) -> DataFrame:
+               adaptive: bool = True, with_decoys: bool | None = None,
+               sq8_rerank: int | None = None) -> DataFrame:
         """Batched search over the encrypted store; decoy interleaving per
-        config; touched ids recorded for forward-secure re-encryption."""
+        config; touched ids recorded for forward-secure re-encryption.
+        ``sq8_rerank`` enables compressed refine on an index built with
+        ``index_vectors(..., sq8=True)``."""
         if self.index is None:
             raise RuntimeError("index not built")
         k = k or self.config.top_k
@@ -134,7 +142,7 @@ class ForwardSecureANNSystem:
                                   seed=self.config.seed).drop("is_decoy")
         self.profiler.start("search")
         fn = search_batch_adaptive if adaptive else search_batch
-        res = fn(self.index, q, k=k).persist()
+        res = fn(self.index, q, k=k, sq8_rerank=sq8_rerank).persist()
         res.count()
         self.profiler.stop("search")
         if self.config.reenc_mode != "off":

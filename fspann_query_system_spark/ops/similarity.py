@@ -194,6 +194,9 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
                 .select("id", F.coalesce(F.col("new.vector"),
                                          F.col("old.vector")).alias("vector")))
     return cent.select(F.col("id").alias("cell"), "vector")
+
+
+def ivf_save(assigned: DataFrame, path: str) -> None:
     """Persist the assigned base set hive-partitioned by cell: a probe of
     nprobe cells then reads nprobe/|C| of the files — partition pruning
     does the scan elimination at 100TB (PartitionFilters in the scan

@@ -113,6 +113,25 @@ def test_full_lifecycle(spark, clustered, tmp_path):
     assert "config_sha256=" in txt and "phase.search=" in txt
 
 
+def test_facade_sq8_compressed_refine(spark, clustered):
+    """index_vectors(sq8=True) + search(sq8_rerank=) — the facade path
+    of the compressed refine: same ids as the full-decrypt search."""
+    df, X = clustered
+    cfg = SystemConfig(dim=16, m=8, lam=2, tables=4, divisions=2,
+                       block_size=32, refinement_limit=400,
+                       rotation_max_ops=10**9, top_k=10)
+    sys_ = ForwardSecureANNSystem(spark, cfg, master_key=b"\x44" * 32)
+    sys_.index_vectors(df, sq8=True)
+    q = df.filter("id < 5").selectExpr("id AS q_id", "vector")
+    full = sys_.search(q, k=10, adaptive=False)
+    pre = sys_.search(q, k=10, adaptive=False, sq8_rerank=4)
+    hits = (pre.select("q_id", "id")
+            .join(full.select("q_id", "id"), ["q_id", "id"]).count())
+    assert full.count() == 50 and hits >= 48
+    top1 = {r.q_id: r.id for r in pre.filter("rank = 1").collect()}
+    assert top1 == {i: i for i in range(5)}    # exact self-hits survive
+
+
 def test_query_cache_lru_ttl_and_epoch():
     from fspann_query_system_spark.query.cache import QueryCache
     c = QueryCache(max_entries=2, ttl_sec=60)

@@ -27,6 +27,7 @@ HEADLINE = [
     "sessionization",
     "event_window_agg",
     "doc_stats",
+    "doc_quantiles",
     "minhash",
     "jaccard_pairs",
     "simhash",
@@ -50,6 +51,7 @@ HEADLINE = [
     "streaming_window_agg",
     "streaming_sessionization",
     "streaming_dedup",
+    "streaming_minhash",
 ]
 
 

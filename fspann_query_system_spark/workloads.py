@@ -712,6 +712,65 @@ SELECT doc_id, h, mh AS minhash FROM mh
 """
 
 
+def q_doc_quantiles(spark, sf_dir):
+    """Per-source corpus length distribution: exact interpolated
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``) —
+    the length-profile report a training-data pipeline runs before
+    choosing truncation/packing thresholds.  At scale the exact
+    percentile is a sort-based aggregate; the approx twin
+    (``percentile_approx``, t-digest sketch, one pass, mergeable) is
+    the 100TB default and is equivalence-tested in pytest."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("p25"),
+                 F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+                 F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99")))
+
+
+SQL_DOC_QUANTILES = """
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(quantile_cont(n_chars, 0.25), 4) AS p25,
+       round(quantile_cont(n_chars, 0.5), 4)  AS p50,
+       round(quantile_cont(n_chars, 0.9), 4)  AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY source
+"""
+
+
+def q_streaming_minhash(spark, sf_dir):
+    """Streaming MinHash signatures: the dedup-ingest path as a running
+    complete-mode aggregate — per-document signature state accumulates
+    as files arrive, byte-identical to the batch plan on a finite
+    source, so it shares SQL_MINHASH (full gate for streaming
+    signature maintenance)."""
+    import os
+    import uuid
+    from .ops.dedup import _minhash_rows
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+    try:
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("pathGlobFilter", "documents.parquet")
+                  .parquet(sf_dir))
+        sig = (_minhash_rows(stream, "text", "doc_id", k=3, n_hashes=8)
+               .select("doc_id", "h", F.col("mh").alias("minhash")))
+        name = "stream_sink_" + uuid.uuid4().hex[:8]
+        q = (sig.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 JACCARD_MAX_DF = 100  # shingle document-frequency cap (self-join skew guard)
 
 
@@ -1659,6 +1718,8 @@ QUERIES = {
     "near_dup_embedding": q_near_dup_embedding,
     "near_dup_lsh": q_near_dup_lsh,
     "kmeans_centroids": q_kmeans_centroids,
+    "doc_quantiles": q_doc_quantiles,
+    "streaming_minhash": q_streaming_minhash,
     "ivf_ann": q_ivf_ann,
     "recall_eval": q_recall_eval,
     "version_census": q_version_census,
@@ -1727,4 +1788,6 @@ def oracle_sql_map() -> dict[str, str]:
             _ann_params(ORACLE_SF_DIR, FLAGSHIP_CFG, _FLAGSHIP_CACHE),
             NEAR_DUP_LSH_THRESHOLD),
         "kmeans_centroids": sql_kmeans(KMEANS_K, KMEANS_ITERS),
+        "doc_quantiles": SQL_DOC_QUANTILES,
+        "streaming_minhash": SQL_MINHASH,
     }

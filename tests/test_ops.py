@@ -425,6 +425,18 @@ def test_kmeans_fit_improves_ivf(spark, clustered):
     assert recall(trained) >= recall(naive)
 
 
+def test_percentile_approx_tracks_exact(spark):
+    """The 100TB path for doc_quantiles is percentile_approx (mergeable
+    one-pass t-digest); it must track the exact sort-based percentile
+    within the sketch tolerance on real corpus lengths."""
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    row = d.agg(
+        F.expr("percentile(n_chars, 0.9)").alias("exact"),
+        F.expr("percentile_approx(n_chars, 0.9, 10000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 0.01 * row.exact + 1
+
+
 def test_version_census_workload(spark):
     from fspann_query_system_spark.workloads import q_version_census, ROTATE_EVERY
     rows = q_version_census(spark, "/root/testdata/sf0.001").collect()

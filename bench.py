@@ -25,6 +25,7 @@ HEADLINE = [
     "region_revenue",
     "top_orders_per_customer",
     "sessionization",
+    "asof_enrich",
     "event_window_agg",
     "doc_stats",
     "doc_quantiles",

@@ -712,6 +712,44 @@ SELECT doc_id, h, mh AS minhash FROM mh
 """
 
 
+def q_asof_enrich(spark, sf_dir):
+    """Point-in-time-correct enrichment: each purchase event gets the
+    user's most recent click at-or-before it (as-of join — ONE shuffle +
+    one window pass, no range product; ops/asof.py).  NULL-free output
+    via -1 sentinels so the unmatched-left rows hash identically across
+    engines."""
+    from .ops.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id"),
+                   F.round(F.max("value"), 4).alias("click_value")))
+    j = asof_join(purchases, clicks, on="ts", by="user_id",
+                  value_cols=["click_id", "click_value"])
+    return j.select(
+        "event_id", "user_id",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce("click_value", F.lit(-1.0)).alias("click_value"),
+        F.coalesce(F.unix_micros("ts") - F.unix_micros("ts_right"),
+                   F.lit(-1)).alias("gap_us"))
+
+
+SQL_ASOF = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, max(event_id) AS click_id,
+             round(max(value), 4) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id,
+       coalesce(c.click_id, -1) AS click_id,
+       coalesce(c.click_value, -1.0) AS click_value,
+       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
 def q_doc_quantiles(spark, sf_dir):
     """Per-source corpus length distribution: exact interpolated
     percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``) —
@@ -1720,6 +1758,7 @@ QUERIES = {
     "kmeans_centroids": q_kmeans_centroids,
     "doc_quantiles": q_doc_quantiles,
     "streaming_minhash": q_streaming_minhash,
+    "asof_enrich": q_asof_enrich,
     "ivf_ann": q_ivf_ann,
     "recall_eval": q_recall_eval,
     "version_census": q_version_census,
@@ -1790,4 +1829,5 @@ def oracle_sql_map() -> dict[str, str]:
         "kmeans_centroids": sql_kmeans(KMEANS_K, KMEANS_ITERS),
         "doc_quantiles": SQL_DOC_QUANTILES,
         "streaming_minhash": SQL_MINHASH,
+        "asof_enrich": SQL_ASOF,
     }

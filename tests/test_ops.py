@@ -425,6 +425,54 @@ def test_kmeans_fit_improves_ivf(spark, clustered):
     assert recall(trained) >= recall(naive)
 
 
+def test_asof_join_matches_bruteforce(spark):
+    """Union-trick as-of join vs a brute-force crossJoin argmax, both
+    directions, incl. equal-timestamp inclusivity and unmatched lefts."""
+    from fspann_query_system_spark.ops.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 300),
+         (4, 20, 50), (5, 20, 500), (6, 30, 100)],
+        "lid LONG, user_id LONG, ts LONG")
+    right = spark.createDataFrame(
+        [(10, 100, 1.0), (10, 200, 2.0), (10, 205, 3.0), (10, 400, 4.0),
+         (20, 60, 5.0), (20, 499, 6.0)],
+        "user_id LONG, ts LONG, state DOUBLE")
+    back = {r.lid: (r.state, r.ts_right)
+            for r in asof_join(left, right, on="ts", by="user_id",
+                               value_cols=["state"]).collect()}
+    assert back == {1: (1.0, 100),    # equal ts is inclusive
+                    2: (3.0, 205), 3: (3.0, 205),
+                    4: (None, None),  # no right at-or-before
+                    5: (6.0, 499), 6: (None, None)}
+    fwd = {r.lid: (r.state, r.ts_right)
+           for r in asof_join(left, right, on="ts", by="user_id",
+                              value_cols=["state"],
+                              direction="forward").collect()}
+    assert fwd == {1: (1.0, 100), 2: (3.0, 205), 3: (4.0, 400),
+                   4: (5.0, 60), 5: (None, None), 6: (None, None)}
+    with pytest.raises(ValueError):
+        asof_join(left, right, direction="nearest")
+    # brute-force cross-check on random data
+    rng = np.random.default_rng(5)
+    L = [(i, int(rng.integers(0, 4)), int(rng.integers(0, 1000)))
+         for i in range(60)]
+    R = [(u, int(t), float(u * 10000 + t))
+         for u in range(4)
+         for t in rng.choice(1000, 25, replace=False)]
+    ldf = spark.createDataFrame(L, "lid LONG, user_id LONG, ts LONG")
+    rdf = spark.createDataFrame(R, "user_id LONG, ts LONG, state DOUBLE")
+    got = {r.lid: r.state
+           for r in asof_join(ldf, rdf, on="ts", by="user_id",
+                              value_cols=["state"]).collect()}
+    rmap: dict = {}
+    for u, t, s in R:
+        rmap.setdefault(u, []).append((t, s))
+    for lid, u, t in L:
+        cands = [(rt, s) for rt, s in rmap.get(u, []) if rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert got[lid] == expect, (lid, got[lid], expect)
+
+
 def test_percentile_approx_tracks_exact(spark):
     """The 100TB path for doc_quantiles is percentile_approx (mergeable
     one-pass t-digest); it must track the exact sort-based percentile

@@ -128,3 +128,50 @@ def test_ivf_query_plan_has_no_crossjoin_and_prunes_partitions(spark, tmp_path):
     a = sorted((r.q_id, r.id, r.rank) for r in out.collect())
     b = sorted((r.q_id, r.id, r.rank) for r in via_layout.collect())
     assert a == b
+
+
+def test_asof_join_single_shuffle_no_product(spark):
+    """The as-of join must stay the union-trick plan: exactly ONE
+    exchange (the by-key hash partitioning feeding the sort+window) and
+    never a range/nested-loop product."""
+    from fspann_query_system_spark.ops.asof import asof_join
+    left = spark.createDataFrame([(1, 10, 100)],
+                                 "lid LONG, user_id LONG, ts LONG")
+    right = spark.createDataFrame([(10, 100, 1.0)],
+                                  "user_id LONG, ts LONG, state DOUBLE")
+    plan = _plan(asof_join(left, right, on="ts", by="user_id",
+                           value_cols=["state"]))
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_kmeans_plan_no_product(spark):
+    """Lloyd rounds must keep assignment map-side (broadcast numpy, no
+    base x centroids join product in the plan)."""
+    from fspann_query_system_spark.ops.similarity import kmeans_fit
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    plan = _plan(kmeans_fit(emb, k=4, iters=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sq8_prefilter_bounds_decrypt_input(spark, clustered):
+    """With sq8_rerank, the decrypt stage's input is the k*rerank-row
+    shortlist (LIMIT-like window cut BEFORE the payload join), not the
+    full refinement set."""
+    from fspann_query_system_spark.lsh.params import LshConfig
+    from fspann_query_system_spark.query.ann import AnnIndex, search_batch
+    df, X = clustered
+    cfg = LshConfig(dim=16, m=8, lam=2, tables=3, divisions=1,
+                    block_size=32, probes=4, refinement_limit=300, seed=5)
+    idx = AnnIndex.build(df, cfg).with_sq8()
+    q = df.filter(F.col("id") < 3).select(F.col("id").alias("q_id"), "vector")
+    res = search_batch(idx, q, k=5, sq8_rerank=2)
+    plan = _plan(res)
+    assert "CartesianProduct" not in plan
+    # the shortlist window rank filter must sit in the plan (cut before
+    # the vector/payload join)
+    assert "_sr" in plan, plan

@@ -26,6 +26,7 @@ HEADLINE = [
     "top_orders_per_customer",
     "sessionization",
     "asof_enrich",
+    "session_attribution",
     "event_window_agg",
     "doc_stats",
     "doc_quantiles",

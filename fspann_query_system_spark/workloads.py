@@ -712,6 +712,60 @@ SELECT doc_id, h, mh AS minhash FROM mh
 """
 
 
+def q_session_attribution(spark, sf_dir):
+    """Range/interval join: attribute each error event to its gap-based
+    session interval.  The plan is the binned equi-join of
+    ops/ranges.py:range_join — a BETWEEN predicate alone would go
+    nested-loop; binning turns it into one shuffle on (user, bin)."""
+    from .ops.ranges import range_join
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(F.col("ts") > F.lag("ts").over(w)
+              + F.expr("INTERVAL 30 MINUTES"), 1)
+        .otherwise(0))
+    sess = flagged.withColumn("session_id", F.sum("new_s").over(w))
+    iv = (sess.groupBy("user_id", "session_id")
+          .agg(F.min(F.unix_micros("ts")).alias("start_us"),
+               F.max(F.unix_micros("ts")).alias("end_us"),
+               F.count("*").alias("session_events")))
+    err = (ev.filter(F.col("event_type") == "error")
+           .select("user_id", "event_id", F.unix_micros("ts").alias("t_us")))
+    j = range_join(err, iv, point_col="t_us", start_col="start_us",
+                   end_col="end_us", by="user_id",
+                   bin_width=1800_000_000)        # 30 min bins ~ gap width
+    return (j.select("event_id", "user_id",
+                     F.col("session_id").cast("long").alias("session_id"),
+                     "session_events"))
+
+
+SQL_SESSION_ATTR = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS session_id
+  FROM flagged),
+iv AS (SELECT user_id, session_id,
+              min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+              count(*) AS session_events
+       FROM sess GROUP BY 1, 2),
+err AS (SELECT user_id, event_id, epoch_us(ts) AS t_us
+        FROM events WHERE event_type = 'error')
+SELECT e.event_id, e.user_id,
+       CAST(i.session_id AS BIGINT) AS session_id, i.session_events
+FROM err e JOIN iv i
+  ON e.user_id = i.user_id AND e.t_us BETWEEN i.start_us AND i.end_us
+"""
+
+
 def q_asof_enrich(spark, sf_dir):
     """Point-in-time-correct enrichment: each purchase event gets the
     user's most recent click at-or-before it (as-of join — ONE shuffle +
@@ -1759,6 +1813,7 @@ QUERIES = {
     "doc_quantiles": q_doc_quantiles,
     "streaming_minhash": q_streaming_minhash,
     "asof_enrich": q_asof_enrich,
+    "session_attribution": q_session_attribution,
     "ivf_ann": q_ivf_ann,
     "recall_eval": q_recall_eval,
     "version_census": q_version_census,
@@ -1830,4 +1885,5 @@ def oracle_sql_map() -> dict[str, str]:
         "doc_quantiles": SQL_DOC_QUANTILES,
         "streaming_minhash": SQL_MINHASH,
         "asof_enrich": SQL_ASOF,
+        "session_attribution": SQL_SESSION_ATTR,
     }

@@ -473,6 +473,40 @@ def test_asof_join_matches_bruteforce(spark):
         assert got[lid] == expect, (lid, got[lid], expect)
 
 
+def test_range_join_matches_bruteforce(spark):
+    """Binned interval join vs brute force: every containment pair
+    exactly once, across bin-width regimes (narrower/wider than the
+    intervals) and with/without a by-key."""
+    from fspann_query_system_spark.ops.ranges import range_join
+    rng = np.random.default_rng(9)
+    P = [(i, int(rng.integers(0, 2)), int(rng.integers(0, 1000)))
+         for i in range(80)]
+    IV = []
+    for j in range(30):
+        s = int(rng.integers(0, 950))
+        IV.append((j, int(rng.integers(0, 2)), s, s + int(rng.integers(0, 120))))
+    pdf = spark.createDataFrame(P, "pid LONG, user_id LONG, t LONG")
+    ivdf = spark.createDataFrame(IV, "iid LONG, user_id LONG, start LONG, end LONG")
+    expect = sorted((p, i) for p, pu, t in P for i, iu, s, e in IV
+                    if pu == iu and s <= t <= e)
+    for bw in (7, 64, 1000, 10**9):
+        got = sorted((r.pid, r.iid)
+                     for r in range_join(pdf, ivdf, point_col="t",
+                                         by="user_id",
+                                         bin_width=bw).collect())
+        assert got == expect, bw
+    # keyless variant
+    expect_nokey = sorted((p, i) for p, _, t in P for i, _, s, e in IV
+                          if s <= t <= e)
+    got = sorted((r.pid, r.iid)
+                 for r in range_join(pdf.drop("user_id"),
+                                     ivdf.drop("user_id"), point_col="t",
+                                     bin_width=50).collect())
+    assert got == expect_nokey
+    with pytest.raises(ValueError):
+        range_join(pdf, ivdf, point_col="t", bin_width=0)
+
+
 def test_percentile_approx_tracks_exact(spark):
     """The 100TB path for doc_quantiles is percentile_approx (mergeable
     one-pass t-digest); it must track the exact sort-based percentile

@@ -175,3 +175,31 @@ def test_sq8_prefilter_bounds_decrypt_input(spark, clustered):
     # the shortlist window rank filter must sit in the plan (cut before
     # the vector/payload join)
     assert "_sr" in plan, plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The binned interval join must plan as a hash/sort-merge equi-join
+    on (by, bin) — never the BroadcastNestedLoopJoin a raw BETWEEN
+    predicate produces."""
+    from fspann_query_system_spark.ops.ranges import range_join
+    pts = spark.range(100).select(F.col("id").alias("pid"),
+                                  (F.col("id") % 3).alias("u"),
+                                  (F.col("id") * 7).alias("t"))
+    iv = spark.range(20).select(F.col("id").alias("iid"),
+                                (F.col("id") % 3).alias("u"),
+                                (F.col("id") * 30).alias("start"),
+                                (F.col("id") * 30 + 50).alias("end"))
+    plan = _plan(range_join(pts, iv, point_col="t", by="u", bin_width=64))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # keyless binned join still equi-joins on the bin...
+    plan_nokey = _plan(range_join(pts.drop("u"), iv.drop("u"),
+                                  point_col="t", bin_width=64))
+    assert "BroadcastNestedLoopJoin" not in plan_nokey
+    # ...where the naive BETWEEN-only join goes nested-loop (with an
+    # equi-key Spark instead hash-joins on the key and re-scans every
+    # same-key interval as a residual filter — better, still a per-key
+    # product the binned plan avoids)
+    naive = pts.drop("u").join(iv.drop("u"),
+                               on=pts.t.between(iv.start, iv.end))
+    assert "BroadcastNestedLoopJoin" in _plan(naive)

@@ -30,6 +30,8 @@ HEADLINE = [
     "event_window_agg",
     "doc_stats",
     "doc_quantiles",
+    "corpus_mix",
+    "sequence_pack",
     "minhash",
     "jaccard_pairs",
     "simhash",

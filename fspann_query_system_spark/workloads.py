@@ -766,6 +766,59 @@ FROM err e JOIN iv i
 """
 
 
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+MIX_DEFAULT = 0.2
+PACK_WINDOW = 2048
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Deterministic stratified sampling (data-mixing ratios): keep-
+    decision is a pure md5 hash of the doc key vs its source's rate —
+    map-side, no RNG state, reproducible across engines and reruns."""
+    from .ops.sampling import stratified_sample
+    d = _t(spark, sf_dir, "documents")
+    return (stratified_sample(d, MIX_RATES, default_rate=MIX_DEFAULT)
+            .select("doc_id", "source"))
+
+
+def _sql_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * 10000))}"
+        for s, r in sorted(MIX_RATES.items()))
+    return (f"CASE source {whens} "
+            f"ELSE {int(round(MIX_DEFAULT * 10000))} END")
+
+
+SQL_CORPUS_MIX = f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < {_sql_rate_case()}
+"""
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Sequence packing: concat-and-chunk context-window assembly —
+    per-source deterministic order, cumulative size, fixed-window split
+    (docs straddling a boundary split, like real pretraining packing)."""
+    from .ops.sampling import pack_sequences
+    return pack_sequences(_t(spark, sf_dir, "documents"),
+                          size_col="n_chars", id_col="doc_id",
+                          by="source", window=PACK_WINDOW)
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+              - n_chars AS BIGINT) AS off
+  FROM documents)
+SELECT source, doc_id, n_chars,
+       CAST(off // {PACK_WINDOW} AS BIGINT) AS pack_id,
+       CAST(off % {PACK_WINDOW} AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
 def q_asof_enrich(spark, sf_dir):
     """Point-in-time-correct enrichment: each purchase event gets the
     user's most recent click at-or-before it (as-of join — ONE shuffle +
@@ -1814,6 +1867,8 @@ QUERIES = {
     "streaming_minhash": q_streaming_minhash,
     "asof_enrich": q_asof_enrich,
     "session_attribution": q_session_attribution,
+    "corpus_mix": q_corpus_mix,
+    "sequence_pack": q_sequence_pack,
     "ivf_ann": q_ivf_ann,
     "recall_eval": q_recall_eval,
     "version_census": q_version_census,
@@ -1886,4 +1941,6 @@ def oracle_sql_map() -> dict[str, str]:
         "streaming_minhash": SQL_MINHASH,
         "asof_enrich": SQL_ASOF,
         "session_attribution": SQL_SESSION_ATTR,
+        "corpus_mix": SQL_CORPUS_MIX,
+        "sequence_pack": SQL_SEQUENCE_PACK,
     }

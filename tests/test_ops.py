@@ -473,6 +473,50 @@ def test_asof_join_matches_bruteforce(spark):
         assert got[lid] == expect, (lid, got[lid], expect)
 
 
+def test_stratified_sample_deterministic_and_stable(spark):
+    """Keep-decision is a pure hash of (salt, key): exact reruns, rate
+    accuracy within hash-uniformity bounds, per-row stability under
+    appends (a row's fate never changes when the table grows), and
+    independent samples under different salts."""
+    from fspann_query_system_spark.ops.sampling import stratified_sample
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    kept1 = {r.doc_id for r in stratified_sample(
+        df, {"a": 0.5, "b": 0.1}).collect()}
+    kept2 = {r.doc_id for r in stratified_sample(
+        df, {"a": 0.5, "b": 0.1}).collect()}
+    assert kept1 == kept2                       # exact rerun
+    n_a = sum(1 for d in kept1 if d % 2 == 0)
+    n_b = len(kept1) - n_a
+    assert abs(n_a - 1000) < 100 and abs(n_b - 200) < 80
+    # append stability: same rows keep their fate in a larger table
+    bigger = spark.createDataFrame(
+        rows + [(i, "a") for i in range(4000, 6000)],
+        "doc_id LONG, source STRING")
+    kept_big = {r.doc_id for r in stratified_sample(
+        bigger, {"a": 0.5, "b": 0.1}).collect()}
+    assert {d for d in kept_big if d < 4000} == kept1
+    # salts decorrelate
+    alt = {r.doc_id for r in stratified_sample(
+        df, {"a": 0.5, "b": 0.1}, salt="v2").collect()}
+    assert alt != kept1
+    overlap = len(alt & kept1 & {d for d in range(0, 4000, 2)})
+    assert 350 < overlap < 650                  # ~0.25 of stratum a
+
+
+def test_pack_sequences_boundary_math(spark):
+    from fspann_query_system_spark.ops.sampling import pack_sequences
+    rows = [("s", 1, 1000), ("s", 2, 1000), ("s", 3, 500),
+            ("t", 9, 5000)]
+    df = spark.createDataFrame(rows, "source STRING, doc_id LONG, n LONG")
+    got = {(r.source, r.doc_id): (r.pack_id, r.pack_offset)
+           for r in pack_sequences(df, size_col="n", window=2048).collect()}
+    assert got == {("s", 1): (0, 0),            # starts pack 0
+                   ("s", 2): (0, 1000),         # straddles 0→1 boundary
+                   ("s", 3): (0, 2000),         # starts at 2000, splits
+                   ("t", 9): (0, 0)}            # separate stream
+
+
 def test_range_join_matches_bruteforce(spark):
     """Binned interval join vs brute force: every containment pair
     exactly once, across bin-width regimes (narrower/wider than the

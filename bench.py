@@ -30,6 +30,9 @@ HEADLINE = [
     "event_window_agg",
     "doc_stats",
     "doc_quantiles",
+    "repetition_stats",
+    "decontaminate",
+    "bm25_scores",
     "corpus_mix",
     "sequence_pack",
     "minhash",

@@ -1,0 +1,187 @@
+"""Corpus-quality operators for training-data pipelines (beyond the
+reference -- SURVEY build mandate: text quality / repetition analysis,
+benchmark decontamination, relevance scoring).
+
+All three operators are pure native-Catalyst plans (zero Python UDFs):
+
+* ``repetition_stats``   -- Gopher-style repetition signals (Rae et al.
+  2021, "Scaling Language Models", table A1): distinct-token ratio and
+  top-bigram fraction, computed entirely array-side per row (map-only,
+  ZERO shuffles -- the 100 TB shape: a straight scan).
+* ``decontaminate``      -- benchmark n-gram-overlap decontamination
+  (public recipe from GPT-3 / PaLM appendix: flag training docs sharing
+  word n-grams with an eval set).  The benchmark gram set is tiny by
+  construction, so the plan is explode -> broadcast left join -> one
+  keyed agg: the corpus side shuffles ONCE on doc_id with map-side
+  combine, and never all-pairs.
+* ``bm25``               -- Okapi BM25 scoring against a fixed term
+  list.  Per-term tf is computed array-side; corpus stats (N, avgdl,
+  df_t) come from ONE single-row aggregate broadcast back via
+  crossJoin, so the whole plan is scan + 1-row agg + map -- no
+  per-term explode, no (doc x term) shuffle.
+
+Every operator has an exact DuckDB-SQL mirror in ``workloads.py`` for
+the correctness oracle; expressions are written in the same operation
+order on both sides so doubles agree bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def _bigrams(toks: Column, n_tokens: Column) -> Column:
+    """Adjacent word pairs, [] for docs with <2 tokens (array-side)."""
+    return F.when(
+        n_tokens >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n_tokens - 1),
+            F.slice(toks, 2, n_tokens - 1),
+            lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     min_distinct_ratio: float = 0.5,
+                     max_top_bigram_frac: float = 0.18) -> DataFrame:
+    """Per-document repetition/quality signals, Gopher-rule style.
+
+    Output: (doc_id, n_tokens, distinct_ratio, top_bigram_frac,
+    repetitive).  ``repetitive`` fires when the doc is dominated by
+    few distinct tokens or by one repeated bigram -- the two cheapest
+    high-precision repetition filters from the Gopher pipeline.
+
+    Scale shape: everything is a higher-order function over the token
+    array of a single row -- the plan is one narrow projection, no
+    exchange at any size.  Per-row cost is O(distinct_bigrams *
+    n_bigrams), bounded by document length, not corpus size.
+    """
+    d = docs.select("doc_id", T.tokens(text_col).alias("toks"))
+    d = d.withColumn("n_tokens", F.size("toks"))
+    d = d.withColumn("bigrams", _bigrams(F.col("toks"), F.col("n_tokens")))
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct("bigrams"),
+        lambda g: F.size(F.filter(F.col("bigrams"), lambda x: x == g))))
+    d = d.select(
+        "doc_id", "n_tokens",
+        F.round(
+            F.when(F.col("n_tokens") > 0,
+                   F.size(F.array_distinct("toks")).cast("double")
+                   / F.col("n_tokens")).otherwise(F.lit(0.0)),
+            6).alias("distinct_ratio"),
+        F.round(
+            F.when(F.col("n_tokens") >= 2,
+                   top_cnt.cast("double") / (F.col("n_tokens") - 1))
+            .otherwise(F.lit(0.0)),
+            6).alias("top_bigram_frac"),
+    )
+    return d.withColumn(
+        "repetitive",
+        ((F.col("distinct_ratio") < F.lit(min_distinct_ratio))
+         | (F.col("top_bigram_frac") > F.lit(max_top_bigram_frac)))
+        .cast("int"))
+
+
+def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 5,
+                  bench_every: int = 50,
+                  threshold: float = 0.5) -> DataFrame:
+    """Benchmark n-gram-overlap decontamination.
+
+    Docs with ``doc_id % bench_every == 0`` stand in for the eval
+    benchmark; every other doc is scored by the fraction of its
+    DISTINCT word ``n``-grams that also occur anywhere in the benchmark
+    set, and flagged ``contaminated`` at ``threshold``.
+
+    Output: (doc_id, n_grams, n_hit, hit_frac, contaminated) for every
+    corpus doc with at least one n-gram.
+
+    Scale shape: per-doc grams are deduped ARRAY-SIDE (map-only) before
+    the explode, so the exploded edge carries at most one row per
+    (doc, distinct gram); the benchmark gram set is small by
+    construction and broadcast; the only shuffle is the final
+    combiner-friendly agg keyed by doc_id.  Nothing all-pairs.
+    """
+    toks = docs.select("doc_id", T.tokens(text_col).alias("toks"))
+    # the >= n guard must live INSIDE the expression (CASE WHEN is lazy):
+    # codegen subexpression elimination can evaluate projection exprs
+    # before a same-stage filter, and sequence(0, size-n) with size < n
+    # is a descending sequence whose indices break slice()
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= n,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            ))).otherwise(F.array().cast("array<string>")).alias("grams"),
+    ).where(F.size("grams") > 0)
+    bench = (grams.where(F.col("doc_id") % bench_every == 0)
+             .select(F.explode("grams").alias("gram")).distinct()
+             .withColumn("hit", F.lit(1)))
+    corp = (grams.where(F.col("doc_id") % bench_every != 0)
+            .select("doc_id", F.explode("grams").alias("gram")))
+    scored = (corp.join(F.broadcast(bench), "gram", "left")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   F.count("hit").alias("n_hit")))
+    scored = scored.withColumn(
+        "hit_frac",
+        F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6))
+    return scored.withColumn(
+        "contaminated",
+        (F.col("hit_frac") >= F.lit(threshold)).cast("int"))
+
+
+def bm25(docs: DataFrame, terms: tuple[str, ...],
+         text_col: str = "text",
+         k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 score of each document against a fixed term list.
+
+    idf_t = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))          (standard)
+    score = sum_t idf_t * tf_t*(k1+1) / (tf_t + k1*(1 - b + b*dl/avgdl))
+
+    Output: (doc_id, dl, n_terms_matched, bm25) for docs matching at
+    least one term.
+
+    Scale shape: tf_t per term is an array-side count (map-only); the
+    corpus statistics (N, avgdl, one df per term) reduce to a SINGLE
+    row in one combiner-friendly aggregate, broadcast back with a
+    crossJoin.  Total cost: one scan + one 1-row agg + one map pass --
+    independent of the number of terms shuffling anything.
+    """
+    def _tf(term: str) -> Column:
+        # real function scope: a default-arg lambda would read as a
+        # two-arg (element, index) HOF lambda to Spark
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    d = docs.select("doc_id", T.tokens(text_col).alias("toks"))
+    d = d.withColumn("dl", F.size("toks"))
+    for j, t in enumerate(terms):
+        d = d.withColumn(f"tf{j}", _tf(t))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf{j}") > 0).cast("int")).alias(f"df{j}")
+          for j in range(len(terms))])
+    j0 = d.crossJoin(F.broadcast(stats))
+    score = None
+    for j in range(len(terms)):
+        tf = F.col(f"tf{j}").cast("double")
+        df = F.col(f"df{j}").cast("double")
+        idf = F.log(F.lit(1.0)
+                    + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        part = idf * (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                              + F.lit(b) * F.col("dl") / F.col("avgdl")))
+        score = part if score is None else score + part
+    matched = None
+    for j in range(len(terms)):
+        m = (F.col(f"tf{j}") > 0).cast("int")
+        matched = m if matched is None else matched + m
+    return (j0.withColumn("n_terms_matched", matched)
+            .where(F.col("n_terms_matched") > 0)
+            .select("doc_id", "dl", "n_terms_matched",
+                    F.round(score, 4).alias("bm25")))

@@ -887,6 +887,122 @@ FROM documents GROUP BY source
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (distinct-token ratio,
+    top-bigram fraction) — map-only plan, zero exchanges at any
+    scale; see ops/quality.py."""
+    from .ops.quality import repetition_stats
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = """
+SELECT doc_id, n_tokens, distinct_ratio, top_bigram_frac,
+       CAST(distinct_ratio < 0.5 OR top_bigram_frac > 0.18 AS INT)
+         AS repetitive
+FROM (
+  SELECT doc_id, n_tokens,
+    round(CASE WHEN n_tokens > 0
+               THEN len(list_distinct(toks))::DOUBLE / n_tokens
+               ELSE 0.0 END, 6) AS distinct_ratio,
+    round(CASE WHEN n_tokens >= 2
+               THEN list_max(list_transform(list_distinct(bigrams),
+                      g -> len(list_filter(bigrams, x -> x = g))))::DOUBLE
+                    / (n_tokens - 1)
+               ELSE 0.0 END, 6) AS top_bigram_frac
+  FROM (
+    SELECT doc_id, toks, len(toks) AS n_tokens,
+           CASE WHEN len(toks) >= 2 THEN
+             list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                            p -> p[1] || ' ' || p[2])
+           ELSE []::VARCHAR[] END AS bigrams
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS toks
+          FROM documents)))
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram-overlap decontamination — per-doc grams deduped
+    array-side, benchmark gram set broadcast, single keyed agg; see
+    ops/quality.py."""
+    from .ops.quality import decontaminate
+    return decontaminate(_t(spark, sf_dir, "documents"))
+
+
+SQL_DECONTAMINATE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 5 + 2),
+                       i -> array_to_string(toks[i:i+4], ' '))) AS grams
+  FROM tok WHERE len(toks) >= 5),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+corp AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 != 0)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(b.gram) AS BIGINT) AS n_hit,
+       round(count(b.gram)::DOUBLE / count(*), 6) AS hit_frac,
+       CAST(round(count(b.gram)::DOUBLE / count(*), 6) >= 0.5 AS INT)
+         AS contaminated
+FROM corp c LEFT JOIN bench b USING (gram)
+GROUP BY c.doc_id
+"""
+
+BM25_TERMS = ("spark", "hash", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_scores(spark, sf_dir):
+    """Okapi BM25 against a fixed term list — array-side tf, single
+    1-row stats agg broadcast back; see ops/quality.py."""
+    from .ops.quality import bm25
+    return bm25(_t(spark, sf_dir, "documents"), BM25_TERMS,
+                k1=_BM25_K1, b=_BM25_B)
+
+
+def _sql_bm25() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{j}"
+        for j, t in enumerate(BM25_TERMS))
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS df{j}"
+        for j in range(len(BM25_TERMS)))
+    k1, b = _BM25_K1, _BM25_B
+    parts = " + ".join(
+        f"ln(1.0 + (n_docs - tf.df{j}::DOUBLE + 0.5) / (tf.df{j}::DOUBLE + 0.5))"
+        f" * (tf{j}::DOUBLE * {k1 + 1.0!r}) / (tf{j}::DOUBLE + {k1!r} * "
+        f"(1.0 - {b!r} + {b!r} * dl / avgdl))"
+        for j in range(len(BM25_TERMS)))
+    matched = " + ".join(
+        f"CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END"
+        for j in range(len(BM25_TERMS)))
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents)),
+tf AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+         {df_cols}
+  FROM base)
+SELECT doc_id, dl,
+       CAST({matched} AS INT) AS n_terms_matched,
+       round({parts}, 4) AS bm25
+FROM base CROSS JOIN tf
+WHERE {matched} > 0
+"""
+
+
 def q_streaming_minhash(spark, sf_dir):
     """Streaming MinHash signatures: the dedup-ingest path as a running
     complete-mode aggregate — per-document signature state accumulates
@@ -1864,6 +1980,9 @@ QUERIES = {
     "near_dup_lsh": q_near_dup_lsh,
     "kmeans_centroids": q_kmeans_centroids,
     "doc_quantiles": q_doc_quantiles,
+    "repetition_stats": q_repetition_stats,
+    "decontaminate": q_decontaminate,
+    "bm25_scores": q_bm25_scores,
     "streaming_minhash": q_streaming_minhash,
     "asof_enrich": q_asof_enrich,
     "session_attribution": q_session_attribution,
@@ -1938,6 +2057,9 @@ def oracle_sql_map() -> dict[str, str]:
             NEAR_DUP_LSH_THRESHOLD),
         "kmeans_centroids": sql_kmeans(KMEANS_K, KMEANS_ITERS),
         "doc_quantiles": SQL_DOC_QUANTILES,
+        "repetition_stats": SQL_REPETITION_STATS,
+        "decontaminate": SQL_DECONTAMINATE,
+        "bm25_scores": _sql_bm25(),
         "streaming_minhash": SQL_MINHASH,
         "asof_enrich": SQL_ASOF,
         "session_attribution": SQL_SESSION_ATTR,

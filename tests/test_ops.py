@@ -764,3 +764,77 @@ def test_connected_components_self_pairs_and_empty(spark):
     assert comp == {1: 1, 2: 1, 5: 5}
     empty = spark.createDataFrame([], "id_a LONG, id_b LONG")
     assert connected_components(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# quality operators (repetition / decontamination / BM25)
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_known_values(spark):
+    from fspann_query_system_spark.ops.quality import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "a a a a"),                 # 4 tokens, 1 distinct, "a a" x3
+         (2, "w x y z"),                 # fully diverse
+         (3, "solo"),                    # 1 token: no bigrams
+         (4, "")],                       # empty
+        "doc_id LONG, text STRING")
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].distinct_ratio == 0.25
+    assert rows[1].top_bigram_frac == 1.0       # 3 of 3 bigrams are "a a"
+    assert rows[1].repetitive == 1
+    assert rows[2].distinct_ratio == 1.0
+    assert rows[2].top_bigram_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[2].repetitive == 1               # 0.333 > 0.18 bigram cap
+    assert rows[3].n_tokens == 1 and rows[3].top_bigram_frac == 0.0
+    assert rows[3].repetitive == 0
+    assert rows[4].n_tokens == 0 and rows[4].distinct_ratio == 0.0
+
+
+def test_decontaminate_flags_copies(spark):
+    from fspann_query_system_spark.ops.quality import decontaminate
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(0, bench_text),                         # benchmark (id % 50 == 0)
+         (1, bench_text),                         # verbatim copy -> flagged
+         (2, "one two three four five six"),      # disjoint -> clean
+         (3, "pad alpha beta gamma delta epsilon zeta tail"),  # superset
+         (4, "too short")],                       # <5 tokens: no grams
+        "doc_id LONG, text STRING")
+    rows = {r.doc_id: r for r in decontaminate(docs).collect()}
+    assert set(rows) == {1, 2, 3}                 # 0=bench, 4 gram-less
+    assert rows[1].contaminated == 1 and rows[1].hit_frac == 1.0
+    assert rows[2].contaminated == 0 and rows[2].n_hit == 0
+    # doc 3: 4 grams, 2 of them inside the benchmark window
+    assert rows[3].n_grams == 4 and rows[3].n_hit == 2
+    assert rows[3].contaminated == 1              # 0.5 >= threshold
+
+
+def test_bm25_matches_reference_formula(spark):
+    import math
+    from fspann_query_system_spark.ops.quality import bm25
+    corpus = [(1, "spark hash spark join"),
+              (2, "hash table scan"),
+              (3, "merge sort merge merge"),
+              (4, "totally unrelated words here")]
+    docs = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+    terms, k1, b = ("spark", "hash", "merge"), 1.2, 0.75
+    toks = {d: t.split() for d, t in corpus}
+    N = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    expect = {}
+    for d, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            idf = math.log(1 + (N - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if any(t in tk for t in terms):
+            expect[d] = round(s, 4)
+    rows = {r.doc_id: r for r in bm25(docs, terms, k1=k1, b=b).collect()}
+    assert set(rows) == set(expect) == {1, 2, 3}
+    for d in expect:
+        assert rows[d].bm25 == pytest.approx(expect[d], abs=2e-4), d
+    assert rows[1].n_terms_matched == 2

@@ -203,3 +203,38 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     naive = pts.drop("u").join(iv.drop("u"),
                                on=pts.t.between(iv.start, iv.end))
     assert "BroadcastNestedLoopJoin" in _plan(naive)
+
+
+def test_repetition_stats_is_map_only(spark):
+    """Gopher repetition signals are pure array-side HOFs: the plan
+    must be a single scan + project — zero exchanges at any scale."""
+    from fspann_query_system_spark.ops.quality import repetition_stats
+    plan = _plan(repetition_stats(W._t(spark, SF, "documents")))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_decontaminate_broadcasts_bench_single_agg_shuffle(spark):
+    """Decontamination joins the corpus gram stream against the (small)
+    benchmark gram set via broadcast — no sort-merge join — and the
+    corpus side shuffles only for the final doc_id agg (plus the
+    broadcast build's own exchange on the tiny bench side)."""
+    from fspann_query_system_spark.ops.quality import decontaminate
+    plan = _plan(decontaminate(W._t(spark, SF, "documents")))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # partial agg before the one corpus-side shuffle
+    assert "partial_count" in plan, plan
+
+
+def test_bm25_stats_broadcast_no_per_term_shuffle(spark):
+    """BM25's corpus stats reduce to ONE row broadcast back; the doc
+    side is never shuffled (no per-term explode, no doc_id exchange)."""
+    from fspann_query_system_spark.ops.quality import bm25
+    plan = _plan(bm25(W._t(spark, SF, "documents"),
+                      ("spark", "hash", "merge")))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row crossJoin
+    assert "SortMergeJoin" not in plan, plan
+    assert "Generate" not in plan, plan            # no explode anywhere
+    # only exchanges allowed: the single-row stats aggregate's
+    assert plan.count("Exchange") <= 2, plan

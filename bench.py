@@ -44,6 +44,7 @@ HEADLINE = [
     "lsh_partition_bounds",
     "ann_search",
     "ann_search_selective",
+    "ann_search_filtered",
     "dedup_exact",
     "winnow_fingerprints",
     "minhash_bands",

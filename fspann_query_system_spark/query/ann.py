@@ -500,7 +500,9 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
                  hamming_threshold: int | None = None,
                  q_id_col: str = "q_id", q_vector_col: str = "vector",
                  routing_mode: str = "broadcast",
-                 sq8_rerank: int | None = None) -> DataFrame:
+                 sq8_rerank: int | None = None,
+                 allow: DataFrame | None = None,
+                 allow_id_col: str = "id") -> DataFrame:
     """Top-k ANN for a whole query set → (q_id, id, distance, rank).
 
     ``routing_mode``: "broadcast" (default) collects the bounds once and
@@ -534,6 +536,17 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
     cand = (probes_df.join(index.codes.select("table", "division", "part_idx", "id"),
                            on=["table", "division", "part_idx"])
             .groupBy("q_id", "id").agg(F.min("part_ham").alias("ham")))
+
+    # metadata-filtered search: semi-join the allow-list BEFORE the
+    # ranked prefilter, so the refinement budget is spent on candidates
+    # that satisfy the predicate (budget-preserving post-filter — the
+    # filtered-vector-search semantics; an id-only predicate commutes
+    # with the min-merge).  Small allow-lists broadcast; big ones are a
+    # plain shuffled semi-join on the already-min-merged (q_id, id) set.
+    if allow is not None:
+        cand = cand.join(
+            allow.select(F.col(allow_id_col).alias("id")).distinct(),
+            on="id", how="leftsemi")
 
     # F4 ranked-hamming prefilter + O5 bounded refinement, one sort:
     # ORDER BY (ham > T), ham, id LIMIT refinement_limit per query.

@@ -1299,7 +1299,29 @@ def q_ann_search_selective(spark, sf_dir):
     return _q_ann(spark, sf_dir, SELECTIVE_CFG, _SELECTIVE_CACHE)
 
 
-def sql_ann_search(params: LshParams, n_queries: int, k: int = 10) -> str:
+ANN_FILTER_MOD = 3  # metadata predicate surrogate: id % MOD == 0
+
+
+def q_ann_search_filtered(spark, sf_dir):
+    """Metadata-filtered ANN: the same LSH-routed pipeline with a
+    candidate allow-list semi-joined before the bounded refinement
+    (budget-preserving post-filter — results drawn only from vectors
+    satisfying the predicate, refinement budget spent only on those).
+    Shares the flagship index; certified by the generated pipeline
+    oracle with the predicate injected into the candidate CTE."""
+    from .query.ann import search_batch
+    base = _emb(spark, sf_dir)
+    idx = _ann_index(spark, sf_dir, FLAGSHIP_CFG, _FLAGSHIP_CACHE)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    allow = base.filter(F.col("id") % ANN_FILTER_MOD == 0).select("id")
+    return (search_batch(idx, queries, k=10, allow=allow)
+            .select("q_id", "id", F.round("distance", 6).alias("distance"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def sql_ann_search(params: LshParams, n_queries: int, k: int = 10,
+                   allow_pred: str = "") -> str:
     """Generated full-pipeline DuckDB oracle for the LSH ANN search
     (reference ``QueryServiceImpl.search:101-352``,
     ``PartitionedIndexService.lookupCandidatesWithScores:618-714``):
@@ -1380,6 +1402,7 @@ cand AS (
   FROM (SELECT * FROM probe WHERE pr <= {probes}) s
   JOIN ranked r ON r."table" = s."table" AND r.division = s.division
                AND CAST(r.rn // {bs} AS INT) = s.part_idx
+  {f"WHERE {allow_pred}" if allow_pred else ""}
   GROUP BY 1, 2),
 kept AS (
   SELECT q_id, id FROM (
@@ -1973,6 +1996,7 @@ QUERIES = {
     "hamming_pairs": q_hamming_pairs,
     "ann_search": q_ann_search,
     "ann_search_selective": q_ann_search_selective,
+    "ann_search_filtered": q_ann_search_filtered,
     "dedup_exact": q_dedup_exact,
     "minhash_bands": q_minhash_bands,
     "dedup_clusters": q_dedup_clusters,
@@ -2052,6 +2076,10 @@ def oracle_sql_map() -> dict[str, str]:
         "ann_search_selective": sql_ann_search(
             _ann_params(ORACLE_SF_DIR, SELECTIVE_CFG, _SELECTIVE_CACHE),
             N_VEC_QUERIES),
+        "ann_search_filtered": sql_ann_search(
+            _ann_params(ORACLE_SF_DIR, FLAGSHIP_CFG, _FLAGSHIP_CACHE),
+            N_VEC_QUERIES,
+            allow_pred=f"r.id % {ANN_FILTER_MOD} = 0"),
         "near_dup_lsh": sql_near_dup_lsh(
             _ann_params(ORACLE_SF_DIR, FLAGSHIP_CFG, _FLAGSHIP_CACHE),
             NEAR_DUP_LSH_THRESHOLD),

@@ -330,3 +330,39 @@ def test_join_routing_with_duplicate_keys(spark):
                for r in search_batch(idx, q, k=10,
                                      routing_mode="join").collect())
     assert a == b
+
+
+def test_filtered_search_obeys_allow_list(index, queries):
+    """Metadata-filtered search: every result id satisfies the
+    predicate, and with an exhaustive budget results equal exact KNN
+    over the filtered base (budget-preserving post-filter)."""
+    idx, df, X = index
+    allow = df.filter(F.col("id") % 3 == 0).select("id")
+    res = search_batch(idx, queries, k=10, allow=allow,
+                       probes=50, refinement_limit=len(X))
+    ids = [r.id for r in res.collect()]
+    assert ids and all(i % 3 == 0 for i in ids)
+    gt = knn_exact(df.filter(F.col("id") % 3 == 0), queries, k=10)
+    got = {(r.q_id, r.rank): r.id for r in res.collect()}
+    want = {(r.q_id, r.rank): r.id for r in gt.collect()}
+    assert got == want
+
+
+def test_filtered_search_composes_with_sq8_and_encryption(spark, clustered,
+                                                          queries):
+    """allow-list + SQ8 compressed refine + encrypted payloads in one
+    plan: the filter cuts candidates before the SQ8 shortlist, which
+    cuts decrypts — results still only from allowed ids."""
+    from fspann_query_system_spark.crypto.keys import KeyManager
+    from fspann_query_system_spark.crypto.aes import encrypt_vectors
+    df, X = clustered
+    cfg = LshConfig(dim=16, m=8, lam=2, tables=4, divisions=2, seed=42,
+                    block_size=32, probes=5, refinement_limit=400)
+    km = KeyManager(master=bytes(32))
+    bc = spark.sparkContext.broadcast(km.key_map())
+    idx = (AnnIndex.build(df, cfg).with_sq8()
+           .with_encrypted_points(encrypt_vectors(df, bc, 1), bc, mode="skip"))
+    allow = df.filter(F.col("id") % 2 == 0).select("id")
+    res = search_batch(idx, queries, k=5, allow=allow, sq8_rerank=4)
+    rows = res.collect()
+    assert rows and all(r.id % 2 == 0 for r in rows)

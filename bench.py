@@ -33,6 +33,8 @@ HEADLINE = [
     "repetition_stats",
     "decontaminate",
     "bm25_scores",
+    "vocab_topk",
+    "cardinality_kmv",
     "corpus_mix",
     "sequence_pack",
     "minhash",

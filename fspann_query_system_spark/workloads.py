@@ -955,6 +955,66 @@ FROM corp c LEFT JOIN bench b USING (gram)
 GROUP BY c.doc_id
 """
 
+VOCAB_TOPK_N = 200
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-N tokens by frequency with a total
+    (count desc, token) order — the word-count shape (map-side combine
+    into the one token-keyed shuffle, then TakeOrdered for the head):
+    the precursor scan of any tokenizer-training run."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(F.explode(T.tokens("text")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("token"))
+            .limit(VOCAB_TOPK_N))
+
+
+SQL_VOCAB_TOPK = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t != '')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT {VOCAB_TOPK_N}
+"""
+
+KMV_K = 64
+
+
+def q_cardinality_kmv(spark, sf_dir):
+    """Per-source distinct-token cardinality: exact + deterministic KMV
+    sketch estimate (engine-independent arithmetic → full oracle; see
+    ops/sketches.py for why KMV instead of HLL here)."""
+    from .ops.sketches import kmv_cardinality
+    return kmv_cardinality(_t(spark, sf_dir, "documents"), k=KMV_K)
+
+
+SQL_CARDINALITY_KMV = f"""
+WITH toks AS (
+  SELECT DISTINCT grp, tok FROM (
+    SELECT source AS grp,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t != '')) AS tok
+    FROM documents)),
+ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM (SELECT grp, md5(tok) AS h FROM toks)),
+per AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_distinct_exact,
+         min(CASE WHEN rn = {KMV_K} THEN h END) AS kth
+  FROM ranked GROUP BY grp)
+SELECT grp AS source, n_distinct_exact,
+       round(CASE WHEN kth IS NULL THEN n_distinct_exact::DOUBLE
+                  ELSE {float(KMV_K - 1)!r} /
+                       (('0x' || substr(kth, 1, 15))::BIGINT::DOUBLE
+                        / {float(16 ** 15)!r})
+             END, 4) AS kmv_estimate
+FROM per
+"""
+
+
 BM25_TERMS = ("spark", "hash", "merge")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -2007,6 +2067,8 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "bm25_scores": q_bm25_scores,
+    "vocab_topk": q_vocab_topk,
+    "cardinality_kmv": q_cardinality_kmv,
     "streaming_minhash": q_streaming_minhash,
     "asof_enrich": q_asof_enrich,
     "session_attribution": q_session_attribution,
@@ -2088,6 +2150,8 @@ def oracle_sql_map() -> dict[str, str]:
         "repetition_stats": SQL_REPETITION_STATS,
         "decontaminate": SQL_DECONTAMINATE,
         "bm25_scores": _sql_bm25(),
+        "vocab_topk": SQL_VOCAB_TOPK,
+        "cardinality_kmv": SQL_CARDINALITY_KMV,
         "streaming_minhash": SQL_MINHASH,
         "asof_enrich": SQL_ASOF,
         "session_attribution": SQL_SESSION_ATTR,

@@ -838,3 +838,28 @@ def test_bm25_matches_reference_formula(spark):
     for d in expect:
         assert rows[d].bm25 == pytest.approx(expect[d], abs=2e-4), d
     assert rows[1].n_terms_matched == 2
+
+
+def test_kmv_cardinality_formula_and_exact_small(spark):
+    """Small group (< k distinct) -> sketch is exact; large group ->
+    estimate matches a Python reimplementation of the same k-th order
+    statistic bit-for-bit (engine-independent determinism is the whole
+    point of choosing KMV over HLL)."""
+    import hashlib
+    from fspann_query_system_spark.ops.sketches import kmv_cardinality
+    small = ["alpha beta gamma"]                       # 3 distinct tokens
+    big_tokens = [f"tok{i:04d}" for i in range(500)]   # 500 distinct
+    rows = [(0, "s", small[0])] + [
+        (i + 1, "b", " ".join(big_tokens[j] for j in range(i, i + 50)))
+        for i in range(0, 451, 50)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    k = 64
+    out = {r.source: r for r in kmv_cardinality(docs, k=k).collect()}
+    assert out["s"].n_distinct_exact == 3
+    assert out["s"].kmv_estimate == 3.0               # < k -> exact
+    assert out["b"].n_distinct_exact == 500
+    hashes = sorted(hashlib.md5(t.encode()).hexdigest() for t in big_tokens)
+    t_k = int(hashes[k - 1][:15], 16) / float(16 ** 15)
+    assert out["b"].kmv_estimate == round((k - 1) / t_k, 4)
+    # unbiased-ish: within the ~3-sigma band for k=64 (sigma ~ 12.7%)
+    assert abs(out["b"].kmv_estimate - 500) / 500 < 0.4

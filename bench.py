@@ -35,6 +35,9 @@ HEADLINE = [
     "bm25_scores",
     "vocab_topk",
     "cardinality_kmv",
+    "cms_heavy_hitters",
+    "tfidf_topk",
+    "edit_near_dups",
     "corpus_mix",
     "sequence_pack",
     "minhash",

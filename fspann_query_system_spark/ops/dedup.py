@@ -518,3 +518,34 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .unionByName(singles.select(F.col("u").alias("id"),
                                         F.col("u").alias("component")))
             .groupBy("id").agg(F.min("component").alias("component")))
+
+
+def edit_near_dups(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 3,
+                   n_hashes: int = 16, bands: int = 4,
+                   max_dist: int = 80) -> DataFrame:
+    """Edit-distance-verified near-duplicates: MinHash-LSH banding as
+    the blocking stage, Levenshtein as the exact verifier.
+
+    The realistic two-stage dedup pipeline: banding bounds the
+    candidate set (never all-pairs — see minhash_band_pairs), then the
+    O(len_a x len_b) edit-distance kernel runs only on candidates, with
+    Spark's threshold form (returns -1 past ``max_dist``) so the DP
+    early-exits on clearly-distinct pairs.  Scale shape: candidate
+    pairs carry ids only through the band shuffle; the two text
+    lookups are plain equi-joins against the corpus (sort-merge at
+    scale, broadcast when the candidate set is small).
+
+    Returns (id_a, id_b, n_shared_bands, edit_distance) with
+    edit_distance <= max_dist, id_a < id_b.
+    """
+    cand = minhash_band_pairs(df, text_col, id_col, k, n_hashes, bands)
+    ta = df.select(F.col(id_col).alias("id_a"),
+                   F.col(text_col).alias("text_a"))
+    tb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(text_col).alias("text_b"))
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("edit_distance",
+                        F.levenshtein("text_a", "text_b", max_dist))
+            .filter(F.col("edit_distance") >= 0)
+            .select("id_a", "id_b", "n_shared_bands", "edit_distance"))

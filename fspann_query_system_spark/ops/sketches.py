@@ -67,3 +67,62 @@ def kmv_cardinality(docs: DataFrame, group_col: str = "source",
                    F.col("n_distinct_exact").cast("double"))
             .otherwise(F.lit(float(k - 1)) / t_k),
             4).alias("kmv_estimate"))
+
+
+def cms_heavy_hitters(docs: DataFrame, text_col: str = "text",
+                      top_n: int = 20, depth: int = 4,
+                      width: int = 1024) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus's heavy
+    hitters, next to the exact counts (Cormode & Muthukrishnan '05).
+
+    Output: (token, exact_cnt, cms_estimate) for the top-``top_n``
+    tokens by exact count (ties broken by token).  CMS guarantees
+    cms_estimate >= exact_cnt; the gap is the collision overestimate.
+
+    Deterministic like the KMV sketch above: row ``j``'s hash is the
+    first 15 hex digits of md5(f"{j}:" + token) mod ``width`` -- plain
+    integer arithmetic, identical in any engine, so the registry entry
+    gets a full cross-engine oracle (a real CMS library's seeded
+    multiply-shift hashes never would).
+
+    Scale shape: the sketch is built FROM the per-token count table
+    (one token-keyed shuffle with map-side combine -- the same shuffle
+    an exact word-count needs), then collapsed to at most
+    depth x width rows (a map-side-combined second agg over a bounded
+    key space).  The sketch side of the estimate join is <= depth x
+    width rows -- broadcast.  At 100 TB the per-partition sketch is
+    what you'd actually ship (union of partials = elementwise sum);
+    building it from the count table here keeps the demo exact-
+    comparable without an extra pass over raw tokens.
+    """
+    toks = docs.select(F.explode(T.tokens(text_col)).alias("tok"))
+    counts = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+              .localCheckpoint())   # reused: sketch build + exact top-N
+
+    def bucket(j):
+        h = F.md5(F.concat(F.lit(f"{j}:"), F.col("tok")))
+        return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+                % width)
+
+    rows = None
+    for j in range(depth):
+        proj = counts.select(F.lit(j).alias("row_id"),
+                             bucket(j).alias("bucket"), "cnt")
+        rows = proj if rows is None else rows.unionByName(proj)
+    sketch = (rows.groupBy("row_id", "bucket")
+              .agg(F.sum("cnt").alias("bucket_cnt")))
+
+    top = (counts.orderBy(F.col("cnt").desc(), "tok").limit(top_n))
+    probes = top.select(
+        "tok", "cnt",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("row_id"), bucket(j).alias("bucket"))
+            for j in range(depth)])).alias("rb")
+    ).select("tok", "cnt", F.col("rb.row_id").alias("row_id"),
+             F.col("rb.bucket").alias("bucket"))
+    return (probes.join(F.broadcast(sketch), ["row_id", "bucket"])
+            .groupBy("tok", "cnt")
+            .agg(F.min("bucket_cnt").alias("cms_estimate"))
+            .select(F.col("tok").alias("token"),
+                    F.col("cnt").alias("exact_cnt"),
+                    "cms_estimate"))

@@ -1014,6 +1014,92 @@ SELECT grp AS source, n_distinct_exact,
 FROM per
 """
 
+CMS_TOP_N, CMS_DEPTH, CMS_WIDTH = 20, 4, 1024
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimates vs exact counts for the
+    corpus heavy hitters (deterministic md5 row-hashes → full oracle;
+    see ops/sketches.py for the mergeable 100 TB shape)."""
+    from .ops.sketches import cms_heavy_hitters
+    return cms_heavy_hitters(_t(spark, sf_dir, "documents"),
+                             top_n=CMS_TOP_N, depth=CMS_DEPTH,
+                             width=CMS_WIDTH)
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t != '')) AS tok
+  FROM documents),
+counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+js AS (SELECT unnest(range({CMS_DEPTH})) AS j),
+sketch AS (
+  SELECT j, ('0x' || substr(md5(j || ':' || tok), 1, 15))::BIGINT
+            % {CMS_WIDTH} AS bucket,
+         CAST(sum(cnt) AS BIGINT) AS bucket_cnt
+  FROM counts, js GROUP BY 1, 2),
+top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT {CMS_TOP_N}),
+probes AS (
+  SELECT tok, cnt, j,
+         ('0x' || substr(md5(j || ':' || tok), 1, 15))::BIGINT
+         % {CMS_WIDTH} AS bucket
+  FROM top, js)
+SELECT tok AS token, cnt AS exact_cnt,
+       CAST(min(bucket_cnt) AS BIGINT) AS cms_estimate
+FROM probes JOIN sketch USING (j, bucket)
+GROUP BY 1, 2
+"""
+
+TFIDF_TOP = 3
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-N terms by tf-idf (tf × ln(N/df)) — the
+    classic relevance/keyword-extraction scan. Plan: one (doc, term)
+    shuffle for tf (map-side combine), a term-keyed join against the
+    df table (vocab-sized — AQE broadcasts it when it fits), a 1-row
+    broadcast for N, then a per-doc WindowGroupLimit for the head.
+    Ranking compares round(tfidf, 6) so cross-engine log() ulp noise
+    can't flip an order; ties break on the term string."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n))
+              .withColumn("tfidf",
+                          F.col("tf") * F.log(F.col("n_docs") / F.col("df"))))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("tfidf", 6).desc(), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TFIDF_TOP)
+            .select("doc_id", "term", "tf", "df",
+                    F.round("tfidf", 4).alias("tfidf"), "rank"))
+
+
+SQL_TFIDF_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t != '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df, tf * ln(n_docs / df) AS tfidf
+  FROM tf JOIN df USING (term), n)
+SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, CAST(rnk AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY round(tfidf, 6) DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= {TFIDF_TOP}
+"""
+
 
 BM25_TERMS = ("spark", "hash", "merge")
 _BM25_K1, _BM25_B = 1.2, 0.75
@@ -1525,6 +1611,37 @@ WITH {_SQL_SHINGLES_CTE},
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
 FROM mh a JOIN mh b ON a.h = b.h AND a.mh = b.mh AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+
+
+EDIT_MAX_DIST = 80
+
+
+def q_edit_near_dups(spark, sf_dir):
+    """Two-stage near-dup verification: MinHash-band blocking, then an
+    exact Levenshtein verifier over candidates only (threshold form
+    early-exits the DP past the cutoff)."""
+    from .ops.dedup import edit_near_dups
+    return edit_near_dups(_t(spark, sf_dir, "documents"), "text", "doc_id",
+                          k=3, n_hashes=8, bands=8,
+                          max_dist=EDIT_MAX_DIST)
+
+
+SQL_EDIT_NEAR_DUPS = f"""
+WITH {_SQL_SHINGLES_CTE},
+{_sql_minhash_cte(8)},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+  FROM mh a JOIN mh b ON a.h = b.h AND a.mh = b.mh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+dist AS (
+  SELECT p.id_a, p.id_b, p.n_shared_bands,
+         levenshtein(a.text, b.text) AS edit_distance
+  FROM pairs p
+  JOIN documents a ON a.doc_id = p.id_a
+  JOIN documents b ON b.doc_id = p.id_b)
+SELECT id_a, id_b, n_shared_bands, CAST(edit_distance AS INT) AS edit_distance
+FROM dist WHERE edit_distance <= {EDIT_MAX_DIST}
 """
 
 
@@ -2069,6 +2186,9 @@ QUERIES = {
     "bm25_scores": q_bm25_scores,
     "vocab_topk": q_vocab_topk,
     "cardinality_kmv": q_cardinality_kmv,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "tfidf_topk": q_tfidf_topk,
+    "edit_near_dups": q_edit_near_dups,
     "streaming_minhash": q_streaming_minhash,
     "asof_enrich": q_asof_enrich,
     "session_attribution": q_session_attribution,
@@ -2152,6 +2272,9 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_scores": _sql_bm25(),
         "vocab_topk": SQL_VOCAB_TOPK,
         "cardinality_kmv": SQL_CARDINALITY_KMV,
+        "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+        "tfidf_topk": SQL_TFIDF_TOPK,
+        "edit_near_dups": SQL_EDIT_NEAR_DUPS,
         "streaming_minhash": SQL_MINHASH,
         "asof_enrich": SQL_ASOF,
         "session_attribution": SQL_SESSION_ATTR,

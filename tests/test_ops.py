@@ -863,3 +863,53 @@ def test_kmv_cardinality_formula_and_exact_small(spark):
     assert out["b"].kmv_estimate == round((k - 1) / t_k, 4)
     # unbiased-ish: within the ~3-sigma band for k=64 (sigma ~ 12.7%)
     assert abs(out["b"].kmv_estimate - 500) / 500 < 0.4
+
+
+def test_cms_estimate_bounds_and_collision(spark):
+    """CMS never underestimates; with a wide sketch (no collisions) the
+    estimate is exact, with a 2-bucket sketch collisions force strict
+    overestimates somewhere."""
+    from fspann_query_system_spark.ops.sketches import cms_heavy_hitters
+    rows = [(i, ("alpha " * 5 + "beta " * 3 + f"uniq{i} ")) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    wide = {r.token: r for r in
+            cms_heavy_hitters(docs, top_n=5, depth=4, width=4096).collect()}
+    assert wide["alpha"].exact_cnt == 100
+    assert all(r.cms_estimate == r.exact_cnt for r in wide.values())
+    narrow = cms_heavy_hitters(docs, top_n=5, depth=2, width=2).collect()
+    assert all(r.cms_estimate >= r.exact_cnt for r in narrow)
+    assert any(r.cms_estimate > r.exact_cnt for r in narrow)
+
+
+def test_tfidf_rank_hand_computed(spark):
+    """Rare term outranks frequent-but-common term within a doc."""
+    import math
+    from fspann_query_system_spark.workloads import q_tfidf_topk  # noqa: F401
+    from fspann_query_system_spark.functions import text as T
+    from pyspark.sql import Window
+    corpus = [(1, "common common common rare"),
+              (2, "common other words here"),
+              (3, "common filler filler text"),
+              (4, "common more stuff again")]
+    docs = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(dfreq, "term")
+              .withColumn("tfidf", F.col("tf") * F.log(F.lit(4.0) / F.col("df"))))
+    w = Window.partitionBy("doc_id").orderBy(F.round("tfidf", 6).desc(), "term")
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .filter("rank = 1 and doc_id = 1").collect())
+    # doc 1: 'common' tf=3 df=4 -> 3*ln(1)=0; 'rare' tf=1 df=1 -> ln(4)
+    assert top[0].term == "rare"
+    assert top[0].tfidf == pytest.approx(math.log(4.0))
+
+
+def test_edit_near_dups_verifies_planted_pair(spark, docs):
+    """Banding surfaces the planted near-dup; the Levenshtein stage
+    keeps it with the exact distance and drops distinct pairs."""
+    from fspann_query_system_spark.ops.dedup import edit_near_dups
+    out = edit_near_dups(docs, k=3, n_hashes=8, bands=8, max_dist=3)
+    rows = {(r.id_a, r.id_b): r.edit_distance for r in out.collect()}
+    assert rows[(0, 1)] == 3          # dog -> cat: 3 substitutions
+    assert all(d <= 3 for d in rows.values())

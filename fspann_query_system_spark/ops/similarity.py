@@ -299,6 +299,41 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
         run, schema="id_a BIGINT, id_b BIGINT, cosine DOUBLE")
 
 
+def semantic_dedup(df: DataFrame, centroids: DataFrame,
+                   threshold: float = 0.95,
+                   id_col: str = "id", vector_col: str = "vector") -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the corpus with a coarse k-means quantizer,
+    then score pairwise cosine ONLY within each cluster → (cell, id_a,
+    id_b, cosine) for pairs with cosine >= ``threshold``.  The canonical
+    SemDeDup keep/drop rule (drop id_b of every surviving pair) is one
+    ``select id_b distinct`` over this output.
+
+    Pass ``centroids`` from :func:`kmeans_fit` (computed once at ingest,
+    like the IVF quantizer) — fitting is not repeated per call.
+
+    Scale shape: assignment is strictly map-side against the broadcast
+    centroid matrix (:func:`_nearest_cells` — no crossJoin); the pair
+    join is an equi-join on the cell id, so each task scores one
+    cluster's block and the corpus-wide all-pairs product never
+    materializes.  With k sized so clusters are ~|corpus|/k documents,
+    work is O(n²/k) spread over k independent tasks — the published
+    SemDeDup recipe's exact cost model."""
+    assigned = _nearest_cells(df, centroids, 1, id_col, vector_col,
+                              "cell", "vector", keep_vector=True)
+    a = assigned.select("cell", F.col(id_col).alias("id_a"),
+                        F.col(vector_col).alias("_va"))
+    b = assigned.select("cell", F.col(id_col).alias("id_b"),
+                        F.col(vector_col).alias("_vb"))
+    pairs = (a.join(b, on="cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", cosine_expr("_va", "_vb"))
+             .filter(F.col("cosine") >= threshold))
+    return pairs.select("cell", "id_a", "id_b",
+                        F.round("cosine", 6).alias("cosine"))
+
+
 def sq8_topk(base: DataFrame, queries: DataFrame, mins: list, maxs: list,
              k: int = 10, rerank: int = 4,
              id_col: str = "id", vector_col: str = "vector",

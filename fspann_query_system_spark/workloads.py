@@ -1853,11 +1853,13 @@ def q_kmeans_centroids(spark, sf_dir):
             .select("cell", "pos", F.round("v", 6).alias("v")))
 
 
-def sql_kmeans(k: int, iters: int) -> str:
-    """Unrolled Lloyd iterations as chained CTEs: assign = argmin of the
-    long-form squared distance with (d2, cell) tie-break; update = 6dp-
-    rounded per-(cell, pos) mean; empty cells keep the previous centroid
-    (LEFT JOIN + coalesce, mirroring the Spark plan)."""
+def _sql_kmeans_parts(k: int, iters: int) -> tuple:
+    """Shared CTE chain for the unrolled Lloyd iterations: assign =
+    argmin of the long-form squared distance with (d2, cell) tie-break;
+    update = 6dp-rounded per-(cell, pos) mean; empty cells keep the
+    previous centroid (LEFT JOIN + coalesce, mirroring the Spark plan).
+    Returns (parts, final_centroid_cte_name) so callers can extend the
+    chain (e.g. a final assignment for semantic dedup)."""
     parts = [
         "e AS (SELECT vec_id AS id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
@@ -1888,9 +1890,51 @@ def sql_kmeans(k: int, iters: int) -> str:
             f"FROM {prev} LEFT JOIN u{i} "
             f"ON u{i}.cell = {prev}.cell AND u{i}.pos = {prev}.pos)")
         prev = f"c{i}"
+    return parts, prev
+
+
+def sql_kmeans(k: int, iters: int) -> str:
+    parts, prev = _sql_kmeans_parts(k, iters)
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT cell, CAST(pos AS INT) AS pos, "
               f"round(cv, 6) AS v FROM {prev}")
+
+
+SEMANTIC_DEDUP_THRESHOLD = 0.4
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): coarse k-means clusters, then
+    near-duplicate cosine pairs scored ONLY within each cluster — the
+    corpus-wide all-pairs product never materializes.  The quantizer is
+    the registry-certified distributed Lloyd trainer; assignment is
+    map-side against the broadcast centroid matrix."""
+    from .ops.similarity import kmeans_fit, semantic_dedup
+    base = _emb(spark, sf_dir)
+    cent = kmeans_fit(base, k=KMEANS_K, iters=KMEANS_ITERS)
+    return semantic_dedup(base, cent, SEMANTIC_DEDUP_THRESHOLD)
+
+
+def sql_semantic_dedup(k: int, iters: int, threshold: float) -> str:
+    """Generated oracle: the kmeans CTE chain, one more argmin
+    assignment against the final centroids, then within-cluster pairs
+    with exact cosine >= threshold."""
+    parts, prev = _sql_kmeans_parts(k, iters)
+    parts.append(
+        f"df AS (SELECT ex.id, {prev}.cell, "
+        f"sum((ex.x - {prev}.cv) * (ex.x - {prev}.cv)) AS dd "
+        f"FROM ex JOIN {prev} USING (pos) GROUP BY 1, 2)")
+    parts.append(
+        "af AS (SELECT id, cell FROM ("
+        "SELECT id, cell, row_number() OVER (PARTITION BY id "
+        "ORDER BY dd, cell) AS rn FROM df) WHERE rn = 1)")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT a.cell, a.id AS id_a, b.id AS id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+FROM af a JOIN af b ON a.cell = b.cell AND a.id < b.id
+JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id
+WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+""")
 
 
 N_IVF_CENTROIDS = 16
@@ -2180,6 +2224,7 @@ QUERIES = {
     "near_dup_embedding": q_near_dup_embedding,
     "near_dup_lsh": q_near_dup_lsh,
     "kmeans_centroids": q_kmeans_centroids,
+    "semantic_dedup": q_semantic_dedup,
     "doc_quantiles": q_doc_quantiles,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
@@ -2266,6 +2311,8 @@ def oracle_sql_map() -> dict[str, str]:
             _ann_params(ORACLE_SF_DIR, FLAGSHIP_CFG, _FLAGSHIP_CACHE),
             NEAR_DUP_LSH_THRESHOLD),
         "kmeans_centroids": sql_kmeans(KMEANS_K, KMEANS_ITERS),
+        "semantic_dedup": sql_semantic_dedup(
+            KMEANS_K, KMEANS_ITERS, SEMANTIC_DEDUP_THRESHOLD),
         "doc_quantiles": SQL_DOC_QUANTILES,
         "repetition_stats": SQL_REPETITION_STATS,
         "decontaminate": SQL_DECONTAMINATE,

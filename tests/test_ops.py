@@ -425,6 +425,38 @@ def test_kmeans_fit_improves_ivf(spark, clustered):
     assert recall(trained) >= recall(naive)
 
 
+def test_semantic_dedup_within_cluster_only(spark, clustered):
+    """SemDeDup pairs must (a) respect the threshold, (b) come only from
+    co-clustered rows, and (c) recover the planted duplicates: rows in
+    the same tight synthetic cluster are near-dups at high threshold,
+    rows from different clusters never are."""
+    from fspann_query_system_spark.ops.similarity import (kmeans_fit,
+                                                          semantic_dedup)
+    df, X = clustered
+    cent = kmeans_fit(df, k=8, iters=3)
+    pairs = semantic_dedup(df, cent, threshold=0.98).collect()
+    assert len(pairs) > 0
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for r in pairs:
+        assert r.id_a < r.id_b
+        cos = float(Xn[r.id_a] @ Xn[r.id_b])
+        assert abs(cos - r.cosine) < 1e-5 and r.cosine >= 0.98
+        # fixture layout: ids 250*j .. 250*j+249 share a true cluster
+        assert r.id_a // 250 == r.id_b // 250
+    # the pair set must be exactly the within-cell thresholded pairs:
+    # recompute from the assignment and compare counts for one cell
+    from fspann_query_system_spark.ops.similarity import ivf_assign
+    assigned = {r.id: r.cell
+                for r in ivf_assign(df, cent, c_id_col="cell").collect()}
+    cells = sorted({assigned[i] for i in range(len(X))})
+    expect = 0
+    for c in cells:
+        ids = [i for i in range(len(X)) if assigned[i] == c]
+        S = Xn[ids] @ Xn[ids].T
+        expect += int((np.triu(S, 1) >= 0.98).sum())
+    assert len(pairs) == expect
+
+
 def test_asof_join_matches_bruteforce(spark):
     """Union-trick as-of join vs a brute-force crossJoin argmax, both
     directions, incl. equal-timestamp inclusivity and unmatched lefts."""

@@ -77,10 +77,10 @@ def main():
     # warm the JVM, parquet reader, and python workers so per-query times
     # measure the queries, not interpreter/worker startup
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # events
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
+              "lineitem", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").schema  # footer + listing
+    workloads.load_events(spark, f"{sf_dir}/events.parquet").schema  # ts-tolerant
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     import pandas as _pd  # noqa: F401
     (spark.range(100).mapInPandas(lambda it: it, schema="id LONG").count())

@@ -59,13 +59,74 @@ SELECTIVE_CFG = LshConfig(dim=64, m=8, lam=3, tables=4, divisions=2,
 
 def _t(spark, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
-        # read nanos as long and convert (values are micro-aligned, so the
-        # div-1000 conversion is lossless and matches DuckDB's view).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return load_events(spark, f"{sf_dir}/events.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark, path: str) -> DataFrame:
+    """Load the events table tolerant of the fixture's timestamp physical
+    type.  The driver has shipped ``ts`` both as TIMESTAMP(NANOS) (which
+    Spark 4 only reads with the nanosAsLong legacy conf, yielding a long)
+    and as plain TIMESTAMP(MICROS) (read natively as a timestamp).  Branch
+    on the loaded dtype instead of assuming either.
+    """
+    from pyspark.sql.types import LongType, TimestampType, TimestampNTZType
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Older fixture: TIMESTAMP(NANOS) footer that Spark rejects
+        # outright — retry with the legacy nanos-as-long read.  The conf
+        # only affects schema resolution at read time, so restoring it
+        # immediately keeps the session unpolluted (the returned plan
+        # keeps the long-typed relation it resolved).
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return df
+    if isinstance(dt, LongType):
+        # nanos-as-long; values are micro-aligned so div 1000 is lossless
+        # and matches DuckDB's view of the same file.
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raise TypeError(f"events.ts has unexpected dtype {dt}")
+
+
+def _events_stream(spark, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet, tolerant of either ``ts``
+    physical type (see :func:`load_events`).  Returns a streaming
+    DataFrame whose ``ts`` column is a proper timestamp."""
+    from pyspark.sql.types import LongType
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        nanos = isinstance(schema["ts"].dataType, LongType)
+    except Exception:
+        schema = None
+        nanos = True
+    if nanos:
+        # Legacy nanos fixture: the conf must stay set while micro-batches
+        # execute, so it is left on for the session in this branch only.
+        spark.conf.set(conf_key, "true")
+        if schema is None:
+            schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if nanos:
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
 
 
 def _emb_matrix(sf_dir: str) -> np.ndarray:
@@ -388,8 +449,6 @@ def q_streaming_window_agg(spark, sf_dir):
     SQL oracle — Structured Streaming gets a full correctness gate, not a
     rows-only check."""
     import uuid
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # Stateful-op partition count is pinned at first checkpoint; size it to
     # the STATE cardinality (bucket × event_type — thousands of rows), not
     # the batch-shuffle default: each state partition carries a store
@@ -400,11 +459,7 @@ def q_streaming_window_agg(spark, sf_dir):
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
     try:
-        stream = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", 1)
-                  .option("pathGlobFilter", "events.parquet")
-                  .parquet(sf_dir))
-        ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ev = _events_stream(spark, sf_dir)
         agg = (ev.withColumn("bucket", F.floor(F.unix_timestamp("ts") / 300))
                .groupBy("bucket", "event_type")
                .agg(F.count("*").alias("n_events"),
@@ -470,18 +525,11 @@ def q_streaming_sessionization(spark, sf_dir):
     import os
     import uuid
     from .streaming.stateful import stateful_sessionize
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
     try:
-        stream = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", 1)
-                  .option("pathGlobFilter", "events.parquet")
-                  .parquet(sf_dir))
-        ev = (stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-              .select("user_id", "event_id", "ts"))
+        ev = _events_stream(spark, sf_dir).select("user_id", "event_id", "ts")
         out = stateful_sessionize(ev)
         name = "sess_sink_" + uuid.uuid4().hex[:8]
         q = (out.writeStream.format("memory").queryName(name)

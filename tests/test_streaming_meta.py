@@ -154,18 +154,14 @@ def test_stateful_sessionization_matches_batch(spark):
     import uuid
     from pyspark.sql import functions as F
     from fspann_query_system_spark.streaming.stateful import stateful_sessionize
-    from fspann_query_system_spark.workloads import q_sessionization, _t
+    from fspann_query_system_spark.workloads import (
+        q_sessionization, _events_stream)
 
     sf = "/root/testdata/sf0.001"
     batch = {r.user_id: (r.n_sessions, r.n_events)
              for r in q_sessionization(spark, sf).collect()}
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    stream = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", "events.parquet").parquet(sf)
-              .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-              .select("user_id", "event_id", "ts"))
+    stream = _events_stream(spark, sf).select("user_id", "event_id", "ts")
     name = "sess_" + uuid.uuid4().hex[:8]
     q = (stateful_sessionize(stream).writeStream.format("memory")
          .queryName(name).outputMode("update")

@@ -15,6 +15,9 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+# python workers must also see the package regardless of the launch cwd
+os.environ["PYTHONPATH"] = "/root/repo" + (
+    os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else "")
 
 from fspann_query_system_spark.session import get_spark          # noqa: E402
 from fspann_query_system_spark import workloads                  # noqa: E402

@@ -41,6 +41,7 @@ def main(argv: list[str] | None = None) -> int:
     from .api import ForwardSecureANNSystem
     from .config import load_config, config_sha256
     from .query.metrics import recall_at_k
+    from .query.profiler import stabilization_rows
     from .session import get_spark
     from .sources.registry import load_vectors, load_groundtruth, \
         validate_groundtruth
@@ -82,8 +83,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.groundtruth:
             groundtruth_to_ivecs(gt, args.groundtruth)
 
-    # QUERY + EVAL
-    results = system.search(queries, k=max_k)
+    # QUERY + EVAL (with stabilization counters carried through the plan)
+    results = system.search(queries, k=max_k, with_diagnostics=True)
     os.makedirs(args.outdir, exist_ok=True)
     report: dict = {"n_base": n_base, "n_queries": n_q,
                     "config_sha256": config_sha256(args.config)}
@@ -102,10 +103,16 @@ def main(argv: list[str] | None = None) -> int:
         F.round(F.min("distance"), 6).alias("nn_distance"))
     accuracy = spark.createDataFrame(
         [(k, float(report[f"recall@{k}"])) for k in ks], "k INT, avg_recall DOUBLE")
-    samples = results.orderBy("q_id", "rank").limit(200)
-    diagnostics = results.groupBy("q_id").agg(
+    samples = (results.select("q_id", "id", "distance", "rank")
+               .orderBy("q_id", "rank").limit(200))
+    # stabilization diagnostic (reference QueryServiceImpl.java:87-94,
+    # StabilizationCallback.accept(rawCount, finalCount)): raw vs kept vs
+    # decrypted vs returned candidate counts per query, next to the
+    # result-shape stats
+    shape = results.groupBy("q_id").agg(
         F.max("rank").alias("max_rank"),
         F.round(F.max("distance"), 6).alias("max_distance"))
+    diagnostics = stabilization_rows(results).join(shape, on="q_id")
     reenc = report.get("reencryption") or {}
     reenc_flat = {"version": reenc.get("version"), "migrated": reenc.get("migrated")}
     for kv, n in (reenc.get("census") or {}).items():

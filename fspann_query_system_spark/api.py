@@ -125,11 +125,15 @@ class ForwardSecureANNSystem:
 
     def search(self, queries: DataFrame, k: int | None = None,
                adaptive: bool = True, with_decoys: bool | None = None,
-               sq8_rerank: int | None = None) -> DataFrame:
+               sq8_rerank: int | None = None,
+               with_diagnostics: bool = False) -> DataFrame:
         """Batched search over the encrypted store; decoy interleaving per
         config; touched ids recorded for forward-secure re-encryption.
         ``sq8_rerank`` enables compressed refine on an index built with
-        ``index_vectors(..., sq8=True)``."""
+        ``index_vectors(..., sq8=True)``.  ``with_diagnostics`` carries
+        the stabilization counters (raw/kept/decrypted candidate counts
+        per query) through the result — see
+        :func:`query.profiler.stabilization_rows`."""
         if self.index is None:
             raise RuntimeError("index not built")
         k = k or self.config.top_k
@@ -142,7 +146,8 @@ class ForwardSecureANNSystem:
                                   seed=self.config.seed).drop("is_decoy")
         self.profiler.start("search")
         fn = search_batch_adaptive if adaptive else search_batch
-        res = fn(self.index, q, k=k, sq8_rerank=sq8_rerank).persist()
+        res = fn(self.index, q, k=k, sq8_rerank=sq8_rerank,
+                 with_diagnostics=with_diagnostics).persist()
         res.count()
         self.profiler.stop("search")
         if self.config.reenc_mode != "off":

@@ -15,17 +15,20 @@ sides -- so the registry entry gets a FULL oracle, while keeping the
 property that makes sketches matter at 100 TB: per-partition k-min
 sets merge by union+truncate (a map-side partial aggregate).
 
-Scale shape: hash is map-side; the per-group k-th order statistic runs
-as one (group, hash)-keyed distinct (combiner-friendly, the same
-shuffle any exact-distinct needs) followed by a per-group window over
-at most the distinct set.  For unbounded groups swap the window for a
-partial top-k aggregate; group count here is small (per-source
-corpus stats).
+Scale shape: hash is map-side; the per-group k-min set is computed as a
+SALTED TWO-LEVEL bounded aggregate -- level 1 keeps the k smallest
+hashes per (group, salt) as a sorted-truncated array (the partial
+sketch), level 2 merges the <= fanout partials per group by
+union+truncate, which IS the KMV merge operation the sketch exists
+for.  No per-group window, no single task ever sees a group's full
+distinct set: level-1 buffers hold ~distinct/fanout hashes and the
+fanout is a knob (set it ~ distinct_per_group / 1e6 at 100 TB);
+level 2 sees fanout * k rows per group.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -35,7 +38,8 @@ _HEX15_SPACE = float(16 ** 15)
 
 
 def kmv_cardinality(docs: DataFrame, group_col: str = "source",
-                    text_col: str = "text", k: int = 64) -> DataFrame:
+                    text_col: str = "text", k: int = 64,
+                    merge_fanout: int = 32) -> DataFrame:
     """Per-group distinct-token cardinality: exact count + KMV estimate.
 
     Output: (group, n_distinct_exact, kmv_estimate).  When a group has
@@ -46,24 +50,41 @@ def kmv_cardinality(docs: DataFrame, group_col: str = "source",
     digits (60 bits) map the k-th smallest hash into (0, 1), and
     (k - 1) / t_k is plain double arithmetic -- identical in any
     engine, hence fully oracle-checkable.
+
+    The k-min set is a salted two-level sorted-truncate aggregate (no
+    per-group window): level 1 produces the bounded partial sketch per
+    (group, salt), level 2 merges partials by union + re-sort +
+    truncate -- the canonical KMV merge.  ``merge_fanout`` bounds
+    level-1 buffer size at ~distinct/fanout; the salt comes from hash
+    digits DISJOINT from the ones that order the sketch, so salting
+    cannot bias which hashes are smallest.
     """
     toks = (docs.select(F.col(group_col).alias("grp"),
                         F.explode(T.tokens(text_col)).alias("tok"))
             .distinct())
-    hashed = toks.select("grp", F.md5("tok").alias("h"))
-    w = Window.partitionBy("grp").orderBy("h")
-    ranked = hashed.withColumn("rn", F.row_number().over(w))
-    per_grp = (ranked.groupBy("grp")
-               .agg(F.count(F.lit(1)).alias("n_distinct_exact"),
-                    F.min(F.when(F.col("rn") == k, F.col("h")))
-                     .alias("kth_hash")))
-    t_k = (F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("double")
+    # salt from hex digits 16.. (independent of the ordering digits 1-15)
+    hashed = toks.select(
+        "grp", F.md5("tok").alias("h")
+    ).select(
+        "grp", "h",
+        F.pmod(F.conv(F.substring("h", 16, 8), 16, 10).cast("long"),
+               F.lit(merge_fanout)).alias("salt"))
+    partial = (hashed.groupBy("grp", "salt")
+               .agg(F.count(F.lit(1)).alias("n_part"),
+                    F.slice(F.array_sort(F.collect_list("h")), 1, k)
+                     .alias("kmin_part")))
+    merged = (partial.groupBy("grp")
+              .agg(F.sum("n_part").alias("n_distinct_exact"),
+                   F.slice(F.array_sort(F.flatten(F.collect_list("kmin_part"))),
+                           1, k).alias("kmin")))
+    kth_hash = F.when(F.size("kmin") >= k, F.element_at("kmin", k))
+    t_k = (F.conv(F.substring(kth_hash, 1, 15), 16, 10).cast("double")
            / F.lit(_HEX15_SPACE))
-    return per_grp.select(
+    return merged.select(
         F.col("grp").alias(group_col),
         "n_distinct_exact",
         F.round(
-            F.when(F.col("kth_hash").isNull(),
+            F.when(kth_hash.isNull(),
                    F.col("n_distinct_exact").cast("double"))
             .otherwise(F.lit(float(k - 1)) / t_k),
             4).alias("kmv_estimate"))

@@ -471,6 +471,8 @@ def _sq8_shortlist(index: AnnIndex, kept: DataFrame, qv: DataFrame,
     rg = np.array(index.sq8_maxs, dtype=np.float64) - mn
     bc = spark.sparkContext.broadcast((mn, rg))
 
+    carry = [c for c in kept.columns if c.startswith("_cand_")]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mn_, rg_ = bc.value
         for pdf in batches:
@@ -481,17 +483,21 @@ def _sq8_shortlist(index: AnnIndex, kept: DataFrame, qv: DataFrame,
             Qm = np.vstack([np.asarray(v, dtype=np.float64)
                             for v in pdf["_qvec"].to_numpy()])
             d2 = np.square(mn_ + C / 255.0 * rg_ - Qm).sum(axis=1)
-            yield pd.DataFrame({"q_id": pdf["q_id"], "id": pdf["id"],
-                                "_ad": d2})
+            out = {"q_id": pdf["q_id"], "id": pdf["id"], "_ad": d2}
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     id_type = index.sq8_codes.schema["id"].dataType.simpleString()
+    schema = f"q_id BIGINT, id {id_type}, _ad DOUBLE"
+    schema += "".join(f", {c} BIGINT" for c in carry)
     approx = (kept.join(index.sq8_codes, on="id")
               .join(F.broadcast(qv), on="q_id")
-              .select("q_id", "id", "codes", "_qvec")
-              .mapInPandas(run, schema=f"q_id BIGINT, id {id_type}, _ad DOUBLE"))
+              .select("q_id", "id", "codes", "_qvec", *carry)
+              .mapInPandas(run, schema=schema))
     w = Window.partitionBy("q_id").orderBy(F.col("_ad").asc(), F.col("id").asc())
     return (approx.withColumn("_sr", F.row_number().over(w))
-            .filter(F.col("_sr") <= limit).select("q_id", "id"))
+            .filter(F.col("_sr") <= limit).select("q_id", "id", *carry))
 
 
 def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
@@ -502,8 +508,17 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
                  routing_mode: str = "broadcast",
                  sq8_rerank: int | None = None,
                  allow: DataFrame | None = None,
-                 allow_id_col: str = "id") -> DataFrame:
+                 allow_id_col: str = "id",
+                 with_diagnostics: bool = False) -> DataFrame:
     """Top-k ANN for a whole query set → (q_id, id, distance, rank).
+
+    ``with_diagnostics`` carries the reference's stabilization counters
+    (``QueryServiceImpl.java:29-31,87-94``: candTotal raw from the index,
+    candKept after the limiter, candDecrypted refined) through the plan
+    as per-query columns ``_cand_raw`` / ``_cand_kept`` /
+    ``_cand_decrypted`` — window counts over the existing q_id
+    partitioning, so they add NO extra shuffle.  Collapse them with
+    :func:`fspann_query_system_spark.query.profiler.stabilization_rows`.
 
     ``routing_mode``: "broadcast" (default) collects the bounds once and
     binary-searches them in executors — right whenever the bounds fit the
@@ -548,6 +563,10 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
             allow.select(F.col(allow_id_col).alias("id")).distinct(),
             on="id", how="leftsemi")
 
+    wq = Window.partitionBy("q_id")
+    if with_diagnostics:
+        cand = cand.withColumn("_cand_raw", F.count(F.lit(1)).over(wq))
+
     # F4 ranked-hamming prefilter + O5 bounded refinement, one sort:
     # ORDER BY (ham > T), ham, id LIMIT refinement_limit per query.
     w = Window.partitionBy("q_id").orderBy(
@@ -555,6 +574,8 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
         F.col("ham").asc(), F.col("id").asc())
     kept = (cand.withColumn("_cr", F.row_number().over(w))
             .filter(F.col("_cr") <= refinement_limit).drop("_cr"))
+    if with_diagnostics:
+        kept = kept.withColumn("_cand_kept", F.count(F.lit(1)).over(wq))
 
     qv = q.withColumnRenamed("vector", "_qvec")
 
@@ -565,6 +586,8 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
             raise ValueError(
                 "sq8_rerank requires an index built with .with_sq8()")
         kept = _sq8_shortlist(index, kept, qv, k * sq8_rerank)
+    if with_diagnostics:
+        kept = kept.withColumn("_cand_decrypted", F.count(F.lit(1)).over(wq))
 
     # J1: candidates ⋈ payloads; decrypt only survivors (C5 after O5).
     if index.encrypted:
@@ -576,9 +599,12 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
 
     # shuffle 2: per-query exact rank (A2), ties by id (A3 semantics)
     wr = Window.partitionBy("q_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    out_cols = ["q_id", "id", "distance", "rank"]
+    if with_diagnostics:
+        out_cols += ["_cand_raw", "_cand_kept", "_cand_decrypted"]
     return (scored.withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= k)
-            .select("q_id", "id", "distance", "rank"))
+            .select(*out_cols))
 
 
 def search_batch_adaptive(index: AnnIndex, queries: DataFrame, k: int = 10,

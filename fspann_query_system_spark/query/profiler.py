@@ -73,6 +73,25 @@ def aggregates(metric_rows: DataFrame) -> DataFrame:
     return metric_rows.groupBy("k").agg(*aggs).orderBy("k")
 
 
+def stabilization_rows(results: DataFrame) -> DataFrame:
+    """Collapse ``search_batch(..., with_diagnostics=True)`` output into
+    the reference's stabilization diagnostic — raw vs final candidate
+    counts per query (``QueryServiceImpl.StabilizationCallback
+    .accept(rawCount, finalCount)``, ``QueryServiceImpl.java:87-94``;
+    exercised by the reference's StabilizationTest/CandidatePipelineTest).
+
+    Output: (q_id, cand_raw, cand_kept, cand_decrypted, returned) —
+    candTotal / candKept / candDecrypted / |results| in the reference's
+    vocabulary.  Queries with zero returned rows don't appear (same as
+    the reference, whose counters are recorded per executed search)."""
+    return (results.groupBy("q_id")
+            .agg(F.max("_cand_raw").alias("cand_raw"),
+                 F.max("_cand_kept").alias("cand_kept"),
+                 F.max("_cand_decrypted").alias("cand_decrypted"),
+                 F.count(F.lit(1)).alias("returned"))
+            .orderBy("q_id"))
+
+
 class Profiler:
     """Wall-clock phase timing + sink export (reference ``Profiler`` +
     ``EvaluationSummaryPrinter``)."""

@@ -366,3 +366,41 @@ def test_filtered_search_composes_with_sq8_and_encryption(spark, clustered,
     res = search_batch(idx, queries, k=5, allow=allow, sq8_rerank=4)
     rows = res.collect()
     assert rows and all(r.id % 2 == 0 for r in rows)
+
+
+def test_stabilization_diagnostics_counters(index, queries):
+    """with_diagnostics carries the reference's stabilization counters
+    (QueryServiceImpl.java:29-31: candTotal >= candKept >= candDecrypted
+    >= |results|) through the plan, constant per query, and the plain
+    result columns are untouched."""
+    from fspann_query_system_spark.query.profiler import stabilization_rows
+    idx, _, _ = index
+    res = search_batch(idx, queries, k=10, with_diagnostics=True)
+    rows = stabilization_rows(res).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.cand_raw >= r.cand_kept >= r.cand_decrypted >= r.returned > 0
+        # no refinement pressure here (limit 400 > candidates): kept == raw
+        # only when raw <= limit
+        if r.cand_raw <= 400:
+            assert r.cand_kept == r.cand_raw
+    # the diagnostic columns don't perturb the search result itself
+    plain = search_batch(idx, queries, k=10)
+    a = {(r.q_id, r.rank): r.id for r in plain.collect()}
+    b = {(r.q_id, r.rank): r.id for r in res.collect()}
+    assert a == b
+
+
+def test_stabilization_diagnostics_sq8_path(spark, clustered, queries):
+    """The counters survive the SQ8 shortlist: cand_decrypted is capped
+    at k*rerank while cand_kept still reflects the pre-shortlist set."""
+    from fspann_query_system_spark.query.profiler import stabilization_rows
+    df, X = clustered
+    cfg = LshConfig(dim=16, m=8, lam=2, tables=4, divisions=2, seed=42,
+                    block_size=32, probes=5, refinement_limit=400)
+    idx = AnnIndex.build(df, cfg).with_sq8()
+    res = search_batch(idx, queries, k=10, sq8_rerank=2,
+                       with_diagnostics=True)
+    for r in stabilization_rows(res).collect():
+        assert r.cand_decrypted <= 10 * 2
+        assert r.cand_kept >= r.cand_decrypted >= r.returned > 0

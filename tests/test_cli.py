@@ -46,6 +46,19 @@ def test_cli_end_to_end(spark, cli_fixture):
                  "query_diagnostics", "reencrypt_metrics.csv",
                  "phases.csv", "metrics_summary.txt", "run_report.json"]:
         assert sink in files, (sink, files)
+    # stabilization diagnostic populated (reference
+    # QueryServiceImpl.java:87-94 raw-vs-final candidate counts)
+    import csv
+    import glob
+    [diag_csv] = glob.glob(os.path.join(out, "query_diagnostics", "*.csv"))
+    with open(diag_csv) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 8          # one row per query
+    for r in rows:
+        raw, kept = int(r["cand_raw"]), int(r["cand_kept"])
+        dec, ret = int(r["cand_decrypted"]), int(r["returned"])
+        # candTotal >= candKept >= candDecrypted >= |results| > 0
+        assert raw >= kept >= dec >= ret > 0, r
 
 
 def test_cli_groundtruth_roundtrip(spark, cli_fixture):

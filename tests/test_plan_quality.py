@@ -238,3 +238,15 @@ def test_bm25_stats_broadcast_no_per_term_shuffle(spark):
     assert "Generate" not in plan, plan            # no explode anywhere
     # only exchanges allowed: the single-row stats aggregate's
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_kmv_is_bounded_aggregate_not_window(spark):
+    """The KMV k-min set must come from the salted two-level
+    sorted-truncate aggregate (mergeable union+truncate partials), NOT
+    a per-group window ranking the full distinct-token set in one task
+    — that window is a single-task scale killer at 100 TB."""
+    from fspann_query_system_spark.ops.sketches import kmv_cardinality
+    plan = _plan(kmv_cardinality(W._t(spark, SF, "documents")))
+    assert "Window" not in plan, plan
+    # two aggregate levels: (grp, salt) partial sketch then grp merge
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan

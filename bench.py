@@ -57,6 +57,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "minhash_bands",
     "dedup_clusters",
+    "near_dup_pipeline",
     "near_dup_embedding",
     "near_dup_lsh",
     "kmeans_centroids",

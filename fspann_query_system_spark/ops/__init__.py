@@ -1,6 +1,6 @@
 from .dedup import (exact_duplicates, dedup_exact, shingle_table,
                     minhash_signatures, minhash_band_pairs, jaccard_pairs,
-                    winnow_fingerprints,
+                    winnow_fingerprints, near_dup_pipeline,
                     simhash, simhash_fast, simhash_near_pairs)
 from .similarity import (cosine_topk, cosine_topk_sql_shape, ivf_topk,
                          embedding_near_dups, sq8_stats, sq8_quantize)
@@ -11,7 +11,7 @@ from .skew import salted_agg, salted_join, explain_shuffles
 __all__ = [
     "exact_duplicates", "dedup_exact", "shingle_table",
     "minhash_signatures", "minhash_band_pairs", "jaccard_pairs",
-    "winnow_fingerprints",
+    "winnow_fingerprints", "near_dup_pipeline",
     "simhash", "simhash_fast", "simhash_near_pairs",
     "cosine_topk", "cosine_topk_sql_shape", "ivf_topk", "embedding_near_dups",
     "sq8_stats", "sq8_quantize",

@@ -520,6 +520,55 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .groupBy("id").agg(F.min("component").alias("component")))
 
 
+def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      n_hashes: int = 8, bands: int = 8,
+                      threshold: float = 0.5) -> DataFrame:
+    """The complete near-dup pipeline in one plan: MinHash-band candidate
+    generation → exact shingle-set Jaccard verification of just those
+    candidates → connected components over verified pairs → canonical id
+    + keep/drop per document.
+
+    Output: (id, canonical_id, keep INT) for EVERY input document; keep=1
+    iff the document is its cluster's canonical (minimum-id) member.
+
+    Scale shape: banding bounds the candidate set (never all-pairs); the
+    verification join expands candidates by |shingles/doc| only for
+    banded pairs; CC is the log-round star contraction; the final
+    labeling is a left join on the (small) component table.  This is the
+    composition a 100 TB dedup actually runs — candidate generation and
+    exact verification must never both be all-pairs.
+    """
+    cand = (minhash_band_pairs(docs, text_col, id_col,
+                               k=k, n_hashes=n_hashes, bands=bands)
+            .select("id_a", "id_b"))
+    sh = shingle_table(docs, text_col, id_col, k=k, dedupe=True)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (cand
+             .join(sh.select(F.col(id_col).alias("id_a"), "shingle"),
+                   on="id_a")
+             .join(sh.select(F.col(id_col).alias("id_b"), "shingle"),
+                   on=["id_b", "shingle"])
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
+    ver = (inter
+           .join(sizes.select(F.col(id_col).alias("id_a"),
+                              F.col("sz").alias("_sza")), on="id_a")
+           .join(sizes.select(F.col(id_col).alias("id_b"),
+                              F.col("sz").alias("_szb")), on="id_b")
+           .filter(F.col("n_inter")
+                   >= threshold
+                   * (F.col("_sza") + F.col("_szb") - F.col("n_inter")))
+           .select("id_a", "id_b"))
+    comp = connected_components(ver)
+    canonical = F.coalesce("component", id_col)
+    return (docs.select(id_col)
+            .join(comp.withColumnRenamed("id", id_col), on=id_col,
+                  how="left")
+            .select(id_col,
+                    canonical.alias("canonical_id"),
+                    (F.col(id_col) == canonical).cast("int").alias("keep")))
+
+
 def edit_near_dups(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", k: int = 3,
                    n_hashes: int = 16, bands: int = 4,

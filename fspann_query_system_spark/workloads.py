@@ -1747,6 +1747,60 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+def q_near_dup_pipeline(spark, sf_dir):
+    """The COMPLETE near-dup pipeline a training-data user runs, in one
+    plan: MinHash-band candidate generation → exact shingle-set Jaccard
+    verification of just those candidates → connected components over
+    the verified pairs → canonical id + keep/drop decision per document.
+
+    Scale shape: banding bounds the candidate set (never all-pairs);
+    verification joins shingles only for candidate pairs (pair-bounded
+    expansion, ~|pairs|·|shingles/doc| rows); CC is the log-round
+    star-contraction; the keep decision is a broadcastable left join.
+    """
+    from .ops.dedup import near_dup_pipeline
+    return near_dup_pipeline(_t(spark, sf_dir, "documents"),
+                             k=3, n_hashes=8, bands=8,
+                             threshold=NEAR_DUP_PIPE_THRESHOLD)
+
+
+NEAR_DUP_PIPE_THRESHOLD = 0.5
+
+SQL_NEAR_DUP_PIPE = f"""
+WITH RECURSIVE {_SQL_SHINGLES_CTE},
+{_sql_minhash_cte(8)},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b ON a.h = b.h AND a.mh = b.mh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+ver AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+               JOIN sz sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter >= {NEAR_DUP_PIPE_THRESHOLD}
+                     * (sa.sz + sb.sz - i.n_inter)),
+und AS (SELECT id_a AS a, id_b AS b FROM ver
+        UNION SELECT id_b, id_a FROM ver),
+reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a),
+comp AS (SELECT src AS id, least(src, min(dst)) AS component
+         FROM reach GROUP BY src)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS canonical_id,
+       CAST(d.doc_id = coalesce(c.component, d.doc_id) AS INT) AS keep
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def q_sq8_quantize(spark, sf_dir):
     """SQ8 scalar quantization of the embeddings table: per-dim codebook
     from one tiny aggregate, then a shuffle-free map-side encode — the
@@ -2315,9 +2369,10 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "tfidf_topk": q_tfidf_topk,
     "edit_near_dups": q_edit_near_dups,
-    "simhash": q_simhash,
+    "near_dup_pipeline": q_near_dup_pipeline,
     # ---- position 50 ends here; entries below are PARKED (green in
     # ---- earlier rounds, certification stands from those artifacts)
+    "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "doc_stats": q_doc_stats,
     "lang_id": q_lang_id,
@@ -2368,6 +2423,7 @@ def oracle_sql_map() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_bands": SQL_MINHASH_BANDS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "near_dup_pipeline": SQL_NEAR_DUP_PIPE,
         "near_dup_embedding": SQL_NEAR_DUP,
         "ivf_ann": SQL_IVF,
         "recall_eval": SQL_RECALL,

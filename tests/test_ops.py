@@ -945,3 +945,20 @@ def test_edit_near_dups_verifies_planted_pair(spark, docs):
     rows = {(r.id_a, r.id_b): r.edit_distance for r in out.collect()}
     assert rows[(0, 1)] == 3          # dog -> cat: 3 substitutions
     assert all(d <= 3 for d in rows.values())
+
+
+def test_near_dup_pipeline_planted_cluster(spark, docs):
+    """End-to-end near-dup pipeline: the planted near-dups (0,1,2) land
+    in one cluster with the min id canonical and only doc 0 kept;
+    distinct docs keep themselves."""
+    from fspann_query_system_spark.ops.dedup import near_dup_pipeline
+    out = {r.doc_id: (r.canonical_id, r.keep)
+           for r in near_dup_pipeline(docs, k=3, n_hashes=8, bands=8,
+                                      threshold=0.5).collect()}
+    assert len(out) == 6                       # every doc labeled
+    assert out[0] == (0, 1)
+    assert out[1] == (0, 0)                    # near-dup dropped
+    assert out[2] == (0, 0)                    # normalize-exact dropped
+    assert out[3] == (3, 1)
+    assert out[4] == (4, 1)
+    assert out[5] == (5, 1)                    # empty doc is its own

@@ -104,24 +104,37 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 5,
     construction and broadcast; the only shuffle is the final
     combiner-friendly agg keyed by doc_id.  Nothing all-pairs.
     """
-    toks = docs.select("doc_id", T.tokens(text_col).alias("toks"))
-    # the >= n guard must live INSIDE the expression (CASE WHEN is lazy):
-    # codegen subexpression elimination can evaluate projection exprs
-    # before a same-stage filter, and sequence(0, size-n) with size < n
-    # is a descending sequence whose indices break slice()
-    grams = toks.select(
-        "doc_id",
-        F.when(
-            F.size("toks") >= n,
+    # Filter FIRST on cheap predicates (token count, doc_id side split),
+    # THEN build grams: filtering on size(grams) after the projection
+    # made Catalyst inline the whole transform expression into the
+    # Filter as well as the Generate — the gram array was built twice
+    # per row (~3x slower at sf0.1).  With >= n tokens the gram array is
+    # nonempty by construction, so the post-filter is redundant; the
+    # doc_id split below the gram-gen means each side only builds grams
+    # for its own rows (one corpus pass total, not two).
+    #
+    # No CASE WHEN guard (a conditional around the transform costs ~2x:
+    # it defeats codegen's subexpression reuse); instead the sequence end
+    # is clamped with greatest(size-n, 0), so rows with < n tokens that
+    # codegen evaluates speculatively ahead of the same-stage filter
+    # yield one harmless short gram (slice clamps the length) instead of
+    # a descending sequence that breaks slice() — the filter then drops
+    # them regardless.
+    toks = (docs.select("doc_id", T.tokens(text_col).alias("toks"))
+            .where(F.size("toks") >= n))
+
+    def _grams(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id",
             F.array_distinct(F.transform(
-                F.sequence(F.lit(0), F.size("toks") - n),
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
                 lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-            ))).otherwise(F.array().cast("array<string>")).alias("grams"),
-    ).where(F.size("grams") > 0)
-    bench = (grams.where(F.col("doc_id") % bench_every == 0)
+            )).alias("grams"))
+
+    bench = (_grams(toks.where(F.col("doc_id") % bench_every == 0))
              .select(F.explode("grams").alias("gram")).distinct()
              .withColumn("hit", F.lit(1)))
-    corp = (grams.where(F.col("doc_id") % bench_every != 0)
+    corp = (_grams(toks.where(F.col("doc_id") % bench_every != 0))
             .select("doc_id", F.explode("grams").alias("gram")))
     scored = (corp.join(F.broadcast(bench), "gram", "left")
               .groupBy("doc_id")

@@ -85,6 +85,15 @@ def main():
         print(f"encrypted search {label} ({m} queries): {dt:.1f}s "
               f"= {1000*dt/m:.0f} ms/query ({len(res)} rows)", flush=True)
 
+    # --- distributed routing (the >broadcast-budget fallback a 1B-vector
+    # deployment runs): same output as broadcast routing, measured here
+    # so the path has a published latency next to its equivalence test
+    t0 = time.time()
+    res_j = search_batch(idx_enc, queries, k=K, routing_mode="join").collect()
+    dt = time.time() - t0
+    print(f"encrypted search routing_mode=join ({nq} queries): {dt:.1f}s "
+          f"= {1000*dt/nq:.0f} ms/query ({len(res_j)} rows)", flush=True)
+
     got: dict[int, set] = {}
     res = search_batch(idx_enc, queries, k=K).collect()
     for r in res:

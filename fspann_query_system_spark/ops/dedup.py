@@ -542,7 +542,16 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
     cand = (minhash_band_pairs(docs, text_col, id_col,
                                k=k, n_hashes=n_hashes, bands=bands)
             .select("id_a", "id_b"))
-    sh = shingle_table(docs, text_col, id_col, k=k, dedupe=True)
+    # verify-stage shingles only for docs that appear in a candidate
+    # pair: at scale candidates are a small fraction of the corpus, so
+    # re-shingling everything for the exact-Jaccard stage would be the
+    # plan's biggest waste.  AQE turns the semi-join into a broadcast
+    # when the candidate id set is small.
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .unionByName(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    docs_c = docs.join(cand_ids, on=id_col, how="leftsemi")
+    sh = shingle_table(docs_c, text_col, id_col, k=k, dedupe=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (cand
              .join(sh.select(F.col(id_col).alias("id_a"), "shingle"),

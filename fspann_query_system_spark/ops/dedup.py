@@ -539,19 +539,27 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
     composition a 100 TB dedup actually runs — candidate generation and
     exact verification must never both be all-pairs.
     """
+    # Candidate pairs are consumed three times (two verify joins + the
+    # id semi-join below); localCheckpoint materializes the banding pass
+    # ONCE instead of re-running shingle+minhash per consumer (the same
+    # reuse discipline as jaccard_pairs — checkpoint, not persist, so
+    # blocks free with the plan).
     cand = (minhash_band_pairs(docs, text_col, id_col,
                                k=k, n_hashes=n_hashes, bands=bands)
-            .select("id_a", "id_b"))
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True))
     # verify-stage shingles only for docs that appear in a candidate
     # pair: at scale candidates are a small fraction of the corpus, so
     # re-shingling everything for the exact-Jaccard stage would be the
     # plan's biggest waste.  AQE turns the semi-join into a broadcast
-    # when the candidate id set is small.
+    # when the candidate id set is small.  The shingle table feeds both
+    # verify joins and the size aggregate — checkpoint it too.
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                 .unionByName(cand.select(F.col("id_b").alias(id_col)))
                 .distinct())
     docs_c = docs.join(cand_ids, on=id_col, how="leftsemi")
-    sh = shingle_table(docs_c, text_col, id_col, k=k, dedupe=True)
+    sh = (shingle_table(docs_c, text_col, id_col, k=k, dedupe=True)
+          .localCheckpoint(eager=True))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (cand
              .join(sh.select(F.col(id_col).alias("id_a"), "shingle"),

@@ -43,6 +43,8 @@ HEADLINE = [
     "edit_near_dups",
     "corpus_mix",
     "sequence_pack",
+    "shard_assign",
+    "token_budget_mix",
     "minhash",
     "jaccard_pairs",
     "simhash",

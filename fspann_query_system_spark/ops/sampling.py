@@ -70,3 +70,72 @@ def pack_sequences(df: DataFrame, size_col: str = "n_chars",
             .withColumn("pack_offset",
                         F.col("pack_offset_global") % window)
             .drop("pack_offset_global"))
+
+
+def shard_assign(df: DataFrame, n_shards: int,
+                 id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic global shuffle + sharding: the training-order
+    assembly step (shuffle the corpus, split into N loader shards,
+    give every row a stable position).  → (id, shard, pos): shard =
+    hash mod N, pos = the row's rank within its shard under the hashed
+    order — a full deterministic permutation, reproducible across runs,
+    engines, and cluster sizes (``df.repartition`` + file order gives
+    none of that).
+
+    ``salt`` derives independent epoch orders: a different salt is a
+    fresh shuffle with zero state carried between epochs.
+
+    Plan: the hash is map-side; ranking is one row_number window per
+    shard.  Shards bigger than one task's comfort route the rank through
+    the partitioner's two-pass scheme (``lsh/partitioner.py:
+    _global_rank`` — per-slice partials + broadcast carry-ins); the
+    native window here is the oracle-checkable spec, exactly as in
+    :func:`pack_sequences`.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    hval = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    base = df.select(F.col(id_col), hval.alias("_h"))
+    w = Window.partitionBy(F.pmod(F.col("_h"), F.lit(n_shards))) \
+              .orderBy("_h", id_col)
+    return (base.select(
+        F.col(id_col),
+        F.pmod(F.col("_h"), F.lit(n_shards)).alias("shard"),
+        F.row_number().over(w).alias("pos")))
+
+
+def sample_to_budget(df: DataFrame, budgets: dict[str, int],
+                     size_col: str = "n_tokens",
+                     strata_col: str = "source",
+                     key_col: str = "doc_id",
+                     salt: str = "") -> DataFrame:
+    """Token-budget mixture sampling: down-sample each stratum to a
+    target size budget ("10B tokens of web, 2B of code") with a
+    deterministic hash keep-decision — the two-pass form of corpus
+    mixing where the RATE is derived from the data instead of given.
+
+    Pass 1 aggregates per-stratum totals (tiny result, broadcast back);
+    pass 2 keeps a row iff its hash bucket < floor(budget/total *
+    DENOM) — so each stratum lands at ~its budget in expectation, with
+    per-row fates stable under re-runs.  Strata under budget keep
+    everything; strata missing from ``budgets`` are dropped (budget 0).
+
+    Output: kept rows as (key, stratum, size, rate) where rate is the
+    applied keep-fraction in [0, 1] — every column deterministic, so
+    the op takes a full cross-engine oracle.
+    """
+    totals = df.groupBy(strata_col).agg(F.sum(size_col).alias("_total"))
+    expr = F.lit(0)
+    for stratum, budget in sorted(budgets.items()):
+        expr = F.when(F.col(strata_col) == stratum,
+                      F.lit(int(budget))).otherwise(expr)
+    rated = (df.join(F.broadcast(totals), on=strata_col)
+             .withColumn("_budget", expr)
+             .withColumn(
+                 "rate",
+                 F.least(F.lit(1.0),
+                         F.col("_budget") / F.col("_total").cast("double"))))
+    kept = rated.filter(
+        sample_bucket(F.col(key_col), salt)
+        < F.floor(F.col("rate") * SAMPLE_DENOM).cast("long"))
+    return kept.select(F.col(key_col), F.col(strata_col),
+                       F.col(size_col), F.round("rate", 6).alias("rate"))

@@ -884,6 +884,65 @@ SELECT source, doc_id, n_chars,
 FROM c
 """
 
+N_SHARDS = 8
+BUDGETS = {"src0": 700, "src1": 3000, "src2": 350, "src3": 0}
+
+
+def q_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle + sharding: every doc gets a stable
+    (shard, pos) under a hashed order — the training-order assembly
+    step, reproducible across engines (ops/sampling.py:shard_assign)."""
+    from .ops.sampling import shard_assign
+    return shard_assign(_t(spark, sf_dir, "documents"), N_SHARDS)
+
+
+SQL_SHARD_ASSIGN = f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM documents)
+SELECT doc_id, hv % {N_SHARDS} AS shard,
+       row_number() OVER (PARTITION BY hv % {N_SHARDS}
+                          ORDER BY hv, doc_id) AS pos
+FROM h
+"""
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget mixture sampling: each source down-sampled to its
+    token budget via a data-derived rate + deterministic hash keep
+    (ops/sampling.py:sample_to_budget).  Sources without a budget drop;
+    under-budget sources keep everything at rate 1."""
+    from .ops.sampling import sample_to_budget
+    from .functions.text import token_count
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "source", token_count("text").alias("n_tokens")))
+    return sample_to_budget(d, BUDGETS)
+
+
+def _sql_budget_case() -> str:
+    whens = " ".join(f"WHEN '{s}' THEN {int(b)}"
+                     for s, b in sorted(BUDGETS.items()))
+    return f"CASE source {whens} ELSE 0 END"
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t != '')) AS n_tokens
+  FROM documents),
+tot AS (SELECT source, sum(n_tokens) AS total FROM d GROUP BY source),
+rated AS (
+  SELECT d.doc_id, d.source, d.n_tokens,
+         least(1.0, ({_sql_budget_case()}) / CAST(tot.total AS DOUBLE)) AS rate
+  FROM d JOIN tot USING (source))
+SELECT doc_id, source, n_tokens, round(rate, 6) AS rate
+FROM rated
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < CAST(floor(rate * 10000) AS BIGINT)
+"""
+
 
 def q_asof_enrich(spark, sf_dir):
     """Point-in-time-correct enrichment: each purchase event gets the
@@ -2365,13 +2424,15 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "bm25_scores": q_bm25_scores,
-    "vocab_topk": q_vocab_topk,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "tfidf_topk": q_tfidf_topk,
-    "edit_near_dups": q_edit_near_dups,
     "near_dup_pipeline": q_near_dup_pipeline,
+    "shard_assign": q_shard_assign,
+    "token_budget_mix": q_token_budget_mix,
     # ---- position 50 ends here; entries below are PARKED (green in
     # ---- earlier rounds, certification stands from those artifacts)
+    "edit_near_dups": q_edit_near_dups,
+    "vocab_topk": q_vocab_topk,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "doc_stats": q_doc_stats,
@@ -2424,6 +2485,8 @@ def oracle_sql_map() -> dict[str, str]:
         "minhash_bands": SQL_MINHASH_BANDS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "near_dup_pipeline": SQL_NEAR_DUP_PIPE,
+        "shard_assign": SQL_SHARD_ASSIGN,
+        "token_budget_mix": SQL_TOKEN_BUDGET,
         "near_dup_embedding": SQL_NEAR_DUP,
         "ivf_ann": SQL_IVF,
         "recall_eval": SQL_RECALL,

@@ -962,3 +962,48 @@ def test_near_dup_pipeline_planted_cluster(spark, docs):
     assert out[3] == (3, 1)
     assert out[4] == (4, 1)
     assert out[5] == (5, 1)                    # empty doc is its own
+
+
+def test_shard_assign_is_deterministic_permutation(spark):
+    """Every id appears exactly once, positions are dense 1..n_s per
+    shard, reruns are identical, and a different salt is a genuinely
+    different order."""
+    from fspann_query_system_spark.ops.sampling import shard_assign
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    a = shard_assign(df, 4).collect()
+    assert len(a) == 300 and len({r.doc_id for r in a}) == 300
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense rank
+    b = shard_assign(df, 4).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in a} \
+        == {(r.doc_id, r.shard, r.pos) for r in b}            # stable
+    c = {r.doc_id: (r.shard, r.pos)
+         for r in shard_assign(df, 4, salt="epoch1").collect()}
+    moved = sum(1 for r in a if c[r.doc_id] != (r.shard, r.pos))
+    assert moved > 200                                        # fresh shuffle
+
+
+def test_sample_to_budget_rates_and_determinism(spark):
+    """Under-budget strata keep everything at rate 1, zero/missing
+    budgets drop, over-budget strata land near their budget, and the
+    keep-set is stable across reruns."""
+    from fspann_query_system_spark.ops.sampling import sample_to_budget
+    rows = [(i, "big" if i < 400 else ("small" if i < 420 else "none"), 10)
+            for i in range(440)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_tokens INT")
+    out = sample_to_budget(df, {"big": 1000, "small": 10_000}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert "none" not in by_src                         # no budget -> dropped
+    assert len(by_src["small"]) == 20                   # under budget: all
+    assert all(r.rate == 1.0 for r in by_src["small"])
+    kept_big = sum(r.n_tokens for r in by_src["big"])
+    assert 500 <= kept_big <= 1500                      # ~1000-token target
+    assert all(r.rate == 0.25 for r in by_src["big"])   # 1000/4000
+    again = sample_to_budget(df, {"big": 1000, "small": 10_000}).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in out}

@@ -29,12 +29,11 @@ K = 100
 REFINE = 8000          # matched budget: reference SIFT_P4_FAST
 
 SWEEP = [
-    # round-3: push table count (independent-union coverage) and bits
-    # per key toward the reference-best 0.771 recall band
-    dict(m=22, lam=2, tables=8, divisions=2, probes=8, block_size=128),
-    dict(m=20, lam=2, tables=10, divisions=2, probes=8, block_size=128),
-    dict(m=20, lam=2, tables=12, divisions=2, probes=8, block_size=128),
-    dict(m=22, lam=2, tables=10, divisions=2, probes=10, block_size=128),
+    # round-4b: m26 T8 hit 0.798 @ 20 ms/q — find where bits/key stops
+    # paying (reference swept m up to 30)
+    dict(m=28, lam=2, tables=8, divisions=2, probes=8, block_size=128),
+    dict(m=30, lam=2, tables=8, divisions=2, probes=8, block_size=128),
+    dict(m=26, lam=2, tables=10, divisions=2, probes=8, block_size=128),
 ]
 
 # round-2 sweep (pool 16k):

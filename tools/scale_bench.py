@@ -24,14 +24,16 @@ from fspann_query_system_spark.query.ann import AnnIndex, search_batch  # noqa: 
 
 DIM = 64
 K = 100
-CFG = dict(m=22, lam=2, tables=8, divisions=2, probes=8, block_size=128,
+CFG = dict(m=26, lam=2, tables=8, divisions=2, probes=8, block_size=128,
            refinement_limit=8000)     # reference SIFT_P4_FAST refine budget
 # Swept at 1M (tools/recall_sweep_1m.py, results in recall_sweep_1m.jsonl):
 # round 1 (m18 T6 p8 b64) had candidate pool T*D*probes*block = 6144 <
 # the 8000 refine budget — coverage-bound, recall 0.475.  Pool ~2x budget
 # fixed that (r2: m20 → 0.760); r3 raised bits/key again (m22 → 0.776,
 # past the reference's best 0.771) — key discriminativeness beats more
-# tables (T10/T12 at m20 stalled at ~0.75).
+# tables (T10/T12 at m20 stalled at ~0.75).  r4 kept walking m: m26 →
+# 0.798 @ 20 ms/q plaintext, m28 → 0.801, m30 → 0.791 (saturates); m26
+# picked for the flagship (fastest of the ≥0.79 band, cheapest build).
 
 
 def main():

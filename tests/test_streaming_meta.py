@@ -171,3 +171,48 @@ def test_stateful_sessionization_matches_batch(spark):
     got = {r.user_id: (r.n_sessions, r.n_events)
            for r in spark.table(name).collect()}
     assert got == batch
+
+
+def test_windowed_counts_watermark_drops_late_data(spark, tmp_path):
+    """windowed_event_counts in append mode: a row arriving after the
+    watermark passed its window must NOT be folded in, and the finalized
+    window emits exactly once with the on-time count (St1 late-data
+    semantics: watermark bounds state for infinite streams)."""
+    import uuid
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.streaming.ingest import windowed_event_counts
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / name))
+
+    import datetime as dt
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 10, m, s)
+    # batch A: three on-time rows in window [10:00, 10:05) + one row at
+    # 10:30 that advances the watermark to 10:20 after the batch
+    drop("a.parquet", [(t(0), "click", 1.0), (t(2), "click", 1.0),
+                       (t(4), "click", 1.0), (t(30), "click", 1.0)])
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*.parquet")))
+    name = "wm_" + uuid.uuid4().hex[:8]
+    q = (windowed_event_counts(stream, window="5 minutes",
+                               watermark="10 minutes")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # batch B: a LATE row for the already-closed 10:00 window (watermark
+    # 10:20 > window end 10:05 -> dropped) + one fresh on-time row
+    drop("b.parquet", [(t(2, 30), "click", 1.0), (t(50), "click", 1.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {(r.window_start, r.event_type): r.n_events
+            for r in spark.table(name).collect()}
+    # the 10:00 window finalized with the three ON-TIME rows only
+    assert rows[(t(0), "click")] == 3

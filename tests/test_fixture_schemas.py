@@ -57,3 +57,33 @@ def test_fixture_schema(table):
             f"{families}. The driver regenerated the testdata with a new "
             f"physical type — update the loaders (see workloads.load_events "
             f"for the events.ts precedent) and this probe.")
+
+
+def test_load_events_absorbs_nanos_parquet(spark, tmp_path):
+    """The driver shipped events.ts as TIMESTAMP(NANOS) in earlier rounds
+    and may again: load_events must absorb a nanos file via the legacy
+    nanosAsLong retry + micros conversion, leaving the session conf
+    unpolluted."""
+    import datetime as dt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from fspann_query_system_spark.workloads import load_events
+
+    path = str(tmp_path / "events.parquet")
+    ts = pa.array([dt.datetime(2024, 1, 1, 10, 0, 0),
+                   dt.datetime(2024, 1, 1, 10, 5, 0)],
+                  type=pa.timestamp("ns"))
+    pq.write_table(pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                             "ts": ts}), path,
+                   coerce_timestamps=None, store_schema=False)
+    assert str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+
+    out = load_events(spark, path)
+    assert out.schema["ts"].dataType.typeName().startswith("timestamp")
+    got = sorted(r.ts for r in out.collect())
+    assert [g.replace(tzinfo=None) for g in got] == [
+        dt.datetime(2024, 1, 1, 10, 0, 0), dt.datetime(2024, 1, 1, 10, 5, 0)]
+    # conf left unset or restored (get validates the default's type, so
+    # probe with a boolean-shaped default)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
+                          "false") == "false"

@@ -51,7 +51,13 @@ def rows_normalized(cols, rows):
 
 
 def main():
-    names = sys.argv[1:] or list(QUERIES)
+    args = sys.argv[1:]
+    if args == ["--window"]:
+        # exactly the driver's correctness gate: the first 50 registry
+        # entries, in registry order
+        names = list(QUERIES)[:50]
+    else:
+        names = args or list(QUERIES)
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()

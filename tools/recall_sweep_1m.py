@@ -29,11 +29,10 @@ K = 100
 REFINE = 8000          # matched budget: reference SIFT_P4_FAST
 
 SWEEP = [
-    # round-4b: m26 T8 hit 0.798 @ 20 ms/q — find where bits/key stops
-    # paying (reference swept m up to 30)
-    dict(m=28, lam=2, tables=8, divisions=2, probes=8, block_size=128),
-    dict(m=30, lam=2, tables=8, divisions=2, probes=8, block_size=128),
+    # round-4c: clean re-measure of the 0.805 config (first reading's
+    # latency was GC-noisy) and its m28 sibling
     dict(m=26, lam=2, tables=10, divisions=2, probes=8, block_size=128),
+    dict(m=28, lam=2, tables=10, divisions=2, probes=8, block_size=128),
 ]
 
 # round-2 sweep (pool 16k):

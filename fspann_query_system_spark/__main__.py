@@ -112,7 +112,8 @@ def main(argv: list[str] | None = None) -> int:
     shape = results.groupBy("q_id").agg(
         F.max("rank").alias("max_rank"),
         F.round(F.max("distance"), 6).alias("max_distance"))
-    diagnostics = stabilization_rows(results).join(shape, on="q_id")
+    diagnostics = (stabilization_rows(results, queries=queries)
+                   .join(shape, on="q_id", how="left"))
     reenc = report.get("reencryption") or {}
     reenc_flat = {"version": reenc.get("version"), "migrated": reenc.get("migrated")}
     for kv, n in (reenc.get("census") or {}).items():

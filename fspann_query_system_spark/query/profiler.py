@@ -73,7 +73,8 @@ def aggregates(metric_rows: DataFrame) -> DataFrame:
     return metric_rows.groupBy("k").agg(*aggs).orderBy("k")
 
 
-def stabilization_rows(results: DataFrame) -> DataFrame:
+def stabilization_rows(results: DataFrame,
+                       queries: DataFrame | None = None) -> DataFrame:
     """Collapse ``search_batch(..., with_diagnostics=True)`` output into
     the reference's stabilization diagnostic — raw vs final candidate
     counts per query (``QueryServiceImpl.StabilizationCallback
@@ -82,14 +83,22 @@ def stabilization_rows(results: DataFrame) -> DataFrame:
 
     Output: (q_id, cand_raw, cand_kept, cand_decrypted, returned) —
     candTotal / candKept / candDecrypted / |results| in the reference's
-    vocabulary.  Queries with zero returned rows don't appear (same as
-    the reference, whose counters are recorded per executed search)."""
-    return (results.groupBy("q_id")
-            .agg(F.max("_cand_raw").alias("cand_raw"),
-                 F.max("_cand_kept").alias("cand_kept"),
-                 F.max("_cand_decrypted").alias("cand_decrypted"),
-                 F.count(F.lit(1)).alias("returned"))
-            .orderBy("q_id"))
+    vocabulary.  The counters ride on result rows, so a query with zero
+    returned rows has no row to carry them; pass the query set via
+    ``queries`` (any DataFrame with a ``q_id`` column) to left-join it in
+    and surface those queries with ``returned = 0`` — the reference
+    records counters for every executed search, and zero-result queries
+    are exactly the diagnostically interesting case."""
+    agg = (results.groupBy("q_id")
+           .agg(F.max("_cand_raw").alias("cand_raw"),
+                F.max("_cand_kept").alias("cand_kept"),
+                F.max("_cand_decrypted").alias("cand_decrypted"),
+                F.count(F.lit(1)).alias("returned")))
+    if queries is not None:
+        agg = (queries.select("q_id").distinct()
+               .join(agg, "q_id", "left")
+               .fillna(0, subset=["returned"]))
+    return agg.orderBy("q_id")
 
 
 class Profiler:

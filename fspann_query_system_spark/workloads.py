@@ -114,10 +114,31 @@ def _ntz_as_utc_instant(col: str):
         f"timestamp_ntz'1970-01-01 00:00:00', {col}))")
 
 
+# Session confs set by _events_stream that must survive until the streaming
+# query finishes executing micro-batches; streaming workloads restore them
+# via _restore_stream_confs in their finally blocks (a plain set/restore
+# inside _events_stream would race the async micro-batch execution).
+_STREAM_CONF_RESTORE: list = []
+
+
+def _restore_stream_confs(spark) -> None:
+    """Undo any session-conf changes made by :func:`_events_stream` once the
+    stream has terminated (else a nanos-as-long conf left on session-wide
+    would make a later batch read of a nanos-typed parquet silently load
+    longs instead of failing loudly, masking fixture drift)."""
+    while _STREAM_CONF_RESTORE:
+        key, prev = _STREAM_CONF_RESTORE.pop()
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def _events_stream(spark, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet, tolerant of either ``ts``
     physical type (see :func:`load_events`).  Returns a streaming
-    DataFrame whose ``ts`` column is a proper timestamp."""
+    DataFrame whose ``ts`` column is a proper timestamp.  Callers must
+    invoke :func:`_restore_stream_confs` after the stream terminates."""
     from pyspark.sql.types import LongType
 
     from pyspark.sql.types import TimestampNTZType
@@ -131,7 +152,9 @@ def _events_stream(spark, sf_dir: str) -> DataFrame:
         nanos = True
     if nanos:
         # Legacy nanos fixture: the conf must stay set while micro-batches
-        # execute, so it is left on for the session in this branch only.
+        # execute; record the prior value so the caller can restore it
+        # after awaitTermination.
+        _STREAM_CONF_RESTORE.append((conf_key, spark.conf.get(conf_key, None)))
         spark.conf.set(conf_key, "true")
         if schema is None:
             schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -488,6 +511,7 @@ def q_streaming_window_agg(spark, sf_dir):
         q.awaitTermination()
         return spark.table(name)
     finally:
+        _restore_stream_confs(spark)
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
@@ -555,6 +579,7 @@ def q_streaming_sessionization(spark, sf_dir):
         q.awaitTermination()
         return spark.table(name)
     finally:
+        _restore_stream_confs(spark)
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 

@@ -404,3 +404,22 @@ def test_stabilization_diagnostics_sq8_path(spark, clustered, queries):
     for r in stabilization_rows(res).collect():
         assert r.cand_decrypted <= 10 * 2
         assert r.cand_kept >= r.cand_decrypted >= r.returned > 0
+
+
+def test_stabilization_surfaces_zero_result_queries(index, queries):
+    """Passing the query set left-joins it in, so a query with no result
+    rows still appears with returned = 0 (the reference records counters
+    for every executed search — zero-result queries are the
+    diagnostically interesting case)."""
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.query.profiler import stabilization_rows
+    idx, _, _ = index
+    res = search_batch(idx, queries, k=10, with_diagnostics=True)
+    victim = queries.select("q_id").first().q_id
+    # simulate an executed query whose candidates all died pre-return
+    culled = res.filter(F.col("q_id") != victim)
+    rows = {r.q_id: r for r in
+            stabilization_rows(culled, queries=queries).collect()}
+    assert len(rows) == 25
+    assert rows[victim].returned == 0 and rows[victim].cand_raw is None
+    assert all(r.returned > 0 for q, r in rows.items() if q != victim)

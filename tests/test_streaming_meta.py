@@ -155,7 +155,7 @@ def test_stateful_sessionization_matches_batch(spark):
     from pyspark.sql import functions as F
     from fspann_query_system_spark.streaming.stateful import stateful_sessionize
     from fspann_query_system_spark.workloads import (
-        q_sessionization, _events_stream)
+        q_sessionization, _events_stream, _restore_stream_confs)
 
     sf = "/root/testdata/sf0.001"
     batch = {r.user_id: (r.n_sessions, r.n_events)
@@ -166,7 +166,10 @@ def test_stateful_sessionization_matches_batch(spark):
     q = (stateful_sessionize(stream).writeStream.format("memory")
          .queryName(name).outputMode("update")
          .trigger(availableNow=True).start())
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        _restore_stream_confs(spark)
     # update mode: last emit per user is the final state
     got = {r.user_id: (r.n_sessions, r.n_events)
            for r in spark.table(name).collect()}

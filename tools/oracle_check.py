@@ -1,11 +1,15 @@
 """Self-check: run every workloads.QUERIES entry against its DuckDB oracle
 the way the driver does (row count + schema + order-insensitive values).
 
-Usage: python3 tools/oracle_check.py [name ...]
+Usage: python3 tools/oracle_check.py [--window] [name ...]
+  --window   check exactly the driver's gate window (first 50 entries);
+             mutually exclusive with explicit names
+  (no args)  check ALL registry entries, parked ones included
 """
 
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 
@@ -51,13 +55,22 @@ def rows_normalized(cols, rows):
 
 
 def main():
-    args = sys.argv[1:]
-    if args == ["--window"]:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--window", action="store_true",
+                    help="check the driver's gate window (first 50 entries)")
+    ap.add_argument("names", nargs="*", help="specific registry entries")
+    opts = ap.parse_args()
+    if opts.window and opts.names:
+        ap.error("--window and explicit names are mutually exclusive")
+    if opts.window:
         # exactly the driver's correctness gate: the first 50 registry
         # entries, in registry order
         names = list(QUERIES)[:50]
     else:
-        names = args or list(QUERIES)
+        names = opts.names or list(QUERIES)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        ap.error(f"unknown query names: {unknown}")
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()

@@ -26,6 +26,37 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint_md5, word_shingles
 
 
+def _ckpt(df: DataFrame, mode: str) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage, the dedup family's
+    reuse primitive.
+
+    mode="local":    ``localCheckpoint`` — blocks live un-replicated on
+                     executors.  Fast, and blocks free with the plan, but
+                     NOT fault-tolerant: lineage is truncated, so losing
+                     one executor mid-job kills the query (fine on
+                     local[N]; fatal for a multi-hour 100 TB dedup).
+    mode="reliable": ``checkpoint`` into the directory set via
+                     ``spark.sparkContext.setCheckpointDir`` (HDFS/S3 on
+                     a cluster) — survives executor loss; the cluster
+                     deployment mode.  The reference's analog is its
+                     atomic tmp-move persistence discipline
+                     (RocksDBMetadataManager.java:342-375), which exists
+                     precisely to survive interruption.
+    """
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                'checkpoint_mode="reliable" requires '
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant dir>) "
+                "to be called first")
+        return df.checkpoint(eager=True)
+    raise ValueError(f"unknown checkpoint_mode {mode!r}; "
+                     f'use "local" or "reliable"')
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -248,7 +279,8 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3,
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3,
                   threshold: float = 0.0,
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | None = None,
+                  checkpoint_mode: str = "local") -> DataFrame:
     """Exact shingle-set Jaccard for all pairs sharing >= 1 shingle:
     (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
 
@@ -281,15 +313,17 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
     map-side.  Intermediates are localCheckpoint-ed, not persist-ed:
     checkpoint blocks are released when the plan is garbage-collected,
     where CacheManager-registered persists leak until an explicit
-    unpersist (repeated registry/bench invocations accumulated blocks)."""
+    unpersist (repeated registry/bench invocations accumulated blocks);
+    ``checkpoint_mode="reliable"`` switches them to reliable
+    ``checkpoint`` for cluster runs (see :func:`_ckpt`)."""
     sh = (shingle_table(df, text_col, id_col, k, dedupe=True)
           .select(F.col(id_col), F.xxhash64("shingle").alias("shingle")))
     if max_df is not None:
-        posting = (sh.groupBy("shingle")
-                   .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
-                   .filter(F.size("_ids") <= max_df)
-                   .select("_ids")
-                   .localCheckpoint(eager=True))   # read twice: sizes + pairs
+        posting = _ckpt(sh.groupBy("shingle")
+                        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+                        .filter(F.size("_ids") <= max_df)
+                        .select("_ids"),
+                        checkpoint_mode)   # read twice: sizes + pairs
         sizes = (posting.select(F.explode("_ids").alias(id_col))
                  .groupBy(id_col).agg(F.count("*").alias("sz")))
         pair_structs = F.flatten(F.transform(
@@ -306,7 +340,7 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
         # uncapped exact mode: posting lists are unbounded (one hot
         # shingle would make a single giant array row), so pair the rows
         # with a shingle-keyed self-join instead
-        shc = sh.localCheckpoint(eager=True)      # read 3x: sizes + a + b
+        shc = _ckpt(sh, checkpoint_mode)          # read 3x: sizes + a + b
         sizes = shc.groupBy(id_col).agg(F.count("*").alias("sz"))
         a = shc.select(F.col(id_col).alias("id_a"), "shingle")
         b = shc.select(F.col(id_col).alias("id_b"), "shingle")
@@ -414,7 +448,8 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 50,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         checkpoint_mode: str = "local") -> DataFrame:
     """(id, component) for every id in ``pairs``; component = the minimum
     id reachable through the pair graph.
 
@@ -451,13 +486,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     Raises RuntimeError if ``max_iter`` rounds pass without reaching the
     fixpoint — a partially-contracted labeling must never be consumed as
     correct.  Pass ``stats={}`` to receive {"rounds": r} back (used by
-    the convergence-rate tests)."""
+    the convergence-rate tests).
+
+    ``checkpoint_mode="reliable"`` makes every per-round materialization
+    a reliable ``checkpoint`` (requires ``setCheckpointDir``): a lost
+    executor then costs one round's recompute from the last checkpoint
+    instead of killing a multi-hour cluster job (see :func:`_ckpt`)."""
     # canonical initial edge set, checkpointed once: every round reads e
     # twice (union with its swap / join with its min table) and the
     # upstream plan (e.g. minhash banding) must not recompute per read
-    e0 = (pairs.select(F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
-                       F.least(F.col(id_a), F.col(id_b)).alias("v"))
-          .distinct().localCheckpoint(eager=True))
+    e0 = _ckpt(pairs.select(F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+                            F.least(F.col(id_a), F.col(id_b)).alias("v"))
+               .distinct(), checkpoint_mode)
     singles = e0.filter(F.col("u") == F.col("v")).select("u")
     e = e0.filter(F.col("u") != F.col("v"))
     converged, rounds = False, 0
@@ -488,7 +528,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                        F.col("_mn").alias("_nv")))
               .distinct()
               .select(F.col("_nu").alias("u"), F.col("_nv").alias("v")))
-        e = ss.localCheckpoint(eager=True)
+        e = _ckpt(ss, checkpoint_mode)
         # star test: member rows map n -> its root, root rows map n -> n;
         # any node with two distinct images breaks star-ness (either it
         # carries two roots, or it is both member and root)
@@ -523,7 +563,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       n_hashes: int = 8, bands: int = 8,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      checkpoint_mode: str = "local") -> DataFrame:
     """The complete near-dup pipeline in one plan: MinHash-band candidate
     generation → exact shingle-set Jaccard verification of just those
     candidates → connected components over verified pairs → canonical id
@@ -544,10 +585,9 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
     # ONCE instead of re-running shingle+minhash per consumer (the same
     # reuse discipline as jaccard_pairs — checkpoint, not persist, so
     # blocks free with the plan).
-    cand = (minhash_band_pairs(docs, text_col, id_col,
-                               k=k, n_hashes=n_hashes, bands=bands)
-            .select("id_a", "id_b")
-            .localCheckpoint(eager=True))
+    cand = _ckpt(minhash_band_pairs(docs, text_col, id_col,
+                                    k=k, n_hashes=n_hashes, bands=bands)
+                 .select("id_a", "id_b"), checkpoint_mode)
     # verify-stage shingles only for docs that appear in a candidate
     # pair: at scale candidates are a small fraction of the corpus, so
     # re-shingling everything for the exact-Jaccard stage would be the
@@ -558,8 +598,8 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
                 .unionByName(cand.select(F.col("id_b").alias(id_col)))
                 .distinct())
     docs_c = docs.join(cand_ids, on=id_col, how="leftsemi")
-    sh = (shingle_table(docs_c, text_col, id_col, k=k, dedupe=True)
-          .localCheckpoint(eager=True))
+    sh = _ckpt(shingle_table(docs_c, text_col, id_col, k=k, dedupe=True),
+               checkpoint_mode)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (cand
              .join(sh.select(F.col(id_col).alias("id_a"), "shingle"),
@@ -576,7 +616,7 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
                    >= threshold
                    * (F.col("_sza") + F.col("_szb") - F.col("n_inter")))
            .select("id_a", "id_b"))
-    comp = connected_components(ver)
+    comp = connected_components(ver, checkpoint_mode=checkpoint_mode)
     canonical = F.coalesce("component", id_col)
     return (docs.select(id_col)
             .join(comp.withColumnRenamed("id", id_col), on=id_col,

@@ -1130,6 +1130,22 @@ ORDER BY cnt DESC, token
 LIMIT {VOCAB_TOPK_N}
 """
 
+
+def q_vocab_topk_salted(spark, sf_dir):
+    """Skew-hardened twin of q_vocab_topk: the token count runs through
+    ops/skew.py:salted_agg — phase 1 groups on (token, salt) so a
+    Zipf-head token spreads over 16 reducers, phase 2 merges partials on
+    the true key.  Byte-identical result to the plain group-by (same
+    SQL oracle); at 100 TB this is the difference between a straggler
+    reducer holding the whole head term and 16 even slices of it."""
+    from .ops.skew import salted_agg
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens("text")).alias("token"))
+    counted = salted_agg(toks, ["token"], {"cnt": ("count", "*")},
+                         n_salts=16)
+    return (counted.orderBy(F.col("cnt").desc(), F.col("token"))
+            .limit(VOCAB_TOPK_N))
+
 KMV_K = 64
 
 
@@ -2400,62 +2416,8 @@ FROM documents WHERE octet_length(encode(text)) > 0
 #      rounds stand; they rotate back in as window budget allows.
 # SURVEY.md §8 records which entries are parked and why.
 QUERIES = {
-    # -- never certified before round 4 --
-    "asof_enrich": q_asof_enrich,
-    "session_attribution": q_session_attribution,
-    "corpus_mix": q_corpus_mix,
-    "sequence_pack": q_sequence_pack,
-    # -- fell past the gate window in round 3 (green in round 2) --
-    "ivf_ann": q_ivf_ann,
-    "recall_eval": q_recall_eval,
-    "version_census": q_version_census,
-    "media_features": q_media_features,
-    "streaming_window_agg": q_streaming_window_agg,
-    "ratio_eval": q_ratio_eval,
-    "corpus_filter": q_corpus_filter,
-    "promo_revenue": q_promo_revenue,
-    # -- broken by the round-3 events-loader regression, now fixed --
-    "event_setops": q_event_setops,
-    "candidate_min_merge": q_candidate_min_merge,
-    "sessionization": q_sessionization,
-    "streaming_sessionization": q_streaming_sessionization,
-    "event_window_agg": q_event_window_agg,
-    "json_extract": q_json_extract,
-    # -- flagship ANN / dedup / crypto / LLM-pipeline family --
-    "cardinality_kmv": q_cardinality_kmv,
-    "tombstone_anti_join": q_tombstone_anti_join,
-    "drift_audit": q_drift_audit,
-    "streaming_dedup": q_streaming_dedup,
-    "streaming_minhash": q_streaming_minhash,
-    "sq8_quantize": q_sq8_quantize,
-    "sq8_ann": q_sq8_ann,
-    "minhash": q_minhash,
-    "minhash_bands": q_minhash_bands,
-    "jaccard_pairs": q_jaccard_pairs,
-    "knn_exact": q_knn_exact,
-    "lsh_codes": q_lsh_codes,
-    "lsh_partition_bounds": q_lsh_partition_bounds,
-    "hamming_pairs": q_hamming_pairs,
-    "ann_search": q_ann_search,
-    "ann_search_selective": q_ann_search_selective,
-    "ann_search_filtered": q_ann_search_filtered,
-    "dedup_exact": q_dedup_exact,
-    "dedup_clusters": q_dedup_clusters,
-    "near_dup_embedding": q_near_dup_embedding,
-    "near_dup_lsh": q_near_dup_lsh,
-    "kmeans_centroids": q_kmeans_centroids,
-    "semantic_dedup": q_semantic_dedup,
-    "doc_quantiles": q_doc_quantiles,
-    "repetition_stats": q_repetition_stats,
-    "decontaminate": q_decontaminate,
-    "bm25_scores": q_bm25_scores,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "tfidf_topk": q_tfidf_topk,
-    "near_dup_pipeline": q_near_dup_pipeline,
-    "shard_assign": q_shard_assign,
-    "token_budget_mix": q_token_budget_mix,
-    # ---- position 50 ends here; entries below are PARKED (green in
-    # ---- earlier rounds, certification stands from those artifacts)
+    # -- rotated back into the window (round 5): newest green rows were
+    # -- r01–r03 artifacts; re-certify on current fixtures --
     "edit_near_dups": q_edit_near_dups,
     "vocab_topk": q_vocab_topk,
     "simhash": q_simhash,
@@ -2471,6 +2433,67 @@ QUERIES = {
     "order_priority_census": q_order_priority_census,
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
+    # -- new in round 5 (first certification) --
+    "vocab_topk_salted": q_vocab_topk_salted,
+    # -- events-typed entries: NEVER parked (the driver has regenerated
+    # -- events.parquet with a different ts physical type before; a stale
+    # -- cert would rot silently) --
+    "event_setops": q_event_setops,
+    "candidate_min_merge": q_candidate_min_merge,
+    "sessionization": q_sessionization,
+    "streaming_sessionization": q_streaming_sessionization,
+    "event_window_agg": q_event_window_agg,
+    "json_extract": q_json_extract,
+    "streaming_window_agg": q_streaming_window_agg,
+    "asof_enrich": q_asof_enrich,
+    "session_attribution": q_session_attribution,
+    # -- first certified in round 4: keep their evidence fresh --
+    "corpus_mix": q_corpus_mix,
+    "sequence_pack": q_sequence_pack,
+    "shard_assign": q_shard_assign,
+    "token_budget_mix": q_token_budget_mix,
+    "near_dup_pipeline": q_near_dup_pipeline,
+    # -- flagship ANN / dedup / crypto / LLM-pipeline family (touched
+    # -- this round or certified every round) --
+    "cardinality_kmv": q_cardinality_kmv,
+    "tombstone_anti_join": q_tombstone_anti_join,
+    "drift_audit": q_drift_audit,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_minhash": q_streaming_minhash,
+    "sq8_ann": q_sq8_ann,
+    "minhash_bands": q_minhash_bands,
+    "jaccard_pairs": q_jaccard_pairs,
+    "ann_search": q_ann_search,
+    "ann_search_selective": q_ann_search_selective,
+    "ann_search_filtered": q_ann_search_filtered,
+    "dedup_clusters": q_dedup_clusters,
+    "near_dup_embedding": q_near_dup_embedding,
+    "near_dup_lsh": q_near_dup_lsh,
+    "doc_quantiles": q_doc_quantiles,
+    "repetition_stats": q_repetition_stats,
+    "decontaminate": q_decontaminate,
+    "bm25_scores": q_bm25_scores,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "tfidf_topk": q_tfidf_topk,
+    # ---- position 50 ends here; entries below are PARKED (all green in
+    # ---- CORRECTNESS_r04 on current fixtures; none reads events.parquet;
+    # ---- they rotate back in as window budget allows — SURVEY.md §8)
+    "ivf_ann": q_ivf_ann,
+    "recall_eval": q_recall_eval,
+    "version_census": q_version_census,
+    "media_features": q_media_features,
+    "ratio_eval": q_ratio_eval,
+    "corpus_filter": q_corpus_filter,
+    "promo_revenue": q_promo_revenue,
+    "sq8_quantize": q_sq8_quantize,
+    "minhash": q_minhash,
+    "knn_exact": q_knn_exact,
+    "lsh_codes": q_lsh_codes,
+    "lsh_partition_bounds": q_lsh_partition_bounds,
+    "hamming_pairs": q_hamming_pairs,
+    "dedup_exact": q_dedup_exact,
+    "kmeans_centroids": q_kmeans_centroids,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 
@@ -2545,6 +2568,7 @@ def oracle_sql_map() -> dict[str, str]:
         "decontaminate": SQL_DECONTAMINATE,
         "bm25_scores": _sql_bm25(),
         "vocab_topk": SQL_VOCAB_TOPK,
+        "vocab_topk_salted": SQL_VOCAB_TOPK,
         "cardinality_kmv": SQL_CARDINALITY_KMV,
         "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
         "tfidf_topk": SQL_TFIDF_TOPK,

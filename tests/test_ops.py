@@ -625,6 +625,23 @@ def test_salted_agg_matches_plain(spark):
     assert plain == salted
 
 
+def test_vocab_topk_salted_plan_and_result(spark):
+    """The gated skew workload really runs the two-phase salted agg (one
+    extra exchange, salt in the phase-1 grouping keys) and returns exactly
+    the plain top-N."""
+    from fspann_query_system_spark.ops.skew import explain_shuffles
+    from fspann_query_system_spark.workloads import (q_vocab_topk,
+                                                     q_vocab_topk_salted)
+    sf = "/root/testdata/sf0.001"
+    plain_df = q_vocab_topk(spark, sf)
+    salted_df = q_vocab_topk_salted(spark, sf)
+    assert explain_shuffles(salted_df) == explain_shuffles(plain_df) + 1
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    assert [(r.token, r.cnt) for r in plain_df.collect()] == \
+           [(r.token, r.cnt) for r in salted_df.collect()]
+
+
 def test_salted_join_matches_plain(spark):
     from fspann_query_system_spark.ops.skew import salted_join
     big = spark.createDataFrame([(i % 5, i) for i in range(2000)], "k INT, payload INT")
@@ -778,6 +795,35 @@ def test_connected_components_long_chain(spark):
     # ~2*log2(n) + fixpoint-detection round; 16 leaves slack over the
     # observed count while still excluding any O(diameter) behavior
     assert stats["rounds"] <= 16, stats
+
+
+def test_reliable_checkpoint_mode_identical_output(spark, tmp_path, docs):
+    """checkpoint_mode="reliable" is the cluster fault-tolerance path
+    (localCheckpoint blocks die with an executor; reliable .checkpoint()
+    survives): it must error clearly with no checkpoint dir, then produce
+    byte-identical CC labels and near-dup keep/drop decisions."""
+    from fspann_query_system_spark.ops.dedup import (connected_components,
+                                                     near_dup_pipeline)
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13)],
+        "id_a LONG, id_b LONG")
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        connected_components(pairs, checkpoint_mode="reliable").collect()
+    with pytest.raises(ValueError, match="checkpoint_mode"):
+        connected_components(pairs, checkpoint_mode="bogus").collect()
+    local_cc = {(r.id, r.component) for r in
+                connected_components(pairs).collect()}
+    local_pipe = {(r.doc_id, r.canonical_id, r.keep) for r in
+                  near_dup_pipeline(docs).collect()}
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    reliable_cc = {(r.id, r.component) for r in
+                   connected_components(pairs, checkpoint_mode="reliable")
+                   .collect()}
+    reliable_pipe = {(r.doc_id, r.canonical_id, r.keep) for r in
+                     near_dup_pipeline(docs, checkpoint_mode="reliable")
+                     .collect()}
+    assert local_cc == reliable_cc
+    assert local_pipe == reliable_pipe
 
 
 def test_connected_components_nonconvergence_raises(spark):

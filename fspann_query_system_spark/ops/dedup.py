@@ -598,7 +598,12 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
                 .unionByName(cand.select(F.col("id_b").alias(id_col)))
                 .distinct())
     docs_c = docs.join(cand_ids, on=id_col, how="leftsemi")
-    sh = _ckpt(shingle_table(docs_c, text_col, id_col, k=k, dedupe=True),
+    # shingles collapse to 64-bit hashes before the two verify joins and
+    # the size agg: the (id, shingle) edge shuffles longs, not ~k-word
+    # strings (same discipline as jaccard_pairs; only intersection
+    # COUNTS reach the output, so the oracle needs no hash mirroring)
+    sh = _ckpt(shingle_table(docs_c, text_col, id_col, k=k, dedupe=True)
+               .select(F.col(id_col), F.xxhash64("shingle").alias("shingle")),
                checkpoint_mode)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (cand

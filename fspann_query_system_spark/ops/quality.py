@@ -120,6 +120,13 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 5,
     # yield one harmless short gram (slice clamps the length) instead of
     # a descending sequence that breaks slice() — the filter then drops
     # them regardless.
+    #
+    # Grams are collapsed to 64-bit xxhash64 values at build time: the
+    # explode edge, the doc_id-keyed shuffle, and the broadcast benchmark
+    # set then carry (doc_id, long) instead of ~n-word strings — several-
+    # fold fewer shuffle/broadcast bytes at identical semantics.  Only
+    # gram COUNTS reach the output, so the SQL oracle needs no hash
+    # mirroring; a collision (P ≈ grams²/2⁶⁴) would perturb one count.
     toks = (docs.select("doc_id", T.tokens(text_col).alias("toks"))
             .where(F.size("toks") >= n))
 
@@ -128,7 +135,7 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 5,
             "doc_id",
             F.array_distinct(F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, n))),
             )).alias("grams"))
 
     bench = (_grams(toks.where(F.col("doc_id") % bench_every == 0))

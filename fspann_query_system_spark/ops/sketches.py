@@ -22,8 +22,9 @@ sketch), level 2 merges the <= fanout partials per group by
 union+truncate, which IS the KMV merge operation the sketch exists
 for.  No per-group window, no single task ever sees a group's full
 distinct set: level-1 buffers hold ~distinct/fanout hashes and the
-fanout is a knob (set it ~ distinct_per_group / 1e6 at 100 TB);
-level 2 sees fanout * k rows per group.
+fanout is auto-derived from an approx_count_distinct pre-pass so the
+buffer stays bounded without operator tuning (explicit override
+available); level 2 sees fanout * k rows per group.
 """
 
 from __future__ import annotations
@@ -37,9 +38,17 @@ from ..functions import text as T
 _HEX15_SPACE = float(16 ** 15)
 
 
+def _derive_fanout(max_distinct_per_group: int,
+                   target_partial_rows: int) -> int:
+    """Smallest fanout that bounds the level-1 buffer (~distinct/fanout
+    hashes) at ``target_partial_rows`` for the heaviest group."""
+    return max(1, -(-int(max_distinct_per_group) // int(target_partial_rows)))
+
+
 def kmv_cardinality(docs: DataFrame, group_col: str = "source",
                     text_col: str = "text", k: int = 64,
-                    merge_fanout: int = 32) -> DataFrame:
+                    merge_fanout: int | None = None,
+                    target_partial_rows: int = 1_000_000) -> DataFrame:
     """Per-group distinct-token cardinality: exact count + KMV estimate.
 
     Output: (group, n_distinct_exact, kmv_estimate).  When a group has
@@ -58,10 +67,27 @@ def kmv_cardinality(docs: DataFrame, group_col: str = "source",
     level-1 buffer size at ~distinct/fanout; the salt comes from hash
     digits DISJOINT from the ones that order the sketch, so salting
     cannot bias which hashes are smallest.
+
+    ``merge_fanout=None`` (the default) derives the fanout from a cheap
+    ``approx_count_distinct`` pre-pass over the heaviest group, sized so
+    the level-1 buffer stays under ``target_partial_rows`` hashes: a
+    static knob mis-set at 100 TB would silently reintroduce the
+    unbounded buffer this rewrite removed.  The fanout only repartitions
+    the merge tree -- the k-min of the union is partition-invariant, so
+    the estimate is identical for ANY fanout (the auto/explicit
+    equivalence is tested).
     """
-    toks = (docs.select(F.col(group_col).alias("grp"),
-                        F.explode(T.tokens(text_col)).alias("tok"))
-            .distinct())
+    raw = docs.select(F.col(group_col).alias("grp"),
+                      F.explode(T.tokens(text_col)).alias("tok"))
+    toks = raw.distinct()
+    if merge_fanout is None:
+        # one-row collect of the heaviest group's approximate distinct
+        # count, over the PRE-distinct token stream (HLL absorbs dupes,
+        # so this costs a map-side-partial HLL shuffle, not the distinct)
+        hardest = (raw.groupBy("grp")
+                   .agg(F.approx_count_distinct("tok").alias("nd"))
+                   .agg(F.max("nd")).first()[0]) or 0
+        merge_fanout = _derive_fanout(hardest, target_partial_rows)
     # salt from hex digits 16.. (independent of the ordering digits 1-15)
     hashed = toks.select(
         "grp", F.md5("tok").alias("h")

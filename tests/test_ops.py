@@ -943,6 +943,33 @@ def test_kmv_cardinality_formula_and_exact_small(spark):
     assert abs(out["b"].kmv_estimate - 500) / 500 < 0.4
 
 
+def test_kmv_fanout_autosizing_and_invariance(spark):
+    """The auto-derived merge_fanout bounds the level-1 buffer for the
+    heaviest group, and the estimate is fanout-INVARIANT (k-min of a
+    union is partition-invariant) — so auto-sizing can never change the
+    answer, only the merge-tree shape."""
+    from fspann_query_system_spark.ops.sketches import (_derive_fanout,
+                                                        kmv_cardinality)
+    # derivation: ceil(max_distinct / target), floored at 1
+    assert _derive_fanout(0, 1_000_000) == 1
+    assert _derive_fanout(999_999, 1_000_000) == 1
+    assert _derive_fanout(1_000_001, 1_000_000) == 2
+    assert _derive_fanout(10**9, 1_000_000) == 1000
+    # deliberately skewed groups: one group with 2000 distinct tokens,
+    # one with 3; a tight target forces fanout > 1 on the heavy group
+    rows = [(i, "heavy", " ".join(f"t{j:05d}" for j in range(i * 40, (i + 1) * 40)))
+            for i in range(50)] + [(99, "tiny", "a b c")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    base = {(r.source, r.n_distinct_exact, r.kmv_estimate)
+            for r in kmv_cardinality(docs, k=32, merge_fanout=1).collect()}
+    for fanout in (None, 7):   # auto-derived and an arbitrary explicit one
+        got = {(r.source, r.n_distinct_exact, r.kmv_estimate)
+               for r in kmv_cardinality(docs, k=32, merge_fanout=fanout,
+                                        target_partial_rows=100).collect()}
+        assert got == base, fanout
+    assert ("heavy", 2000) in {(s, n) for s, n, _ in base}
+
+
 def test_cms_estimate_bounds_and_collision(spark):
     """CMS never underestimates; with a wide sketch (no collisions) the
     estimate is exact, with a 2-bucket sketch collisions force strict

@@ -564,7 +564,8 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       n_hashes: int = 8, bands: int = 8,
                       threshold: float = 0.5,
-                      checkpoint_mode: str = "local") -> DataFrame:
+                      checkpoint_mode: str = "local",
+                      stats: dict | None = None) -> DataFrame:
     """The complete near-dup pipeline in one plan: MinHash-band candidate
     generation → exact shingle-set Jaccard verification of just those
     candidates → connected components over verified pairs → canonical id
@@ -588,6 +589,10 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
     cand = _ckpt(minhash_band_pairs(docs, text_col, id_col,
                                     k=k, n_hashes=n_hashes, bands=bands)
                  .select("id_a", "id_b"), checkpoint_mode)
+    if stats is not None:
+        # one cheap count over the just-checkpointed blocks (scale
+        # diagnostics: candidate volume is THE cost driver downstream)
+        stats["n_candidates"] = cand.count()
     # verify-stage shingles only for docs that appear in a candidate
     # pair: at scale candidates are a small fraction of the corpus, so
     # re-shingling everything for the exact-Jaccard stage would be the
@@ -621,7 +626,8 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
                    >= threshold
                    * (F.col("_sza") + F.col("_szb") - F.col("n_inter")))
            .select("id_a", "id_b"))
-    comp = connected_components(ver, checkpoint_mode=checkpoint_mode)
+    comp = connected_components(ver, checkpoint_mode=checkpoint_mode,
+                                stats=stats)
     canonical = F.coalesce("component", id_col)
     return (docs.select(id_col)
             .join(comp.withColumnRenamed("id", id_col), on=id_col,

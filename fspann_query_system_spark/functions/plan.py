@@ -1,0 +1,51 @@
+"""Plan-shape helpers: explode without Catalyst double-evaluation.
+
+For a plain ``explode(arr)``, the optimizer rule
+``InferFiltersFromGenerate`` inserts an inferred
+``size(arr) > 0 AND arr IS NOT NULL`` Filter below the Generate, and
+filter pushdown then moves that predicate further down the plan —
+through exchanges, into the scan stage.  The predicate contains the
+FULL array expression, so when ``arr`` is an expensively-computed array
+(tokenize → shingle → hash chains, n-gram builds, pair expansions) the
+whole chain is evaluated twice per input row: once in the pushed-down
+filter, once in the Generate.  Measured on the decontaminate gram build
+at sf0.1: 4.3 s → 0.66 s single-partition (6.5×) by switching to
+``explode_outer``, which is exempt from the rule (an empty array
+legitimately yields a null row, so no non-empty constraint can be
+inferred).  A post-Generate null filter restores exact ``explode``
+semantics at one evaluation.
+
+Use these ONLY when the array is a computed expression.  For a plain
+array *column*, stock ``explode`` is the better plan: the inferred
+``size > 0`` filter is nearly free there and prunes empty arrays before
+the Generate.
+
+Correctness note: the null filter drops null *elements* as well as the
+null row ``explode_outer`` emits for an empty array.  Every caller here
+explodes arrays whose elements are non-null by construction (hashes,
+tokens from split, structs of non-null fields), where that is exactly
+``explode`` semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def select_exploded(df: DataFrame, arr: Column, alias: str,
+                    *keep: str) -> DataFrame:
+    """``df.select(*keep, explode(arr).alias(alias))`` evaluating ``arr``
+    exactly once (see module docstring).  ``arr`` elements must be
+    non-null by construction."""
+    return (df.select(*keep, F.explode_outer(arr).alias(alias))
+            .where(F.col(alias).isNotNull()))
+
+
+def select_posexploded(df: DataFrame, arr: Column, pos_alias: str,
+                       alias: str, *keep: str) -> DataFrame:
+    """``df.select(*keep, posexplode(arr).alias(pos_alias, alias))``
+    evaluating ``arr`` exactly once (see module docstring)."""
+    return (df.select(*keep,
+                      F.posexplode_outer(arr).alias(pos_alias, alias))
+            .where(F.col(pos_alias).isNotNull()))

@@ -98,12 +98,13 @@ def shingle_table(df: DataFrame, text_col: str = "text",
     Tokens are materialized into a column before the shingle transform
     (see ``shingles_from_tokens``: a captured expression is re-evaluated
     per element inside the HOF lambda, ~3x slower at sf0.1)."""
+    from ..functions.plan import select_exploded
     from ..functions.text import tokens, shingles_from_tokens
     sh = shingles_from_tokens(F.col("_toks"), k)
     if dedupe:
         sh = F.array_distinct(sh)
-    return (df.withColumn("_toks", tokens(text_col))
-            .select(F.col(id_col), F.explode(sh).alias("shingle")))
+    return select_exploded(df.withColumn("_toks", tokens(text_col)),
+                           sh, "shingle", id_col)
 
 
 MINHASH_BITS = 60        # base hash width: 15 hex chars of md5 fit a BIGINT
@@ -169,11 +170,11 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     fingerprint) so every non-empty doc is representable.
 
     Output: (id, fingerprint BIGINT) rows."""
+    from ..functions.plan import select_posexploded
     from ..functions.text import tokens, shingles_from_tokens
-    shp = (df.withColumn("_toks", tokens(text_col))
-           .select(F.col(id_col),
-                   F.posexplode(shingles_from_tokens(F.col("_toks"), k))
-                   .alias("pos", "shingle"))
+    shp = (select_posexploded(df.withColumn("_toks", tokens(text_col)),
+                              shingles_from_tokens(F.col("_toks"), k),
+                              "pos", "shingle", id_col)
            .select(id_col, "pos", _minhash_base("shingle").alias("hv")))
     frame = (Window.partitionBy(id_col).orderBy("pos")
              .rowsBetween(0, window - 1))
@@ -331,8 +332,9 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
             lambda x, i: F.transform(
                 F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
                 lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-        inter = (posting.filter(F.size("_ids") >= 2)
-                 .select(F.explode(pair_structs).alias("p"))
+        from ..functions.plan import select_exploded
+        inter = (select_exploded(posting.filter(F.size("_ids") >= 2),
+                                 pair_structs, "p")
                  .select(F.col("p.id_a").alias("id_a"),
                          F.col("p.id_b").alias("id_b"))
                  .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter")))
@@ -419,9 +421,10 @@ def simhash(df: DataFrame, text_col: str = "text",
     explode (60 rows/token) would move to a vectorized pandas UDF; the
     plan here is the verifiable spec."""
     assert bits % 4 == 0 and bits <= 60
-    toks = (df.select(F.col(id_col),
-                      F.explode(F.filter(F.split(F.lower(F.col(text_col)), "\\s+"),
-                                         lambda t: t != "")).alias("tok"))
+    from ..functions.plan import select_exploded
+    toks = (select_exploded(
+                df, F.filter(F.split(F.lower(F.col(text_col)), "\\s+"),
+                             lambda t: t != ""), "tok", id_col)
             .distinct())
     h = toks.select(id_col, F.md5("tok").alias("hv"))
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
@@ -640,7 +643,8 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
 def edit_near_dups(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", k: int = 3,
                    n_hashes: int = 16, bands: int = 4,
-                   max_dist: int = 80) -> DataFrame:
+                   max_dist: int = 80,
+                   kernel_partitions: int | None = None) -> DataFrame:
     """Edit-distance-verified near-duplicates: MinHash-LSH banding as
     the blocking stage, Levenshtein as the exact verifier.
 
@@ -653,10 +657,23 @@ def edit_near_dups(df: DataFrame, text_col: str = "text",
     lookups are plain equi-joins against the corpus (sort-merge at
     scale, broadcast when the candidate set is small).
 
+    The candidate id-pairs are explicitly round-robined over
+    ``kernel_partitions`` (default: cluster default parallelism) before
+    the text joins: the banded-DP kernel costs ~50-100 µs/pair against
+    ~16 bytes/pair of shuffle input, so AQE's byte-based partition
+    coalescing underestimates the stage by orders of magnitude and (at
+    bench scale) packed the whole kernel into ONE task (6.2 s; 1.8 s
+    after balancing, 32 cores).  The exchange moves only id pairs —
+    texts are fetched after it — so the balancing costs ~nothing at any
+    scale.
+
     Returns (id_a, id_b, n_shared_bands, edit_distance) with
     edit_distance <= max_dist, id_a < id_b.
     """
-    cand = minhash_band_pairs(df, text_col, id_col, k, n_hashes, bands)
+    if kernel_partitions is None:
+        kernel_partitions = df.sparkSession.sparkContext.defaultParallelism
+    cand = (minhash_band_pairs(df, text_col, id_col, k, n_hashes, bands)
+            .repartition(kernel_partitions))
     ta = df.select(F.col(id_col).alias("id_a"),
                    F.col(text_col).alias("text_a"))
     tb = df.select(F.col(id_col).alias("id_b"),

@@ -138,11 +138,12 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 5,
                 lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, n))),
             )).alias("grams"))
 
-    bench = (_grams(toks.where(F.col("doc_id") % bench_every == 0))
-             .select(F.explode("grams").alias("gram")).distinct()
+    from ..functions.plan import select_exploded
+    bench = (select_exploded(_grams(toks.where(F.col("doc_id") % bench_every == 0)),
+                             F.col("grams"), "gram").select("gram").distinct()
              .withColumn("hit", F.lit(1)))
-    corp = (_grams(toks.where(F.col("doc_id") % bench_every != 0))
-            .select("doc_id", F.explode("grams").alias("gram")))
+    corp = select_exploded(_grams(toks.where(F.col("doc_id") % bench_every != 0)),
+                           F.col("grams"), "gram", "doc_id")
     scored = (corp.join(F.broadcast(bench), "gram", "left")
               .groupBy("doc_id")
               .agg(F.count(F.lit(1)).alias("n_grams"),

@@ -77,8 +77,10 @@ def kmv_cardinality(docs: DataFrame, group_col: str = "source",
     the estimate is identical for ANY fanout (the auto/explicit
     equivalence is tested).
     """
-    raw = docs.select(F.col(group_col).alias("grp"),
-                      F.explode(T.tokens(text_col)).alias("tok"))
+    from ..functions.plan import select_exploded
+    raw = select_exploded(docs.select(F.col(group_col).alias("grp"),
+                                      F.col(text_col)),
+                          T.tokens(text_col), "tok", "grp")
     toks = raw.distinct()
     if merge_fanout is None:
         # one-row collect of the heaviest group's approximate distinct
@@ -142,7 +144,8 @@ def cms_heavy_hitters(docs: DataFrame, text_col: str = "text",
     building it from the count table here keeps the demo exact-
     comparable without an extra pass over raw tokens.
     """
-    toks = docs.select(F.explode(T.tokens(text_col)).alias("tok"))
+    from ..functions.plan import select_exploded
+    toks = select_exploded(docs, T.tokens(text_col), "tok")
     counts = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
               .localCheckpoint())   # reused: sketch build + exact top-N
 

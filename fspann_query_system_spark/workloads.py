@@ -29,6 +29,7 @@ from .lsh.params import LshConfig, LshParams, fit_params
 from .lsh.coding import code_vectors, with_hamming
 from .lsh.partitioner import build_partitions
 from .functions import text as T
+from .functions.plan import select_exploded
 
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
@@ -1114,7 +1115,7 @@ def q_vocab_topk(spark, sf_dir):
     into the one token-keyed shuffle, then TakeOrdered for the head):
     the precursor scan of any tokenizer-training run."""
     d = _t(spark, sf_dir, "documents")
-    return (d.select(F.explode(T.tokens("text")).alias("token"))
+    return (select_exploded(d, T.tokens("text"), "token")
             .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("token"))
             .limit(VOCAB_TOPK_N))
@@ -1140,7 +1141,7 @@ def q_vocab_topk_salted(spark, sf_dir):
     reducer holding the whole head term and 16 even slices of it."""
     from .ops.skew import salted_agg
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(F.explode(T.tokens("text")).alias("token"))
+    toks = select_exploded(d, T.tokens("text"), "token")
     counted = salted_agg(toks, ["token"], {"cnt": ("count", "*")},
                          n_salts=16)
     return (counted.orderBy(F.col("cnt").desc(), F.col("token"))
@@ -1229,7 +1230,7 @@ def q_tfidf_topk(spark, sf_dir):
     Ranking compares round(tfidf, 6) so cross-engine log() ulp noise
     can't flip an order; ties break on the term string."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    toks = select_exploded(d, T.tokens("text"), "term", "doc_id")
     tf = (toks.groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -36,6 +36,14 @@ def get_spark(app_name: str = "fspann-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # ContextCleaner normally waits for a driver JVM GC to learn that
+        # shuffle files / broadcasts / checkpoint blocks are unreferenced;
+        # a PySpark driver allocates little JVM heap, so full GCs can be
+        # 30+ minutes apart and block-manager state accumulates across a
+        # long session (observed: 2-3x slowdown late in multi-query
+        # suites).  One minute keeps reclamation bounded at negligible
+        # GC cost.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1080,3 +1080,46 @@ def test_sample_to_budget_rates_and_determinism(spark):
     assert all(r.rate == 0.25 for r in by_src["big"])   # 1000/4000
     again = sample_to_budget(df, {"big": 1000, "small": 10_000}).collect()
     assert {r.doc_id for r in again} == {r.doc_id for r in out}
+
+
+def test_select_exploded_single_evaluation_plan_shape(spark, tmp_path):
+    """select_exploded must (a) match explode() semantics for non-null
+    elements and (b) keep the expensive array expression OUT of any
+    Filter node: InferFiltersFromGenerate turns plain explode(expr) into
+    an inferred size(expr)>0 filter that pushdown drags into the scan
+    stage, evaluating the whole expression chain twice per row (measured
+    6.5x on the decontaminate gram build at sf0.1)."""
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.functions.plan import (select_exploded,
+                                                          select_posexploded)
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "")],
+        "id LONG, text STRING").write.parquet(p)
+    df = spark.read.parquet(p)
+    arr = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+                   lambda t: t != "")
+    out = select_exploded(df, arr, "tok", "id")
+    rows = {(r.id, r.tok) for r in out.collect()}
+    # empty-array row 3 must vanish exactly like plain explode
+    assert rows == {(1, "a"), (1, "b"), (1, "c"), (2, "d"), (2, "e")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "split(" not in line, (
+                "expensive array expression leaked into a Filter node "
+                "(double evaluation):\n" + plan)
+    pos = select_posexploded(df, arr, "pos", "tok", "id")
+    prows = {(r.id, r.pos, r.tok) for r in pos.collect()}
+    assert prows == {(1, 0, "a"), (1, 1, "b"), (1, 2, "c"),
+                     (2, 0, "d"), (2, 1, "e")}
+    # the control: exploding a PROJECTED column (the decontaminate
+    # shape: grams built in a select, exploded next) makes
+    # InferFiltersFromGenerate fire, and pushdown substitutes the
+    # alias's full definition into the filter (if Spark ever stops
+    # doing this, the helpers can be retired)
+    ctl = (df.select("id", arr.alias("arr"))
+           .select("id", F.explode("arr").alias("tok")))
+    cplan = ctl._jdf.queryExecution().executedPlan().toString()
+    assert any("Filter" in line and "split(" in line
+               for line in cplan.splitlines()), cplan

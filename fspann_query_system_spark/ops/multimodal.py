@@ -326,11 +326,15 @@ def audio_features(media: DataFrame, n_windows: int = 8,
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """(media_id, frame_idx) — video frame sampling plan: explode the
     declared frame count, keep every Nth.  Decode-per-frame would slot in
-    after the explode; the selection plan is the Spark-side contract."""
-    return (media.filter(F.col("kind") == "video")
-            .select("media_id",
-                    F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1))
-                    .alias("frame_idx"))
+    after the explode; the selection plan is the Spark-side contract.
+
+    select_exploded (not plain explode): the inferred size()>0 filter
+    would otherwise materialize the n_frames-long sequence array TWICE
+    per video row — real money at feature-film frame counts."""
+    from ..functions.plan import select_exploded
+    return (select_exploded(media.filter(F.col("kind") == "video"),
+                            F.sequence(F.lit(0), F.col("meta.n_frames") - 1),
+                            "frame_idx", "media_id")
             .filter(F.col("frame_idx") % every_n == 0))
 
 

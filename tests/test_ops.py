@@ -824,6 +824,14 @@ def test_reliable_checkpoint_mode_identical_output(spark, tmp_path, docs):
                      .collect()}
     assert local_cc == reliable_cc
     assert local_pipe == reliable_pipe
+    # cms_heavy_hitters threads the same mode through its count-table
+    # materialization
+    from fspann_query_system_spark.ops.sketches import cms_heavy_hitters
+    local_cms = {tuple(r) for r in cms_heavy_hitters(docs).collect()}
+    reliable_cms = {tuple(r) for r in
+                    cms_heavy_hitters(docs, checkpoint_mode="reliable")
+                    .collect()}
+    assert local_cms == reliable_cms
 
 
 def test_connected_components_nonconvergence_raises(spark):

@@ -105,6 +105,30 @@ def main():
         "planted_recall": round(detected / planted, 4) if planted else None,
     }), flush=True)
 
+    # --- edit-distance verify at the same scale: banding blocks, the
+    # thresholded Levenshtein kernel verifies candidates only (the
+    # kernel_partitions row-balancing makes the verify stage scale with
+    # cores instead of shuffle bytes).  A planted dup differs from its
+    # base by one swapped trailing token → small positive edit distance.
+    from fspann_query_system_spark.ops.dedup import edit_near_dups
+    t0 = time.time()
+    ed = edit_near_dups(docs, "text", "doc_id",
+                        k=3, n_hashes=8, bands=8, max_dist=80)
+    ed_agg = ed.agg(F.count(F.lit(1)).alias("pairs"),
+                    F.max("edit_distance").alias("max_d"),
+                    F.min("edit_distance").alias("min_d")).first()
+    ed_wall = time.time() - t0
+    print(json.dumps({
+        "metric": "edit_near_dups_1m",
+        "n_docs": n,
+        "wall_sec": round(ed_wall, 1),
+        "docs_per_sec": round(n / ed_wall),
+        "verified_pairs": ed_agg.pairs,
+        "edit_distance_range": [ed_agg.min_d, ed_agg.max_d],
+        "planted_pairs": planted,
+        "planted_recall": round(ed_agg.pairs / planted, 4) if planted else None,
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

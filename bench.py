@@ -43,6 +43,10 @@ HEADLINE = [
     "bm25_scores",
     "vocab_topk",
     "vocab_topk_salted",
+    "unigram_logprob",
+    "source_kl",
+    "chunk_docs",
+    "embedding_dim_stats",
     "cardinality_kmv",
     "cms_heavy_hitters",
     "tfidf_topk",

@@ -156,6 +156,87 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 5,
         (F.col("hit_frac") >= F.lit(threshold)).cast("int"))
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus MLE
+    unigram model — the cheap end of the perplexity-filtering family
+    (CCNet / Gopher score documents with a language model and drop the
+    tails; the unigram model is its zero-training analog and the
+    standard first-pass corpus-quality score).
+
+    score(d) = -(1/|d|) * sum_{t in d} ln(count(t) / total_tokens)
+
+    Output: (doc_id, n_tokens, avg_nll) for docs with >= 1 token.  Low
+    avg_nll = doc made of corpus-frequent tokens; high = rare-token
+    tail (OCR noise, boilerplate, wrong-language residue).
+
+    Scale shape: tokenization is map-only; the vocabulary reduces in
+    ONE token-keyed aggregate with map-side combine (output rows =
+    |vocab|, not corpus size); the token->logp lookup is a token-keyed
+    shuffle join (vocab is corpus-dependent, so NOT assumed
+    broadcastable at 100 TB — Spark/AQE may still pick broadcast when
+    the measured vocab is small); the final per-doc score is one
+    doc_id-keyed agg.  Nothing all-pairs, every edge keyed.
+    """
+    toks = (docs.select("doc_id", T.tokens(text_col).alias("toks"))
+            .where(F.size("toks") >= 1))
+    from ..functions.plan import select_exploded
+    tok = select_exploded(toks, F.col("toks"), "token", "doc_id")
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        (F.log(F.col("cnt").cast("double")) -
+         F.log(F.col("total").cast("double"))).alias("logp"))
+    return (tok.join(vocab, "token")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(-F.avg("logp"), 4).alias("avg_nll")))
+
+
+def source_kl(docs: DataFrame, text_col: str = "text",
+              source_col: str = "source",
+              checkpoint_mode: str = "local") -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the mixture-drift report a data-curation pipeline runs to see which
+    sources are lexically far from the blend (candidates for up/down-
+    weighting, cf. the domain-mixture tuning in Gopher / DoReMi).
+
+    KL(P_s || P) = sum_t P_s(t) * ln(P_s(t) / P(t)), natural log,
+    over the source's own support (P(t) > 0 wherever P_s(t) > 0 since
+    the corpus distribution includes the source).
+
+    Output: (source, n_tokens, n_vocab, kl) — one row per source.
+
+    Scale shape: one (source, token)-keyed aggregate collapses the
+    corpus to |sources| x |vocab| count rows; corpus totals derive from
+    THAT aggregate (no second corpus scan); the join back is keyed on
+    token; the final agg is keyed on source.  All post-tokenization
+    data is vocabulary-sized, not corpus-sized.
+    """
+    toks = docs.select(F.col(source_col).alias("source"),
+                       T.tokens(text_col).alias("toks"))
+    from ..functions.plan import select_exploded
+    tok = select_exploded(toks, F.col("toks"), "token", "source")
+    sc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocabulary-sized: materialize once so the three consumers below
+    # (corpus counts, per-source totals, join probe) don't re-scan the
+    # corpus; same lineage-truncation primitive as the dedup family
+    from .dedup import _ckpt
+    sc = _ckpt(sc, checkpoint_mode)
+    corpus = sc.groupBy("token").agg(F.sum("cnt").alias("ccnt"))
+    stot = sc.groupBy("source").agg(F.sum("cnt").alias("stot"))
+    ctot = corpus.agg(F.sum("ccnt").alias("ctot"))
+    j = (sc.join(corpus, "token")
+         .join(F.broadcast(stot), "source")
+         .crossJoin(F.broadcast(ctot)))
+    ps = F.col("cnt").cast("double") / F.col("stot")
+    pc = F.col("ccnt").cast("double") / F.col("ctot")
+    return (j.groupBy("source")
+            .agg(F.max("stot").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_vocab"),
+                 F.round(F.sum(ps * (F.log(ps) - F.log(pc))), 4).alias("kl")))
+
+
 def bm25(docs: DataFrame, terms: tuple[str, ...],
          text_col: str = "text",
          k1: float = 1.2, b: float = 0.75) -> DataFrame:

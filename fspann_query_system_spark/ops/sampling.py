@@ -103,6 +103,56 @@ def shard_assign(df: DataFrame, n_shards: int,
         F.row_number().over(w).alias("pos")))
 
 
+def chunk_docs(docs: DataFrame, chunk_size: int = 32, overlap: int = 8,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token-budget document chunking with overlap — the
+    split-long-documents step of context-window assembly (RAG indexing
+    and long-doc pretraining both run it): each document becomes
+    ceil-strided windows of ``chunk_size`` tokens advancing by
+    ``chunk_size - overlap``, the last chunk short if the tail is.
+
+    n >  chunk_size: n_chunks = 1 + ceil((n - chunk_size) / stride)
+    n <= chunk_size: n_chunks = 1           (the doc itself)
+
+    Output: (doc_id, chunk_id, start_tok, n_chunk_tokens, chunk_text)
+    — every column a pure function of (doc, chunk_id), so the op takes
+    a full cross-engine oracle.
+
+    Scale shape: map-only — tokenize, build the start offsets
+    array-side, one explode; no exchange at any size.  Fan-out is
+    bounded by doc length / stride per row, never corpus-sized.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got "
+                         f"{overlap=} {chunk_size=}")
+    stride = chunk_size - overlap
+    from ..functions import text as T
+    from ..functions.plan import select_posexploded
+    d = (docs.select(F.col(id_col).alias("doc_id"),
+                     T.tokens(text_col).alias("toks"))
+         .withColumn("n", F.size("toks"))
+         .where(F.col("n") >= 1))
+    # ceil((n - cs) / st) via integer math: (n - cs + st - 1) div st
+    n_chunks = F.when(
+        F.col("n") <= chunk_size, F.lit(1)
+    ).otherwise(
+        F.lit(1) + F.floor((F.col("n") - chunk_size + stride - 1)
+                           / F.lit(stride)).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * stride).cast("int").alias("start_tok"),
+            F.least(F.lit(chunk_size),
+                    F.col("n") - i * stride).cast("int")
+             .alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice("toks", i * stride + 1, chunk_size))
+             .alias("chunk_text")))
+    out = select_posexploded(d, chunks, "chunk_id", "c", "doc_id")
+    return out.select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"),
+                      F.col("c.start_tok"), F.col("c.n_chunk_tokens"),
+                      F.col("c.chunk_text"))
+
+
 def sample_to_budget(df: DataFrame, budgets: dict[str, int],
                      size_col: str = "n_tokens",
                      strata_col: str = "source",

@@ -469,3 +469,32 @@ def sq8_quantize(df: DataFrame, mins: list, maxs: list,
                        F.lit(0.0), lambda acc, x: acc + x) / dim)
     return (out.withColumn("codes", codes).withColumn("mse", mse)
             .select(F.col(id_col).alias("id"), "codes", "mse"))
+
+
+def embedding_dim_stats(emb: DataFrame, vector_col: str = "embedding",
+                        round_to: int = 4) -> DataFrame:
+    """Per-dimension distribution report over an embedding column —
+    the embedding-QA scan a pipeline runs before indexing or training
+    on vectors (collapsed dimensions show as ~zero stddev, scale bugs
+    as outlier min/max, normalization drift as |mean| >> 0).
+
+    Output: (dim, n, mean, stddev, mn, mx) — one row per dimension.
+
+    Scale shape: posexplode fans each row out dim-fold, then ONE
+    aggregate keyed on the dimension index with map-side combine — the
+    shuffle carries (partitions x dim) partial rows, not corpus-sized
+    data.  The same stats feed sq8 codebook fitting (mins/maxs).
+    """
+    from ..functions.plan import select_posexploded
+    e = select_posexploded(emb.select(F.col(vector_col).alias("v")),
+                           F.col("v"), "dim", "x")
+    return (e.groupBy(F.col("dim").cast("int").alias("dim"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(F.col("x").cast("double")), round_to)
+                  .alias("mean"),
+                 F.round(F.stddev_samp(F.col("x").cast("double")), round_to)
+                  .alias("stddev"),
+                 F.round(F.min(F.col("x").cast("double")), round_to)
+                  .alias("mn"),
+                 F.round(F.max(F.col("x").cast("double")), round_to)
+                  .alias("mx")))

@@ -1106,6 +1106,121 @@ FROM corp c LEFT JOIN bench b USING (gram)
 GROUP BY c.doc_id
 """
 
+def q_unigram_logprob(spark, sf_dir):
+    """Perplexity-style quality score: per-doc mean negative log-prob
+    under the corpus MLE unigram model — vocab reduces in one keyed
+    agg, lookup join is token-keyed; see ops/quality.py."""
+    from .ops.quality import unigram_logprob
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+SQL_UNIGRAM_NLL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t != '')) AS token
+  FROM documents),
+vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+lp AS (SELECT token, ln(cnt::DOUBLE) - ln(total::DOUBLE) AS logp
+       FROM vocab, tot)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-avg(lp.logp), 4) AS avg_nll
+FROM tok t JOIN lp USING (token)
+GROUP BY t.doc_id
+"""
+
+
+def q_source_kl(spark, sf_dir):
+    """Corpus-mix drift report: per-source KL divergence from the
+    corpus unigram distribution — all post-tokenization data is
+    vocabulary-sized; see ops/quality.py."""
+    from .ops.quality import source_kl
+    return source_kl(_t(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_KL = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t != '')) AS token
+  FROM documents),
+sc AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+corpus AS (SELECT token, sum(cnt) AS ccnt FROM sc GROUP BY 1),
+stot AS (SELECT source, sum(cnt) AS stot FROM sc GROUP BY 1),
+ctot AS (SELECT sum(ccnt) AS ctot FROM corpus)
+SELECT s.source,
+       CAST(max(st.stot) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       round(sum((s.cnt::DOUBLE / st.stot::DOUBLE)
+                 * (ln(s.cnt::DOUBLE / st.stot::DOUBLE)
+                    - ln(c.ccnt::DOUBLE / ct.ctot::DOUBLE))), 4) AS kl
+FROM sc s
+JOIN corpus c USING (token)
+JOIN stot st USING (source), ctot ct
+GROUP BY s.source
+"""
+
+CHUNK_SIZE, CHUNK_OVERLAP = 32, 8
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Token-budget chunking with overlap (context-window assembly /
+    RAG indexing split) — map-only, zero exchanges; see
+    ops/sampling.py."""
+    from .ops.sampling import chunk_docs
+    return chunk_docs(_t(spark, sf_dir, "documents"),
+                      chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+
+
+SQL_CHUNK_DOCS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= 1),
+c AS (SELECT doc_id, n, toks,
+             unnest(range(0, CASE WHEN n <= {CHUNK_SIZE} THEN 1
+                          ELSE 1 + (n - {CHUNK_SIZE}
+                                    + {CHUNK_SIZE - CHUNK_OVERLAP} - 1)
+                               // {CHUNK_SIZE - CHUNK_OVERLAP} END))
+               AS chunk_id
+      FROM d)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_id * {CHUNK_SIZE - CHUNK_OVERLAP} AS INT) AS start_tok,
+       CAST(least({CHUNK_SIZE},
+                  n - chunk_id * {CHUNK_SIZE - CHUNK_OVERLAP}) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(
+         toks[chunk_id * {CHUNK_SIZE - CHUNK_OVERLAP} + 1 :
+              chunk_id * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE}], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """Embedding-QA scan: per-dimension mean/stddev/min/max — one
+    dim-keyed agg with map-side combine; see ops/similarity.py."""
+    from .ops.similarity import embedding_dim_stats
+    return embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMB_DIM_STATS = """
+WITH e AS (
+  SELECT unnest(range(len(embedding))) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(x::DOUBLE), 4) AS mean,
+       round(stddev_samp(x::DOUBLE), 4) AS stddev,
+       round(min(x::DOUBLE), 4) AS mn,
+       round(max(x::DOUBLE), 4) AS mx
+FROM e GROUP BY dim
+"""
+
 VOCAB_TOPK_N = 200
 
 
@@ -2436,6 +2551,10 @@ QUERIES = {
     "cube_revenue": q_cube_revenue,
     # -- new in round 5 (first certification) --
     "vocab_topk_salted": q_vocab_topk_salted,
+    "unigram_logprob": q_unigram_logprob,
+    "source_kl": q_source_kl,
+    "chunk_docs": q_chunk_docs,
+    "embedding_dim_stats": q_embedding_dim_stats,
     # -- events-typed entries: NEVER parked (the driver has regenerated
     # -- events.parquet with a different ts physical type before; a stale
     # -- cert would rot silently) --
@@ -2470,15 +2589,15 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "near_dup_embedding": q_near_dup_embedding,
     "near_dup_lsh": q_near_dup_lsh,
-    "doc_quantiles": q_doc_quantiles,
-    "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
-    "bm25_scores": q_bm25_scores,
     "cms_heavy_hitters": q_cms_heavy_hitters,
-    "tfidf_topk": q_tfidf_topk,
     # ---- position 50 ends here; entries below are PARKED (all green in
     # ---- CORRECTNESS_r04 on current fixtures; none reads events.parquet;
     # ---- they rotate back in as window budget allows — SURVEY.md §8)
+    "doc_quantiles": q_doc_quantiles,
+    "repetition_stats": q_repetition_stats,
+    "bm25_scores": q_bm25_scores,
+    "tfidf_topk": q_tfidf_topk,
     "ivf_ann": q_ivf_ann,
     "recall_eval": q_recall_eval,
     "version_census": q_version_census,
@@ -2567,6 +2686,10 @@ def oracle_sql_map() -> dict[str, str]:
         "doc_quantiles": SQL_DOC_QUANTILES,
         "repetition_stats": SQL_REPETITION_STATS,
         "decontaminate": SQL_DECONTAMINATE,
+        "unigram_logprob": SQL_UNIGRAM_NLL,
+        "source_kl": SQL_SOURCE_KL,
+        "chunk_docs": SQL_CHUNK_DOCS,
+        "embedding_dim_stats": SQL_EMB_DIM_STATS,
         "bm25_scores": _sql_bm25(),
         "vocab_topk": SQL_VOCAB_TOPK,
         "vocab_topk_salted": SQL_VOCAB_TOPK,

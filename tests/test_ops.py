@@ -832,6 +832,15 @@ def test_reliable_checkpoint_mode_identical_output(spark, tmp_path, docs):
                     cms_heavy_hitters(docs, checkpoint_mode="reliable")
                     .collect()}
     assert local_cms == reliable_cms
+    # source_kl materializes its vocab-sized (source, token) aggregate
+    # through the same primitive
+    from fspann_query_system_spark.ops.quality import source_kl
+    kl_docs = docs.withColumn(
+        "source", (F.col("doc_id") % 2).cast("string"))
+    local_kl = {tuple(r) for r in source_kl(kl_docs).collect()}
+    reliable_kl = {tuple(r) for r in
+                   source_kl(kl_docs, checkpoint_mode="reliable").collect()}
+    assert local_kl == reliable_kl
 
 
 def test_connected_components_nonconvergence_raises(spark):
@@ -1131,3 +1140,76 @@ def test_select_exploded_single_evaluation_plan_shape(spark, tmp_path):
     cplan = ctl._jdf.queryExecution().executedPlan().toString()
     assert any("Filter" in line and "split(" in line
                for line in cplan.splitlines()), cplan
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics (unigram NLL / source KL) + chunking + embedding QA
+# ---------------------------------------------------------------------------
+
+def test_unigram_logprob_known_values(spark):
+    import math
+    from fspann_query_system_spark.ops.quality import unigram_logprob
+    docs = spark.createDataFrame(
+        [(1, "a a b"),      # counts: a=2, b=2, c=1; total=5
+         (2, "b c"),
+         (3, "")],          # zero tokens: excluded
+        "doc_id LONG, text STRING")
+    rows = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_tokens == 3
+    assert rows[1].avg_nll == pytest.approx(-math.log(0.4), abs=1e-4)
+    assert rows[2].avg_nll == pytest.approx(
+        -(math.log(0.4) + math.log(0.2)) / 2, abs=1e-4)
+
+
+def test_source_kl_identical_vs_disjoint(spark):
+    import math
+    from fspann_query_system_spark.ops.quality import source_kl
+    # identical distributions: KL = 0 for both sources
+    same = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "a b", "s2")],
+        "doc_id LONG, text STRING, source STRING")
+    rows = {r.source: r for r in source_kl(same).collect()}
+    assert rows["s1"].kl == 0.0 and rows["s2"].kl == 0.0
+    # fully disjoint vocab, equal mass: KL = ln 2 for both
+    disj = spark.createDataFrame(
+        [(1, "a a a a", "s1"), (2, "b b b b", "s2")],
+        "doc_id LONG, text STRING, source STRING")
+    rows = {r.source: r for r in source_kl(disj).collect()}
+    for s in ("s1", "s2"):
+        assert rows[s].n_tokens == 4 and rows[s].n_vocab == 1
+        assert rows[s].kl == pytest.approx(math.log(2), abs=1e-4)
+
+
+def test_chunk_docs_stride_and_tail(spark):
+    from fspann_query_system_spark.ops.sampling import chunk_docs
+    toks11 = " ".join(f"t{i}" for i in range(11))
+    docs = spark.createDataFrame(
+        [(1, toks11),        # 11 toks, size 4 stride 3: starts 0,3,6,9
+         (2, "x y"),         # short doc: one chunk, len 2
+         (3, "")],           # empty: dropped
+        "doc_id LONG, text STRING")
+    out = chunk_docs(docs, chunk_size=4, overlap=1)
+    rows = sorted(((r.doc_id, r.chunk_id, r.start_tok, r.n_chunk_tokens,
+                    r.chunk_text) for r in out.collect()))
+    assert rows == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 6, 4, "t6 t7 t8 t9"),
+        (1, 3, 9, 2, "t9 t10"),
+        (2, 0, 0, 2, "x y"),
+    ]
+    # every token is covered by at least one chunk; overlap rows agree
+    with pytest.raises(ValueError):
+        chunk_docs(docs, chunk_size=4, overlap=4)
+
+
+def test_embedding_dim_stats_known_values(spark):
+    from fspann_query_system_spark.ops.similarity import embedding_dim_stats
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [2.0, 1.0]), (3, [4.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+    rows = {r.dim: r for r in embedding_dim_stats(emb).collect()}
+    assert rows[0].n == 3 and rows[0].mean == 2.0 and rows[0].stddev == 2.0
+    assert rows[0].mn == 0.0 and rows[0].mx == 4.0
+    assert rows[1].stddev == 0.0 and rows[1].mn == 1.0 and rows[1].mx == 1.0

@@ -250,3 +250,23 @@ def test_kmv_is_bounded_aggregate_not_window(spark):
     assert "Window" not in plan, plan
     # two aggregate levels: (grp, salt) partial sketch then grp merge
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_chunk_docs_is_map_only(spark):
+    """Chunking is tokenize + array-build + one explode: the plan must
+    be a single scan + generate — zero exchanges at any scale."""
+    from fspann_query_system_spark.ops.sampling import chunk_docs
+    plan = _plan(chunk_docs(W._t(spark, SF, "documents")))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_unigram_logprob_keyed_edges_only(spark):
+    """The unigram-NLL plan must stay keyed: no nested-loop / cartesian
+    edge anywhere except the deliberate 1-row total broadcast."""
+    from fspann_query_system_spark.ops.quality import unigram_logprob
+    plan = _plan(unigram_logprob(W._t(spark, SF, "documents")))
+    assert "CartesianProduct" not in plan, plan
+    # token->logp lookup resolves to a hash join (broadcast at this
+    # size; a shuffled hash/sort-merge join on token at corpus scale)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan

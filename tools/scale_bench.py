@@ -49,8 +49,36 @@ def main():
     X = (centers[assign] + rng.normal(0, 1.0, (n, DIM)).astype(np.float32))
 
     t0 = time.time()
-    vec = spark.createDataFrame(
-        ((i, X[i].tolist()) for i in range(n)), "id LONG, vector ARRAY<DOUBLE>")
+    if n <= 2_000_000:
+        vec = spark.createDataFrame(
+            ((i, X[i].tolist()) for i in range(n)),
+            "id LONG, vector ARRAY<DOUBLE>")
+    else:
+        # driver-side row generator tops out ~1M rows (10M tuples
+        # through pickle ≈ minutes + GBs of driver heap); at 10M+ write
+        # columnar Arrow chunks to a scratch parquet and scan it — the
+        # cluster form of the same step (data arrives AS files)
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        d = X.shape[1]
+        tmp = tempfile.mkdtemp(prefix="scale_vec_")
+        path = os.path.join(tmp, "vec.parquet")
+        schema = pa.schema([("id", pa.int64()),
+                            ("vector", pa.list_(pa.float64()))])
+        with pq.ParquetWriter(path, schema) as w:
+            for lo in range(0, n, 1_000_000):
+                hi = min(lo + 1_000_000, n)
+                offs = pa.array(
+                    np.arange(0, (hi - lo + 1) * d, d, dtype=np.int32))
+                vals = pa.array(X[lo:hi].reshape(-1).astype(np.float64))
+                w.write_table(pa.table(
+                    {"id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                     "vector": pa.ListArray.from_arrays(offs, vals)},
+                    schema=schema))
+        vec = spark.read.parquet(path)
     vec = vec.repartition(32).persist()
     vec.count()
     print(f"materialize {n} vectors: {time.time()-t0:.1f}s", flush=True)
@@ -103,10 +131,19 @@ def main():
     # exact oracle on a query subsample (numpy blocked)
     sub = qi[:50]
 
+    if n > 2_000_000:
+        # ||x-q||² = ||x||² - 2x·q + ||q||² (BLAS matvec, no n-sized
+        # temporaries per query) — same argsort, ~20x faster at 10M
+        Xd = X.astype(np.float64)
+        sq = (Xd * Xd).sum(1)
+
     def recall_of(by_q: dict[int, set]) -> float:
         rec = []
         for q in sub:
-            d2 = ((X - X[q]) ** 2).sum(1)
+            if n > 2_000_000:
+                d2 = sq - 2.0 * (Xd @ Xd[q])      # + ||q||² const: same order
+            else:
+                d2 = ((X - X[q]) ** 2).sum(1)
             gt = set(np.argsort(d2, kind="stable")[:K].tolist())
             rec.append(len(by_q.get(int(q), set()) & gt) / K)
         return float(np.mean(rec))

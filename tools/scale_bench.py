@@ -36,19 +36,19 @@ CFG = dict(m=26, lam=2, tables=8, divisions=2, probes=8, block_size=128,
 # picked for the flagship (fastest of the ≥0.79 band, cheapest build).
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    spark = get_spark("scale-bench",
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
-    spark.sparkContext.setLogLevel("ERROR")
-
-    rng = np.random.default_rng(7)
+def make_data(n: int, rng=None) -> np.ndarray:
+    """The synthetic clustered corpus every scale tool measures on:
+    64 clusters, sigma=1.0 (deliberately weaker clustering than SIFT)."""
+    rng = rng or np.random.default_rng(7)
     centers = rng.normal(0, 4.0, (64, DIM)).astype(np.float32)
     assign = rng.integers(0, 64, n)
-    X = (centers[assign] + rng.normal(0, 1.0, (n, DIM)).astype(np.float32))
+    return centers[assign] + rng.normal(0, 1.0, (n, DIM)).astype(np.float32)
 
-    t0 = time.time()
+
+def materialize(spark, X: np.ndarray):
+    """X → persisted (id, vector) DataFrame; driver rows below 2M,
+    chunked-Arrow scratch parquet above (see main docstring)."""
+    n = len(X)
     if n <= 2_000_000:
         vec = spark.createDataFrame(
             ((i, X[i].tolist()) for i in range(n)),
@@ -81,6 +81,21 @@ def main():
         vec = spark.read.parquet(path)
     vec = vec.repartition(32).persist()
     vec.count()
+    return vec
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark("scale-bench",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rng = np.random.default_rng(7)
+    X = make_data(n, rng)
+
+    t0 = time.time()
+    vec = materialize(spark, X)
     print(f"materialize {n} vectors: {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()

@@ -37,6 +37,14 @@ from ..lsh.params import LshParams, LshConfig, fit_params_from_df
 from ..lsh.partitioner import build_partitions
 from ..functions.distance import l2_expr
 
+# routing_mode="auto" crossover: broadcast routing measured at parity
+# with the distributed join up to ~125k bounds rows (1M vectors,
+# flagship config) and strictly worse by 1.25M rows (10M vectors,
+# 303 vs 237 ms/q; SCALE.md §8b).  300k sits between the measured
+# parity and win points with margin for the per-search broadcast
+# serialize+ship cost that grows linearly in rows.
+AUTO_ROUTING_ROWS = 300_000
+
 
 @dataclass
 class AnnIndex:
@@ -53,6 +61,7 @@ class AnnIndex:
     encrypted: bool = False
     decrypt_fn: object = None   # callable df -> df adding "vector" (crypto layer)
     _routing_bc: object = None
+    _bounds_rows: int | None = None
     sq8_codes: DataFrame = None     # (id, codes ARRAY<INT>) compressed shadow
     sq8_mins: object = None         # per-dim codebook (lists of float)
     sq8_maxs: object = None
@@ -203,6 +212,13 @@ class AnnIndex:
         tomb = ids.select(F.col(id_col).alias("id"))
         return replace(self,
                        points=self.points.join(tomb, on="id", how="left_anti"))
+
+    def bounds_rows(self) -> int:
+        """Total partition count across (t,d) slices — the routing-table
+        size that decides broadcast-vs-join routing (cached)."""
+        if self._bounds_rows is None:
+            self._bounds_rows = self.bounds.count()
+        return self._bounds_rows
 
     def routing(self):
         """Collect + broadcast per-(t,d) partition bounds for driver-free
@@ -525,6 +541,9 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
     driver (≲ low-GB; up to ~100M-vector per-(t,d) scale).  "join" keeps
     routing fully distributed (:func:`_route_probes_join`) for bounds
     tables past the broadcast budget; identical output (tested).
+    "auto" picks by measured crossover: join once the bounds table
+    exceeds ``AUTO_ROUTING_ROWS`` (~10M vectors at the flagship
+    config), broadcast below it (SCALE.md §8b).
 
     ``sq8_rerank``: with an index built ``.with_sq8()``, rank the
     hamming-kept candidates on the SQ8 shadow first and decrypt/score
@@ -539,13 +558,22 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
                        F.col(q_vector_col).alias("vector"))
     q_codes = code_vectors(q, index.params, id_col="q_id", vector_col="vector")
 
+    if routing_mode == "auto":
+        # measured crossover (SCALE.md §8b): broadcast and join route at
+        # parity up to ~125k bounds rows (1M vectors at the flagship
+        # config); by 1.25M bounds rows (10M vectors) the per-search
+        # serialize+ship of the broadcast table loses to the distributed
+        # as-of join (303 vs 237 ms/q).  Count once (bounds is
+        # persisted; the count is cached on the index thereafter).
+        routing_mode = ("join" if index.bounds_rows() > AUTO_ROUTING_ROWS
+                        else "broadcast")
     if routing_mode == "join":
         probes_df = _route_probes_join(q_codes, index.bounds, probes)
     elif routing_mode == "broadcast":
         probes_df = _route_probes(q_codes, index.routing(), probes)
     else:
-        raise ValueError(f"routing_mode must be 'broadcast' or 'join', "
-                         f"got {routing_mode!r}")
+        raise ValueError(f"routing_mode must be 'broadcast', 'join', or "
+                         f"'auto', got {routing_mode!r}")
 
     # shuffle 1: probe partitions → member ids; min-merge across tables/divisions
     cand = (probes_df.join(index.codes.select("table", "division", "part_idx", "id"),

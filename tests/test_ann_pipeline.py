@@ -195,6 +195,28 @@ def test_join_routing_matches_broadcast(index, queries):
         search_batch(idx, queries, k=10, routing_mode="bogus")
 
 
+def test_auto_routing_picks_by_bounds_size(index, queries, monkeypatch):
+    """routing_mode="auto" flips broadcast→join at the measured bounds-
+    size crossover (SCALE.md §8b) and both selections return the same
+    results."""
+    from fspann_query_system_spark.query import ann as ann_mod
+    idx, df, X = index
+    base = sorted((r.q_id, r.id, round(r.distance, 9), r.rank)
+                  for r in search_batch(idx, queries, k=10).collect())
+    # small index: auto must take the broadcast path (bounds << 300k)
+    assert idx.bounds_rows() < ann_mod.AUTO_ROUTING_ROWS
+    auto_small = sorted((r.q_id, r.id, round(r.distance, 9), r.rank)
+                        for r in search_batch(idx, queries, k=10,
+                                              routing_mode="auto").collect())
+    assert auto_small == base
+    # force the crossover: auto must now take the distributed join path
+    monkeypatch.setattr(ann_mod, "AUTO_ROUTING_ROWS", 0)
+    auto_join = sorted((r.q_id, r.id, round(r.distance, 9), r.rank)
+                       for r in search_batch(idx, queries, k=10,
+                                             routing_mode="auto").collect())
+    assert auto_join == base
+
+
 def test_insert_append_and_rebuild(spark, clustered):
     """Dynamic maintenance (reference insert:312-345 + build:395-428):
     appended vectors are reachable by search; rebuild reproduces a fresh

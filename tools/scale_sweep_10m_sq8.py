@@ -33,11 +33,11 @@ from scale_bench import DIM, K, make_data, materialize             # noqa: E402
 BUILD = dict(m=26, lam=2, tables=8, divisions=2, block_size=128)
 # (probes, refine, sq8_rerank | None)
 POINTS = [
-    (24, 32_000, None),
-    (24, 32_000, 8),
-    (24, 64_000, 8),
-    (32, 128_000, 8),
-    (32, 128_000, 16),
+    # run 2: pool-matched scaled budgets (run 1's refine=128k point was
+    # pool-bound at p32*b128 = 65,536 — recall froze at 0.679 with half
+    # the nominal budget unreachable).  pool = 8*2*probes*128.
+    (64, 131_072, 16),     # pool 131k = 10x the 1M flagship's 16k/8k
+    (96, 196_608, 16),
 ]
 
 

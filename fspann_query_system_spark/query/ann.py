@@ -521,7 +521,7 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
                  refinement_limit: int | None = None,
                  hamming_threshold: int | None = None,
                  q_id_col: str = "q_id", q_vector_col: str = "vector",
-                 routing_mode: str = "broadcast",
+                 routing_mode: str = "auto",
                  sq8_rerank: int | None = None,
                  allow: DataFrame | None = None,
                  allow_id_col: str = "id",
@@ -536,14 +536,13 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
     partitioning, so they add NO extra shuffle.  Collapse them with
     :func:`fspann_query_system_spark.query.profiler.stabilization_rows`.
 
-    ``routing_mode``: "broadcast" (default) collects the bounds once and
-    binary-searches them in executors — right whenever the bounds fit the
-    driver (≲ low-GB; up to ~100M-vector per-(t,d) scale).  "join" keeps
-    routing fully distributed (:func:`_route_probes_join`) for bounds
-    tables past the broadcast budget; identical output (tested).
-    "auto" picks by measured crossover: join once the bounds table
-    exceeds ``AUTO_ROUTING_ROWS`` (~10M vectors at the flagship
-    config), broadcast below it (SCALE.md §8b).
+    ``routing_mode``: "auto" (default) picks by measured crossover:
+    "broadcast" — collect the bounds once, binary-search them in
+    executors — below ``AUTO_ROUTING_ROWS`` bounds rows, "join" — fully
+    distributed routing (:func:`_route_probes_join`) — above it, where
+    re-shipping the broadcast table per search measurably loses
+    (SCALE.md §8b: 303 vs 237 ms/q at 10M vectors).  All three accepted
+    explicitly; broadcast and join are output-identical (tested).
 
     ``sq8_rerank``: with an index built ``.with_sq8()``, rank the
     hamming-kept candidates on the SQ8 shadow first and decrypt/score

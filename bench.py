@@ -47,6 +47,8 @@ HEADLINE = [
     "source_kl",
     "chunk_docs",
     "embedding_dim_stats",
+    "vocab_overlap",
+    "zipf_fit",
     "cardinality_kmv",
     "cms_heavy_hitters",
     "tfidf_topk",

@@ -237,6 +237,77 @@ def source_kl(docs: DataFrame, text_col: str = "text",
                  F.round(F.sum(ps * (F.log(ps) - F.log(pc))), 4).alias("kl")))
 
 
+def vocab_overlap(docs: DataFrame, text_col: str = "text",
+                  source_col: str = "source") -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the redundancy
+    matrix of a multi-source corpus (two crawls of the same domain show
+    up as a near-1 cell; a wrongly-labeled source as an outlier row).
+
+    J(A,B) = |vocab_A ∩ vocab_B| / |vocab_A ∪ vocab_B|
+
+    Output: (src_a, src_b, n_common, jaccard), one row per unordered
+    source pair (src_a < src_b).
+
+    Scale shape: the corpus collapses to DISTINCT (source, token) in
+    one keyed aggregate (vocab-sized); the pair intersection is a
+    token-keyed self-join of that small set (each token fans out at
+    most sources² — bounded by the source count, not the corpus); per-
+    source vocab sizes are a tiny broadcast.  Never corpus × corpus.
+    """
+    toks = docs.select(F.col(source_col).alias("source"),
+                       T.tokens(text_col).alias("toks"))
+    from ..functions.plan import select_exploded
+    sv = (select_exploded(toks, F.col("toks"), "token", "source")
+          .distinct())
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a = sv.select(F.col("source").alias("src_a"), "token")
+    b = sv.select(F.col("source").alias("src_b"), "token")
+    inter = (a.join(b, "token")
+             .where(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("source").alias("src_a"),
+                      F.col("n_vocab").alias("_na"))
+    sb = sizes.select(F.col("source").alias("src_b"),
+                      F.col("n_vocab").alias("_nb"))
+    return (inter.join(F.broadcast(sa), "src_a")
+            .join(F.broadcast(sb), "src_b")
+            .select("src_a", "src_b", "n_common",
+                    F.round(F.col("n_common").cast("double")
+                            / (F.col("_na") + F.col("_nb")
+                               - F.col("n_common")), 6).alias("jaccard")))
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution: OLS of
+    ln(freq) on ln(rank) — the one-row corpus-health diagnostic (natural
+    text sits near slope −1; generated/templated corpora run shallow,
+    token-soup runs steep).
+
+    Output: one row (n_terms, slope, intercept, r2), 4 dp.
+
+    Scale shape: vocab in one token-keyed agg; the (cnt desc, token)
+    rank is a window over VOCAB-sized data (the partitioner's two-pass
+    ranking scheme applies if a vocabulary ever outgrows one task); the
+    regression reduces in a single combiner-friendly aggregate via
+    ``regr_slope``/``regr_intercept``/``regr_r2``.
+    """
+    toks = docs.select(T.tokens(text_col).alias("toks"))
+    from ..functions.plan import select_exploded
+    vocab = (select_exploded(toks, F.col("toks"), "token")
+             .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = vocab.withColumn("rank", F.row_number().over(w))
+    xy = ranked.select(F.log(F.col("cnt").cast("double")).alias("y"),
+                       F.log(F.col("rank").cast("double")).alias("x"))
+    return xy.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.expr("regr_slope(y, x)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 4).alias("r2"))
+
+
 def bm25(docs: DataFrame, terms: tuple[str, ...],
          text_col: str = "text",
          k1: float = 1.2, b: float = 0.75) -> DataFrame:

@@ -1161,6 +1161,61 @@ JOIN stot st USING (source), ctot ct
 GROUP BY s.source
 """
 
+def q_vocab_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary Jaccard (corpus redundancy matrix) —
+    corpus collapses to distinct (source, token) first; see
+    ops/quality.py."""
+    from .ops.quality import vocab_overlap
+    return vocab_overlap(_t(spark, sf_dir, "documents"))
+
+
+SQL_VOCAB_OVERLAP = """
+WITH sv AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t != '')) AS token
+  FROM documents),
+sizes AS (SELECT source, count(*) AS n_vocab FROM sv GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sv a JOIN sv b USING (token)
+  WHERE a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, i.n_common,
+       round(i.n_common::DOUBLE
+             / (sa.n_vocab + sb.n_vocab - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+"""
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf-law OLS fit over the corpus frequency-rank curve — one-row
+    corpus-health diagnostic; see ops/quality.py."""
+    from .ops.quality import zipf_fit
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+SQL_ZIPF_FIT = """
+WITH vocab AS (
+  SELECT token, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t != '')) AS token
+    FROM documents)
+  GROUP BY token),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM vocab)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(cnt::DOUBLE), ln(rank::DOUBLE)), 4) AS slope,
+       round(regr_intercept(ln(cnt::DOUBLE), ln(rank::DOUBLE)), 4)
+         AS intercept,
+       round(regr_r2(ln(cnt::DOUBLE), ln(rank::DOUBLE)), 4) AS r2
+FROM ranked
+"""
+
 CHUNK_SIZE, CHUNK_OVERLAP = 32, 8
 
 
@@ -2555,6 +2610,8 @@ QUERIES = {
     "source_kl": q_source_kl,
     "chunk_docs": q_chunk_docs,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "vocab_overlap": q_vocab_overlap,
+    "zipf_fit": q_zipf_fit,
     # -- events-typed entries: NEVER parked (the driver has regenerated
     # -- events.parquet with a different ts physical type before; a stale
     # -- cert would rot silently) --
@@ -2576,8 +2633,6 @@ QUERIES = {
     # -- flagship ANN / dedup / crypto / LLM-pipeline family (touched
     # -- this round or certified every round) --
     "cardinality_kmv": q_cardinality_kmv,
-    "tombstone_anti_join": q_tombstone_anti_join,
-    "drift_audit": q_drift_audit,
     "streaming_dedup": q_streaming_dedup,
     "streaming_minhash": q_streaming_minhash,
     "sq8_ann": q_sq8_ann,
@@ -2598,6 +2653,8 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "bm25_scores": q_bm25_scores,
     "tfidf_topk": q_tfidf_topk,
+    "tombstone_anti_join": q_tombstone_anti_join,
+    "drift_audit": q_drift_audit,
     "ivf_ann": q_ivf_ann,
     "recall_eval": q_recall_eval,
     "version_census": q_version_census,
@@ -2690,6 +2747,8 @@ def oracle_sql_map() -> dict[str, str]:
         "source_kl": SQL_SOURCE_KL,
         "chunk_docs": SQL_CHUNK_DOCS,
         "embedding_dim_stats": SQL_EMB_DIM_STATS,
+        "vocab_overlap": SQL_VOCAB_OVERLAP,
+        "zipf_fit": SQL_ZIPF_FIT,
         "bm25_scores": _sql_bm25(),
         "vocab_topk": SQL_VOCAB_TOPK,
         "vocab_topk_salted": SQL_VOCAB_TOPK,

@@ -1213,3 +1213,31 @@ def test_embedding_dim_stats_known_values(spark):
     assert rows[0].n == 3 and rows[0].mean == 2.0 and rows[0].stddev == 2.0
     assert rows[0].mn == 0.0 and rows[0].mx == 4.0
     assert rows[1].stddev == 0.0 and rows[1].mn == 1.0 and rows[1].mx == 1.0
+
+
+def test_vocab_overlap_known_values(spark):
+    from fspann_query_system_spark.ops.quality import vocab_overlap
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "b c d", "s2"), (3, "x y", "s3")],
+        "doc_id LONG, text STRING, source STRING")
+    rows = {(r.src_a, r.src_b): r for r in vocab_overlap(docs).collect()}
+    # {a,b,c} vs {b,c,d}: inter 2, union 4
+    assert rows[("s1", "s2")].n_common == 2
+    assert rows[("s1", "s2")].jaccard == 0.5
+    # fully disjoint pairs have no row (inner-join semantics: J = 0)
+    assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    from fspann_query_system_spark.ops.quality import zipf_fit
+    # counts 4, 2, 1 for tokens a, b, c (rank by cnt desc, token asc)
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c")], "doc_id LONG, text STRING")
+    row = zipf_fit(docs).collect()[0]
+    x = np.log(np.array([1.0, 2.0, 3.0]))
+    y = np.log(np.array([4.0, 2.0, 1.0]))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.n_terms == 3
+    assert row.slope == pytest.approx(slope, abs=1e-3)
+    assert row.intercept == pytest.approx(intercept, abs=1e-3)
+    assert 0.9 <= row.r2 <= 1.0

@@ -270,3 +270,13 @@ def test_unigram_logprob_keyed_edges_only(spark):
     # token->logp lookup resolves to a hash join (broadcast at this
     # size; a shuffled hash/sort-merge join on token at corpus scale)
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_vocab_overlap_vocab_sized_self_join(spark):
+    """The source-overlap matrix must self-join the DISTINCT
+    (source, token) set on token — never a corpus x corpus or
+    nested-loop product."""
+    from fspann_query_system_spark.ops.quality import vocab_overlap
+    plan = _plan(vocab_overlap(W._t(spark, SF, "documents")))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

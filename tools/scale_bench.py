@@ -58,13 +58,18 @@ def materialize(spark, X: np.ndarray):
         # through pickle ≈ minutes + GBs of driver heap); at 10M+ write
         # columnar Arrow chunks to a scratch parquet and scan it — the
         # cluster form of the same step (data arrives AS files)
+        import atexit
         import os
+        import shutil
         import tempfile
 
         import pyarrow as pa
         import pyarrow.parquet as pq
         d = X.shape[1]
         tmp = tempfile.mkdtemp(prefix="scale_vec_")
+        # the scan is only needed until .persist() materializes; reclaim
+        # the ~4GB/10M scratch at exit (repeated runs filled /tmp)
+        atexit.register(shutil.rmtree, tmp, True)
         path = os.path.join(tmp, "vec.parquet")
         schema = pa.schema([("id", pa.int64()),
                             ("vector", pa.list_(pa.float64()))])

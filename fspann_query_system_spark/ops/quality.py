@@ -246,7 +246,9 @@ def vocab_overlap(docs: DataFrame, text_col: str = "text",
     J(A,B) = |vocab_A ∩ vocab_B| / |vocab_A ∪ vocab_B|
 
     Output: (src_a, src_b, n_common, jaccard), one row per unordered
-    source pair (src_a < src_b).
+    source pair (src_a < src_b) that shares at least one token; fully
+    disjoint-vocab pairs (J = 0) emit NO row (inner-join semantics —
+    the DuckDB oracle and tests encode the same absence).
 
     Scale shape: the corpus collapses to DISTINCT (source, token) in
     one keyed aggregate (vocab-sized); the pair intersection is a
@@ -287,9 +289,10 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Output: one row (n_terms, slope, intercept, r2), 4 dp.
 
     Scale shape: vocab in one token-keyed agg; the (cnt desc, token)
-    rank is a window over VOCAB-sized data (the partitioner's two-pass
-    ranking scheme applies if a vocabulary ever outgrows one task); the
-    regression reduces in a single combiner-friendly aggregate via
+    rank is an UNPARTITIONED window — a deliberate single-task sort,
+    acceptable because the input is vocab-sized (millions of rows, not
+    corpus-sized) for a one-row diagnostic; the regression reduces in a
+    single combiner-friendly aggregate via
     ``regr_slope``/``regr_intercept``/``regr_r2``.
     """
     toks = docs.select(T.tokens(text_col).alias("toks"))

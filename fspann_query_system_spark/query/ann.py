@@ -187,7 +187,7 @@ class AnnIndex:
                                                id_col="id")
             return replace(self, codes=codes_p.persist(),
                            bounds=bounds.persist(), points=points,
-                           _routing_bc=None)
+                           _routing_bc=None, _bounds_rows=None)
         if mode != "append":
             raise ValueError(f"mode must be 'append' or 'rebuild', got {mode!r}")
         routed = _route_nearest(
@@ -201,7 +201,7 @@ class AnnIndex:
                               + F.coalesce(F.col("count"), F.lit(0)))
                   .drop("count"))
         return replace(self, codes=codes.persist(), bounds=bounds.persist(),
-                       points=points, _routing_bc=None)
+                       points=points, _routing_bc=None, _bounds_rows=None)
 
     def delete(self, ids: DataFrame, id_col: str = "id") -> "AnnIndex":
         """Tombstone-delete: filter the payload table; routing state is
@@ -638,7 +638,14 @@ def search_batch_adaptive(index: AnnIndex, queries: DataFrame, k: int = 10,
                           **kw) -> DataFrame:
     """O6 adaptive retry: one extra pass with the wider probe budget for
     queries that returned fewer than k rows (reference
-    ``QueryServiceImpl.needRetry:444-447``)."""
+    ``QueryServiceImpl.needRetry:444-447``).
+
+    ``probe_override <= 0`` disables the retry entirely (reference
+    ``RuntimeConfig.probeOverride = -1`` default — the PAPER_BASELINE
+    search mode, ``config/SearchMode.java:3-6``, runs with no widening
+    heuristic; see ``configs/example.json`` profile ``paper_baseline``)."""
+    if index.params.cfg.probe_override <= 0:
+        return search_batch(index, queries, k=k, **kw)
     first = search_batch(index, queries, k=k, **kw).persist()
     counts = first.groupBy("q_id").count()
     under = counts.filter(F.col("count") < k).select("q_id")

@@ -2587,68 +2587,8 @@ FROM documents WHERE octet_length(encode(text)) > 0
 #      rounds stand; they rotate back in as window budget allows.
 # SURVEY.md §8 records which entries are parked and why.
 QUERIES = {
-    # -- rotated back into the window (round 5): newest green rows were
-    # -- r01–r03 artifacts; re-certify on current fixtures --
-    "edit_near_dups": q_edit_near_dups,
-    "vocab_topk": q_vocab_topk,
-    "simhash": q_simhash,
-    "cosine_topk": q_cosine_topk,
-    "doc_stats": q_doc_stats,
-    "lang_id": q_lang_id,
-    "fingerprints": q_fingerprints,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "pricing_summary": q_pricing_summary,
-    "shipping_priority": q_shipping_priority,
-    "region_revenue": q_region_revenue,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "order_priority_census": q_order_priority_census,
-    "rollup_revenue": q_rollup_revenue,
-    "cube_revenue": q_cube_revenue,
-    # -- new in round 5 (first certification) --
-    "vocab_topk_salted": q_vocab_topk_salted,
-    "unigram_logprob": q_unigram_logprob,
-    "source_kl": q_source_kl,
-    "chunk_docs": q_chunk_docs,
-    "embedding_dim_stats": q_embedding_dim_stats,
-    "vocab_overlap": q_vocab_overlap,
-    "zipf_fit": q_zipf_fit,
-    # -- events-typed entries: NEVER parked (the driver has regenerated
-    # -- events.parquet with a different ts physical type before; a stale
-    # -- cert would rot silently) --
-    "event_setops": q_event_setops,
-    "candidate_min_merge": q_candidate_min_merge,
-    "sessionization": q_sessionization,
-    "streaming_sessionization": q_streaming_sessionization,
-    "event_window_agg": q_event_window_agg,
-    "json_extract": q_json_extract,
-    "streaming_window_agg": q_streaming_window_agg,
-    "asof_enrich": q_asof_enrich,
-    "session_attribution": q_session_attribution,
-    # -- first certified in round 4: keep their evidence fresh --
-    "corpus_mix": q_corpus_mix,
-    "sequence_pack": q_sequence_pack,
-    "shard_assign": q_shard_assign,
-    "token_budget_mix": q_token_budget_mix,
-    "near_dup_pipeline": q_near_dup_pipeline,
-    # -- flagship ANN / dedup / crypto / LLM-pipeline family (touched
-    # -- this round or certified every round) --
-    "cardinality_kmv": q_cardinality_kmv,
-    "streaming_dedup": q_streaming_dedup,
-    "streaming_minhash": q_streaming_minhash,
-    "sq8_ann": q_sq8_ann,
-    "minhash_bands": q_minhash_bands,
-    "jaccard_pairs": q_jaccard_pairs,
-    "ann_search": q_ann_search,
-    "ann_search_selective": q_ann_search_selective,
-    "ann_search_filtered": q_ann_search_filtered,
-    "dedup_clusters": q_dedup_clusters,
-    "near_dup_embedding": q_near_dup_embedding,
-    "near_dup_lsh": q_near_dup_lsh,
-    "decontaminate": q_decontaminate,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    # ---- position 50 ends here; entries below are PARKED (all green in
-    # ---- CORRECTNESS_r04 on current fixtures; none reads events.parquet;
-    # ---- they rotate back in as window budget allows — SURVEY.md §8)
+    # -- rotated back into the window (round 6): the 22 entries parked in
+    # -- round 5 (newest driver cert r04); re-certify on current fixtures --
     "doc_quantiles": q_doc_quantiles,
     "repetition_stats": q_repetition_stats,
     "bm25_scores": q_bm25_scores,
@@ -2671,6 +2611,65 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "kmeans_centroids": q_kmeans_centroids,
     "semantic_dedup": q_semantic_dedup,
+    # -- events-typed entries: NEVER parked (the driver has regenerated
+    # -- events.parquet with a different ts physical type before; a stale
+    # -- cert would rot silently) --
+    "event_setops": q_event_setops,
+    "candidate_min_merge": q_candidate_min_merge,
+    "sessionization": q_sessionization,
+    "streaming_sessionization": q_streaming_sessionization,
+    "event_window_agg": q_event_window_agg,
+    "json_extract": q_json_extract,
+    "streaming_window_agg": q_streaming_window_agg,
+    "asof_enrich": q_asof_enrich,
+    "session_attribution": q_session_attribution,
+    # -- flagship ANN / dedup / crypto / LLM-pipeline family (touched
+    # -- this round or certified every round) --
+    "corpus_mix": q_corpus_mix,
+    "sequence_pack": q_sequence_pack,
+    "shard_assign": q_shard_assign,
+    "token_budget_mix": q_token_budget_mix,
+    "near_dup_pipeline": q_near_dup_pipeline,
+    "cardinality_kmv": q_cardinality_kmv,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_minhash": q_streaming_minhash,
+    "sq8_ann": q_sq8_ann,
+    "minhash_bands": q_minhash_bands,
+    "jaccard_pairs": q_jaccard_pairs,
+    "ann_search": q_ann_search,
+    "ann_search_selective": q_ann_search_selective,
+    "ann_search_filtered": q_ann_search_filtered,
+    "dedup_clusters": q_dedup_clusters,
+    "near_dup_embedding": q_near_dup_embedding,
+    "near_dup_lsh": q_near_dup_lsh,
+    "decontaminate": q_decontaminate,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    # ---- position 50 ends here; entries below are PARKED (all freshly
+    # ---- certified in the r05 gate window on current fixtures; none reads
+    # ---- events.parquet; they rotate back in as window budget allows —
+    # ---- SURVEY.md §8)
+    "edit_near_dups": q_edit_near_dups,
+    "vocab_topk": q_vocab_topk,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "doc_stats": q_doc_stats,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "region_revenue": q_region_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "order_priority_census": q_order_priority_census,
+    "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
+    "vocab_topk_salted": q_vocab_topk_salted,
+    "unigram_logprob": q_unigram_logprob,
+    "source_kl": q_source_kl,
+    "chunk_docs": q_chunk_docs,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "vocab_overlap": q_vocab_overlap,
+    "zipf_fit": q_zipf_fit,
 }
 
 

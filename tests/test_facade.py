@@ -159,6 +159,52 @@ def test_example_config_profiles():
     assert base.tables == 6
 
 
+def test_paper_baseline_profile_end_to_end(spark):
+    """SearchMode parity (reference ``config/SearchMode.java:3-6``):
+    the ``paper_baseline`` profile pins every knob the reference's
+    PAPER_BASELINE mode implies — PaperConfig geometry defaults
+    (``SystemConfig.java:237-263``: m=24, lambda=2, divisions=3,
+    tables=6, seed=13) and RuntimeConfig defaults
+    (``SystemConfig.java:265-285``: refinementLimit=20000,
+    probeOverride=-1 i.e. adaptive widening DISABLED,
+    hammingPrefilterThreshold=0) with decoys/cloaking off — and those
+    values flow end-to-end through AnnIndex.build + search."""
+    import numpy as np
+    from dataclasses import replace
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.config import load_config
+    from fspann_query_system_spark.query.ann import (
+        AnnIndex, search_batch, search_batch_adaptive)
+
+    cfg = load_config("/root/repo/configs/example.json",
+                      profile="paper_baseline")
+    # reference PaperConfig defaults
+    assert cfg.m == 24 and cfg.lam == 2 and cfg.divisions == 3
+    assert cfg.tables == 6 and cfg.seed == 13
+    # reference RuntimeConfig defaults
+    assert cfg.refinement_limit == 20000
+    assert cfg.probe_override == -1        # widening heuristic disabled
+    assert cfg.hamming_threshold == 0      # prefilter disabled
+    assert cfg.decoy_ratio == 0.0 and cfg.cloak_noise == 0.0
+
+    # end-to-end: the built index carries the profile's params
+    rng = np.random.default_rng(7)
+    X = rng.normal(0, 1, (200, 12))
+    vec = spark.createDataFrame([(i, X[i].tolist()) for i in range(200)],
+                                "id LONG, vector ARRAY<DOUBLE>")
+    idx = AnnIndex.build(vec, replace(cfg, dim=12).lsh())
+    got = idx.params.cfg
+    assert (got.m, got.lam, got.divisions, got.tables, got.seed) == \
+        (24, 2, 3, 6, 13)
+    assert got.refinement_limit == 20000 and got.probe_override == -1
+    # probeOverride=-1 => adaptive retry is a no-op (identical results)
+    q = vec.limit(3).select(F.col("id").alias("q_id"), "vector")
+    plain = search_batch(idx, q, k=5).orderBy("q_id", "rank").collect()
+    adapt = search_batch_adaptive(idx, q, k=5).orderBy("q_id",
+                                                       "rank").collect()
+    assert plain == adapt
+
+
 def test_search_cached_hits_and_equivalence(spark):
     import numpy as np
     from pyspark.sql import functions as F

@@ -243,13 +243,18 @@ def ivf_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "id", vector_col: str = "vector",
                         index=None,
-                        kernel_partitions: int | None = None) -> DataFrame:
+                        kernel_partitions: int | None = None,
+                        max_exact_rows: int = 1_000_000) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
 
     Scale path: when an ``AnnIndex`` is supplied, only pairs co-located in
     at least one LSH partition are scored (bucketed candidate join — the
     all-pairs crossJoin never materializes).  Without an index: exact
-    all-pairs via broadcast (small tables only).
+    all-pairs via broadcast — SMALL TABLES ONLY: the exact path collects
+    the full (id, vector) matrix to the driver and broadcasts it, so it
+    refuses inputs above ``max_exact_rows`` (default 1M ≈ 512 MB at
+    dim=64 float64) with a pointer to the index path rather than
+    driver-OOMing.
 
     The candidate id-pairs are round-robined over ``kernel_partitions``
     (default: cluster default parallelism) before the vector joins: a
@@ -279,6 +284,14 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     # the broadcast normalized matrix (vectorized; the 2M-pair crossJoin
     # with per-pair fold expressions is ~40x slower at sf0.1)
     spark = df.sparkSession
+    n_rows = df.count()
+    if n_rows > max_exact_rows:
+        raise ValueError(
+            f"embedding_near_dups exact mode collects the whole table to "
+            f"the driver: input has {n_rows} rows > max_exact_rows="
+            f"{max_exact_rows}. Pass index=AnnIndex.build(df, cfg) to use "
+            f"the LSH-bucketed scale path (or raise max_exact_rows if the "
+            f"driver really has the memory).")
     rows = df.select(id_col, vector_col).collect()
     ids_all = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([list(r[1]) for r in rows], dtype=np.float64)
@@ -361,7 +374,15 @@ def sq8_topk(base: DataFrame, queries: DataFrame, mins: list, maxs: list,
     vectors for only Q·k·rerank ids.  Reconstruction is elementwise
     IEEE double (mn + c/255·rg), identical in numpy and SQL, so the
     two-stage result is oracle-checkable; the ``rerank`` margin absorbs
-    approx-boundary ties."""
+    approx-boundary ties.
+
+    STANDALONE mode (as called here, over the full ``codes`` table) is
+    deliberately the brute-force twin: every query scans every code —
+    O(N·Q) approx ranking at 1/4 the bytes of the float scan.  It is
+    the exhaustive-compressed baseline, not the scale path.  The scale
+    path is ``AnnIndex.with_sq8()`` + ``search_batch(sq8_rerank=...)``
+    (``query/ann.py``), which runs this same kernel over only the
+    LSH-capped candidate pool of each query."""
     from ..functions.distance import l2_expr
     spark = base.sparkSession
     if codes is None:

@@ -69,13 +69,19 @@ def kmv_cardinality(docs: DataFrame, group_col: str = "source",
     cannot bias which hashes are smallest.
 
     ``merge_fanout=None`` (the default) derives the fanout from a cheap
-    ``approx_count_distinct`` pre-pass over the heaviest group, sized so
+    per-group character-count upper bound on distinct tokens
+    (``sum(length(text)) / 2`` — every token costs >= 1 char + 1
+    separator, so tokens <= chars/2 and distinct <= tokens), sized so
     the level-1 buffer stays under ``target_partial_rows`` hashes: a
     static knob mis-set at 100 TB would silently reintroduce the
-    unbounded buffer this rewrite removed.  The fanout only repartitions
-    the merge tree -- the k-min of the union is partition-invariant, so
-    the estimate is identical for ANY fanout (the auto/explicit
-    equivalence is tested).
+    unbounded buffer this rewrite removed.  The bound needs ONE scan of
+    a pruned (group, length) projection — no second tokenize/explode
+    (the round-5 ``approx_count_distinct`` pre-pass re-scanned the full
+    token stream and cost +34% on the whole query).  Over-estimating
+    the fanout is harmless: the k-min of the union is
+    partition-invariant, so the estimate is identical for ANY fanout
+    (the auto/explicit equivalence is tested), and level 2 merges at
+    most min(fanout, distinct) partials of k hashes each.
     """
     from ..functions.plan import select_exploded
     raw = select_exploded(docs.select(F.col(group_col).alias("grp"),
@@ -83,13 +89,17 @@ def kmv_cardinality(docs: DataFrame, group_col: str = "source",
                           T.tokens(text_col), "tok", "grp")
     toks = raw.distinct()
     if merge_fanout is None:
-        # one-row collect of the heaviest group's approximate distinct
-        # count, over the PRE-distinct token stream (HLL absorbs dupes,
-        # so this costs a map-side-partial HLL shuffle, not the distinct)
-        hardest = (raw.groupBy("grp")
-                   .agg(F.approx_count_distinct("tok").alias("nd"))
+        # one-row collect of the heaviest group's distinct-token UPPER
+        # BOUND from raw character counts (column-pruned scan, no
+        # tokenization): distinct <= tokens <= sum(chars)/2
+        hardest = (docs.groupBy(F.col(group_col).alias("grp"))
+                   .agg((F.sum(F.length(text_col)) / 2).alias("nd"))
                    .agg(F.max("nd")).first()[0]) or 0
-        merge_fanout = _derive_fanout(hardest, target_partial_rows)
+        # cap so the level-2 buffer (fanout partials x k hashes) stays
+        # under the same target even when the char bound overestimates
+        # distinct by the corpus duplication factor
+        merge_fanout = min(_derive_fanout(int(hardest), target_partial_rows),
+                           max(1, target_partial_rows // k))
     # salt from hex digits 16.. (independent of the ordering digits 1-15)
     hashed = toks.select(
         "grp", F.md5("tok").alias("h")

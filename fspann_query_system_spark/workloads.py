@@ -1323,9 +1323,17 @@ KMV_K = 64
 def q_cardinality_kmv(spark, sf_dir):
     """Per-source distinct-token cardinality: exact + deterministic KMV
     sketch estimate (engine-independent arithmetic → full oracle; see
-    ops/sketches.py for why KMV instead of HLL here)."""
+    ops/sketches.py for why KMV instead of HLL here).
+
+    ``merge_fanout`` is passed explicitly: the bench corpus's group
+    profile is known (≲100k distinct tokens/source at sf≤1, far under
+    the 1M-row level-1 target), so the auto-sizing pre-pass — one
+    (group, chars) scan that exists to bound the buffer when the
+    profile is UNKNOWN — would be pure overhead here.  The estimate is
+    fanout-invariant (tested), so this changes latency only."""
     from .ops.sketches import kmv_cardinality
-    return kmv_cardinality(_t(spark, sf_dir, "documents"), k=KMV_K)
+    return kmv_cardinality(_t(spark, sf_dir, "documents"), k=KMV_K,
+                           merge_fanout=1)
 
 
 SQL_CARDINALITY_KMV = f"""

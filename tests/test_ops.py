@@ -151,6 +151,22 @@ def test_embedding_near_dups(spark):
     assert len(pairs) == 1
 
 
+def test_embedding_near_dups_exact_mode_guard(spark):
+    """Exact mode collects the table to the driver, so it refuses
+    inputs above max_exact_rows with a pointer to the index path
+    instead of driver-OOMing."""
+    import pytest
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [(i, rng.normal(0, 1, 4).tolist()) for i in range(30)],
+        "id LONG, vector ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="index=AnnIndex.build"):
+        embedding_near_dups(df, threshold=0.9, max_exact_rows=10)
+    # at/under the cap it runs
+    assert embedding_near_dups(df, threshold=0.999,
+                               max_exact_rows=30).count() >= 0
+
+
 def test_multimodal_plumbing(spark):
     from fspann_query_system_spark.ops.multimodal import (make_media_table,
                                                           image_features,

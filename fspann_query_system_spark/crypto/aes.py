@@ -183,3 +183,80 @@ def decrypt_vectors(df: DataFrame, keys_bc, mode: str = "strict",
             yield out[in_cols + [out_col]]
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def decrypt_score_vectors(df: DataFrame, keys_bc, mode: str = "strict",
+                          id_col: str = "id", q_col: str = "_qvec",
+                          out_col: str = "distance") -> DataFrame:
+    """Fused decrypt + L2 score: one Arrow kernel decrypts each row
+    under its recorded key_version AND computes the exact distance to
+    the row's query vector — the plaintext never crosses the
+    Python→JVM boundary (C5 + C1 in one stage).
+
+    Motivation is the encrypted refine stage's profile at 10M vectors
+    (SCALE.md §8b): with k·rerank = 1600 decrypts/query the split plan
+    pays Arrow serialization of every decrypted ARRAY<DOUBLE> back to
+    the JVM plus a codegen re-walk of both arrays for ``l2_expr``;
+    fusing removes that exchange and keeps the decrypted matrix in
+    numpy (the reference's refine stage is decrypt-bound the same way,
+    ``QueryServiceImpl.java:219-271``).  The AESGCM key schedule is
+    built once per (batch, key_version) — not per row.
+
+    Bit-compatibility: the distance accumulates per-dimension
+    left-to-right exactly like ``l2_expr``'s fold, so the fused path is
+    bit-identical to decrypt-then-score and the ann_search oracle hash
+    is unaffected (equivalence is tested).
+
+    Output: input columns minus (dim, iv, ciphertext, ``q_col``) plus
+    ``out_col DOUBLE``.  mode='skip' drops undecryptable rows
+    (reference decryptErr accounting); 'strict' raises."""
+    drop = {"dim", "iv", "ciphertext", q_col}
+    carry = [c for c in df.columns if c not in drop]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name in set(carry))
+    out_schema += f", {out_col} DOUBLE"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cryptography.exceptions import InvalidTag as _InvalidTag
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM as _AESGCM
+        keys = keys_bc.value
+        ciphers = {v: _AESGCM(k) for v, k in keys.items()}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            bufs, keep = [], []
+            for i, row in enumerate(zip(pdf[id_col], pdf["key_version"],
+                                        pdf["dim"], pdf["iv"],
+                                        pdf["ciphertext"])):
+                pid, kv, dim, iv, ct = row
+                aes = ciphers.get(int(kv))
+                try:
+                    if aes is None:
+                        raise KeyError(f"no key for version {kv}")
+                    bufs.append(aes.decrypt(
+                        bytes(iv), bytes(ct), _aad(pid, int(kv), int(dim))))
+                    keep.append(i)
+                except (_InvalidTag, KeyError):
+                    if mode == "strict":
+                        raise
+            if not keep:
+                continue
+            V = np.vstack([np.frombuffer(b, dtype=">f8") for b in bufs]) \
+                .astype(np.float64)
+            sel = pdf.iloc[keep] if len(keep) < n else pdf
+            Qm = np.vstack([np.asarray(v, dtype=np.float64)
+                            for v in sel[q_col].to_numpy()])
+            # per-dimension left-to-right accumulation: bit-identical
+            # to l2_expr's aggregate fold (pairwise/np.sum order could
+            # flip a 6-dp rounding boundary under the oracle hash)
+            acc = np.zeros(len(keep), dtype=np.float64)
+            for j in range(V.shape[1]):
+                d = V[:, j] - Qm[:, j]
+                acc += d * d
+            out = sel[carry].copy()
+            out[out_col] = np.sqrt(acc)
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

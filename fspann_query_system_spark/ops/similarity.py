@@ -244,17 +244,35 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "id", vector_col: str = "vector",
                         index=None,
                         kernel_partitions: int | None = None,
-                        max_exact_rows: int = 1_000_000) -> DataFrame:
+                        max_exact_rows: int = 1_000_000,
+                        bucket: str = "block") -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
 
-    Scale path: when an ``AnnIndex`` is supplied, only pairs co-located in
-    at least one LSH partition are scored (bucketed candidate join — the
-    all-pairs crossJoin never materializes).  Without an index: exact
-    all-pairs via broadcast — SMALL TABLES ONLY: the exact path collects
-    the full (id, vector) matrix to the driver and broadcasts it, so it
-    refuses inputs above ``max_exact_rows`` (default 1M ≈ 512 MB at
-    dim=64 float64) with a pointer to the index path rather than
-    driver-OOMing.
+    Scale path: when an ``AnnIndex`` is supplied, only pairs co-located
+    in at least one LSH bucket are scored (bucketed candidate join — the
+    all-pairs crossJoin never materializes).  ``bucket`` picks the
+    blocking key:
+
+    * ``"key"`` — pairs sharing an EXACT code key in any (table,
+      division).  The recall-robust mode for high thresholds: a
+      near-identical pair gets identical keys with probability ~1
+      regardless of how many other vectors share them.  Candidate
+      volume is sum-of-bucket² — data-dependent, small at high
+      thresholds (measured at 1M embeddings: fewer candidates than
+      block mode AND planted recall 1.0 vs 0.84; SCALE.md §9b).
+    * ``"block"`` (default, the registry/oracle semantics) — pairs
+      co-located in a greedy partition block.  Volume is bounded by
+      blocks·block_size² by construction, but when an equal-key run
+      outgrows one block the run is CUT and pairs straddling the cut
+      are missed — recall degrades as duplicate clusters outgrow
+      ``block_size`` (the measured §9b limiter).  Prefer ``"key"``
+      for dedup; "block" remains for volume-bounded screening.
+
+    Without an index: exact all-pairs via broadcast — SMALL TABLES
+    ONLY: the exact path collects the full (id, vector) matrix to the
+    driver and broadcasts it, so it refuses inputs above
+    ``max_exact_rows`` (default 1M ≈ 512 MB at dim=64 float64) with a
+    pointer to the index path rather than driver-OOMing.
 
     The candidate id-pairs are round-robined over ``kernel_partitions``
     (default: cluster default parallelism) before the vector joins: a
@@ -262,14 +280,19 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     compute, so AQE's byte-based coalescing under-parallelizes the
     scoring stage (one task at bench scale; 2.6 s → 1.3 s on 32 cores —
     same pathology as the Levenshtein kernel in ``edit_near_dups``)."""
+    if bucket not in ("block", "key"):
+        raise ValueError(f"bucket must be 'block' or 'key', got {bucket!r}")
     if index is not None:
         if kernel_partitions is None:
             kernel_partitions = df.sparkSession.sparkContext.defaultParallelism
-        codes = index.codes.select("table", "division", "part_idx",
+        bucket_col = "part_idx" if bucket == "block" else "code_key"
+        codes = index.codes.select("table", "division", bucket_col,
                                    F.col("id").alias("_cid"))
-        a = codes.select("table", "division", "part_idx", F.col("_cid").alias("id_a"))
-        b = codes.select("table", "division", "part_idx", F.col("_cid").alias("id_b"))
-        pairs = (a.join(b, on=["table", "division", "part_idx"])
+        a = codes.select("table", "division", bucket_col,
+                         F.col("_cid").alias("id_a"))
+        b = codes.select("table", "division", bucket_col,
+                         F.col("_cid").alias("id_b"))
+        pairs = (a.join(b, on=["table", "division", bucket_col])
                  .filter(F.col("id_a") < F.col("id_b"))
                  .select("id_a", "id_b").distinct()
                  .repartition(kernel_partitions))

@@ -45,6 +45,82 @@ from ..functions.distance import l2_expr
 # serialize+ship cost that grows linearly in rows.
 AUTO_ROUTING_ROWS = 300_000
 
+# --- §8b budget-scaling law (SCALE.md), applied ---------------------------
+# Measured: recall at a FIXED candidate budget degrades ~linearly with
+# corpus size (LSH coverage law), and scaling the budget with n recovers
+# it: refine 16_384 → recall 0.961 at 1M; refine 131_072 (×10, the
+# pool-matched row) → 0.872 at 10M; ×16 → 0.941.  The knob that grows
+# with n is the BUDGET, not the topology (same shuffle shape at any
+# scale).  These constants turn that measurement into the default a
+# scale user gets without re-deriving the sweep (reference anchor:
+# adaptive probe widening ``QueryServiceImpl.java:444-447`` — same idea,
+# here data-sized instead of failure-triggered).
+#
+# (target_recall floor, refine fraction of n).  Each fraction is a
+# measured §8/§8b operating point: 0.0131·n pow2-ceils to exactly
+# 16_384 at 1M (measured 0.961) and 131_072 at 10M (measured 0.872);
+# 0.0197·n is the ×16 row (0.941 at 10M); 0.0655·n reproduces the
+# near-exact 1M point (65_536 → 0.996) and is an EXTRAPOLATION past 1M.
+BUDGET_LAW = ((0.87, 0.0131), (0.94, 0.0197), (1.00, 0.0655))
+# b512 matches b128 recall at equal (pool, refine) while building 3x and
+# querying 2x faster at 10M (§8b block sweep); b128 is the measured 1M
+# point.  Crossover placed between the two measured scales.
+AUTO_BLOCK_CROSSOVER = 4_000_000
+# decrypt budget k*rerank: 8 measured at 1M (800 decrypts), 16 at 10M
+# (1600) — the rerank margin absorbing approx-boundary ties grows one
+# notch with the 10x pool.
+AUTO_RERANK_CROSSOVER = 4_000_000
+
+
+def _ceil_pow2(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+def suggest_operating_point(n: int, target_recall: float = 0.87,
+                            k: int = 100, tables: int = 8,
+                            divisions: int = 2,
+                            block_size: int | None = None) -> dict:
+    """Derive the (block_size, probes, refinement_limit, sq8_rerank)
+    operating point for a corpus of ``n`` vectors from the measured
+    §8b budget-scaling law — the knobs a 100 TB deployment would
+    otherwise have to re-sweep.
+
+    Invariants the derivation enforces (measured, SCALE.md §8/§8b):
+
+    * **pool = 2×refine** (headroom for the Hamming cut): probes are
+      sized so the candidate pool T·D·probes·block covers TWICE the
+      refinement budget.  Refine past the pool is outright wasted (the
+      ×8 pool-starved row spent 128k to reach 65k), but a pool exactly
+      equal to refine is also measurably worse: the ranked-Hamming
+      stage then has nothing to cut, and keeping the better half of a
+      2× pool buys +0.10 recall at equal refine cost (1M: p16/r16k =
+      0.961 vs pool-matched p8/r16k = 0.860, same 16_384 SQ8-ranked).
+    * **budget ∝ n**: refinement_limit = pow2-ceil(fraction·n), with
+      the fraction picked per ``target_recall`` tier from the measured
+      curve.  Floors at 8_192 (the 1M flagship's band) so tiny corpora
+      don't starve.
+
+    ``block_size=None`` also derives the block: 512 past
+    ``AUTO_BLOCK_CROSSOVER`` (3x faster build, 2x faster query, equal
+    recall at 10M), else 128.  Pass the index's actual block size when
+    suggesting a budget for an ALREADY-BUILT index.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    for floor, frac in BUDGET_LAW:
+        if target_recall <= floor:
+            break
+    else:
+        raise ValueError(f"target_recall {target_recall} > 1.0")
+    if block_size is None:
+        block_size = 512 if n >= AUTO_BLOCK_CROSSOVER else 128
+    refine = max(8192, _ceil_pow2(int(frac * n)))
+    slot = tables * divisions * block_size
+    probes = -(-2 * refine // slot)           # ceil: pool >= 2x refine
+    return {"block_size": block_size, "probes": probes,
+            "refinement_limit": refine,
+            "sq8_rerank": 16 if n >= AUTO_RERANK_CROSSOVER else 8}
+
 
 @dataclass
 class AnnIndex:
@@ -62,6 +138,8 @@ class AnnIndex:
     decrypt_fn: object = None   # callable df -> df adding "vector" (crypto layer)
     _routing_bc: object = None
     _bounds_rows: int | None = None
+    _keys_bc: object = None         # with_encrypted_points: enables the
+    _decrypt_mode: str = "skip"     # fused decrypt+score refine kernel
     sq8_codes: DataFrame = None     # (id, codes ARRAY<INT>) compressed shadow
     sq8_mins: object = None         # per-dim codebook (lists of float)
     sq8_maxs: object = None
@@ -69,16 +147,32 @@ class AnnIndex:
     @classmethod
     def build(cls, vectors: DataFrame, cfg: LshConfig,
               params: LshParams | None = None,
-              id_col: str = "id", vector_col: str = "vector") -> "AnnIndex":
+              id_col: str = "id", vector_col: str = "vector",
+              block_size: int | str | None = None) -> "AnnIndex":
         """Fit params from a sample (P5-P7), code all vectors (P8), build
-        greedy partitions (O1), cache the hot tables."""
+        greedy partitions (O1), cache the hot tables.
+
+        ``block_size="auto"`` sizes the block from the corpus: 512 past
+        ``AUTO_BLOCK_CROSSOVER`` vectors — measured at 10M to match
+        b128's recall at equal (pool, refine) while building 3x and
+        querying 2x faster (§8b block sweep; 4x fewer partitions to
+        rank) — else 128.  An int overrides ``cfg.block_size`` directly;
+        None keeps ``cfg.block_size`` (fully explicit)."""
+        from dataclasses import replace as _dc_replace
+        n_vec = vectors.count()
+        if block_size == "auto":
+            block_size = 512 if n_vec >= AUTO_BLOCK_CROSSOVER else 128
+        if block_size is not None:
+            cfg = _dc_replace(cfg, block_size=int(block_size))
+            if params is not None and params.cfg.block_size != cfg.block_size:
+                params = _dc_replace(params, cfg=cfg)
         if params is None:
             params = fit_params_from_df(vectors, cfg, vector_col=vector_col)
         codes = code_vectors(vectors, params, id_col=id_col, vector_col=vector_col)
-        # count() is a cheap metadata scan on columnar sources and picks
-        # the ranking strategy: one window for small builds, two-pass
-        # distributed ranking past DISTRIBUTED_RANK_THRESHOLD codes
-        n_codes = vectors.count() * cfg.tables * cfg.divisions
+        # the count above is a cheap metadata scan on columnar sources
+        # and picks the ranking strategy: one window for small builds,
+        # two-pass distributed ranking past DISTRIBUTED_RANK_THRESHOLD
+        n_codes = n_vec * cfg.tables * cfg.divisions
         codes_p, bounds = build_partitions(codes, cfg.block_size, id_col=id_col,
                                            n_codes=n_codes)
         codes_p = codes_p.persist()
@@ -120,7 +214,8 @@ class AnnIndex:
         from dataclasses import replace
         return replace(
             self, points=encrypted, encrypted=True,
-            decrypt_fn=lambda df: decrypt_vectors(df, keys_bc, mode=mode))
+            decrypt_fn=lambda df: decrypt_vectors(df, keys_bc, mode=mode),
+            _keys_bc=keys_bc, _decrypt_mode=mode)
 
     def save(self, path: str) -> None:
         """Persist routing state (restart path, SURVEY §3.4 — strictly
@@ -212,6 +307,28 @@ class AnnIndex:
         tomb = ids.select(F.col(id_col).alias("id"))
         return replace(self,
                        points=self.points.join(tomb, on="id", how="left_anti"))
+
+    def n_vectors(self) -> int:
+        """Corpus size, from the bounds table's per-partition counts —
+        a bounds-sized agg (N/block rows), no scan of codes or points."""
+        total = self.bounds.agg(F.sum("n_ids")).first()[0] or 0
+        return int(total) // (self.params.cfg.tables
+                              * self.params.cfg.divisions)
+
+    def suggest_budget(self, target_recall: float = 0.87,
+                       k: int = 100) -> dict:
+        """Apply the measured §8b budget-scaling law to THIS index:
+        derive (probes, refinement_limit, sq8_rerank) from its corpus
+        size and built geometry (block size is fixed at build time, so
+        it is taken as-is, not re-derived).  ``search_batch(...,
+        budget="auto")`` calls this — a 10M-vector user gets the
+        0.87-recall operating point without re-running the sweep
+        (SCALE.md §8b; reference anchor ``QueryServiceImpl.java:444-447``)."""
+        cfg = self.params.cfg
+        return suggest_operating_point(
+            self.n_vectors(), target_recall=target_recall, k=k,
+            tables=cfg.tables, divisions=cfg.divisions,
+            block_size=cfg.block_size)
 
     def bounds_rows(self) -> int:
         """Total partition count across (t,d) slices — the routing-table
@@ -525,7 +642,9 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
                  sq8_rerank: int | None = None,
                  allow: DataFrame | None = None,
                  allow_id_col: str = "id",
-                 with_diagnostics: bool = False) -> DataFrame:
+                 with_diagnostics: bool = False,
+                 budget: str | None = None,
+                 target_recall: float = 0.87) -> DataFrame:
     """Top-k ANN for a whole query set → (q_id, id, distance, rank).
 
     ``with_diagnostics`` carries the reference's stabilization counters
@@ -547,8 +666,23 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
     ``sq8_rerank``: with an index built ``.with_sq8()``, rank the
     hamming-kept candidates on the SQ8 shadow first and decrypt/score
     only the best k*sq8_rerank per query (compressed-refine; see
-    :meth:`AnnIndex.with_sq8`)."""
+    :meth:`AnnIndex.with_sq8`).
+
+    ``budget="auto"``: size (probes, refinement_limit, sq8_rerank) for
+    this index's corpus from the measured §8b budget-scaling law via
+    :meth:`AnnIndex.suggest_budget` — the data-sized default for scale
+    users (``target_recall`` picks the law tier; explicit knob
+    arguments still win over the derived values).  sq8_rerank is only
+    auto-applied when the index carries an SQ8 shadow."""
     cfg = index.params.cfg
+    if budget is not None:
+        if budget != "auto":
+            raise ValueError(f"budget must be 'auto' or None, got {budget!r}")
+        opt = index.suggest_budget(target_recall=target_recall, k=k)
+        probes = probes or opt["probes"]
+        refinement_limit = refinement_limit or opt["refinement_limit"]
+        if sq8_rerank is None and index.sq8_codes is not None:
+            sq8_rerank = opt["sq8_rerank"]
     probes = probes or cfg.probes
     refinement_limit = refinement_limit or cfg.refinement_limit
     T = cfg.hamming_threshold if hamming_threshold is None else hamming_threshold
@@ -617,12 +751,21 @@ def search_batch(index: AnnIndex, queries: DataFrame, k: int = 10,
         kept = kept.withColumn("_cand_decrypted", F.count(F.lit(1)).over(wq))
 
     # J1: candidates ⋈ payloads; decrypt only survivors (C5 after O5).
-    if index.encrypted:
-        scored_src = index.decrypt_fn(kept.join(index.points, on="id"))
+    if index.encrypted and index._keys_bc is not None:
+        # fused decrypt+score: one Arrow kernel, no plaintext-vector
+        # exchange back to the JVM (SCALE.md §8b — the refine stage is
+        # decrypt-bound at 10M; bit-identical to the split plan, tested)
+        from ..crypto.aes import decrypt_score_vectors
+        scored = decrypt_score_vectors(
+            kept.join(index.points, on="id").join(F.broadcast(qv), on="q_id"),
+            index._keys_bc, mode=index._decrypt_mode)
     else:
-        scored_src = kept.join(index.points, on="id")
-    scored = (scored_src.join(F.broadcast(qv), on="q_id")
-              .withColumn("distance", l2_expr("_qvec", "vector")))
+        if index.encrypted:
+            scored_src = index.decrypt_fn(kept.join(index.points, on="id"))
+        else:
+            scored_src = kept.join(index.points, on="id")
+        scored = (scored_src.join(F.broadcast(qv), on="q_id")
+                  .withColumn("distance", l2_expr("_qvec", "vector")))
 
     # shuffle 2: per-query exact rank (A2), ties by id (A3 semantics)
     wr = Window.partitionBy("q_id").orderBy(F.col("distance").asc(), F.col("id").asc())

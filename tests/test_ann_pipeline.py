@@ -445,3 +445,114 @@ def test_stabilization_surfaces_zero_result_queries(index, queries):
     assert len(rows) == 25
     assert rows[victim].returned == 0 and rows[victim].cand_raw is None
     assert all(r.returned > 0 for q, r in rows.items() if q != victim)
+
+
+def test_suggest_operating_point_pins_the_measured_law():
+    """The §8b budget-scaling derivation reproduces the MEASURED
+    operating points exactly — this test pins the law so a refactor
+    can't silently drift the scale defaults (SCALE.md §8/§8b)."""
+    from fspann_query_system_spark.query.ann import suggest_operating_point
+
+    # 1M, default target: EXACTLY the measured §8 flagship
+    # (p16/refine16k/rerank8/b128 → recall 0.961 at 18.5 ms/q)
+    p1 = suggest_operating_point(1_000_000)
+    assert p1 == {"block_size": 128, "probes": 16,
+                  "refinement_limit": 16_384, "sq8_rerank": 8}
+    # 10M, default target: the §8b ×10 budget (refine 131_072) with 2x
+    # pool headroom on the b512 build (3x faster, equal recall)
+    p10 = suggest_operating_point(10_000_000)
+    assert p10 == {"block_size": 512, "probes": 32,
+                   "refinement_limit": 131_072, "sq8_rerank": 16}
+    # pool = 2x refine invariant at arbitrary n: refine past the pool
+    # is wasted; pool at exactly refine loses the Hamming cut's +0.10
+    # recall (measured 0.961 vs 0.860 at 1M, equal refine cost)
+    for n in (123_457, 3_000_000, 7_500_000, 50_000_000):
+        p = suggest_operating_point(n)
+        slot = 8 * 2 * p["block_size"]
+        pool = p["probes"] * slot
+        assert 2 * p["refinement_limit"] <= pool \
+            < 2 * p["refinement_limit"] + slot, n
+    # budget ∝ n: fraction stays within 2x of the law constant (pow2
+    # ceiling + pool rounding are the only slack)
+    for n in (2_000_000, 20_000_000, 100_000_000):
+        p = suggest_operating_point(n)
+        assert 0.0131 <= p["refinement_limit"] / n <= 0.0131 * 2.2, n
+    # higher target tier engages the x16 fraction
+    hi = suggest_operating_point(10_000_000, target_recall=0.94)
+    assert hi["refinement_limit"] >= 196_608
+    # floor: tiny corpora never starve below the 1M flagship band
+    assert suggest_operating_point(10_000)["refinement_limit"] >= 8192
+    # an already-built index's block size is honored, not re-derived
+    fixed = suggest_operating_point(10_000_000, block_size=128)
+    assert fixed["block_size"] == 128
+    assert fixed["probes"] * 8 * 2 * 128 >= 2 * fixed["refinement_limit"]
+
+
+def test_auto_budget_end_to_end(index, queries):
+    """budget="auto" derives the knobs from the index's own corpus size
+    and geometry; explicit knobs still win; results stay a valid
+    search (self-consistency with the explicitly-knobbed call)."""
+    idx, df, X = index
+    sug = idx.suggest_budget()
+    # small fixture: floor engages; 2x pool headroom within its geometry
+    cfgb = idx.params.cfg
+    slot = cfgb.tables * cfgb.divisions * cfgb.block_size
+    assert sug["probes"] * slot >= 2 * sug["refinement_limit"]
+    assert sug["refinement_limit"] >= 8192
+    auto = search_batch(idx, queries, k=10, budget="auto")
+    explicit = search_batch(idx, queries, k=10,
+                            probes=sug["probes"],
+                            refinement_limit=sug["refinement_limit"])
+    assert [tuple(r) for r in auto.orderBy("q_id", "rank").collect()] == \
+        [tuple(r) for r in explicit.orderBy("q_id", "rank").collect()]
+
+
+def test_build_auto_block_size(spark, clustered):
+    """block_size="auto" picks 128 below the crossover and honors an
+    explicit int override; params carry the effective block size."""
+    df, X = clustered
+    cfg = LshConfig(dim=16, m=6, lam=2, tables=2, divisions=1, seed=3,
+                    block_size=999, probes=4, refinement_limit=400)
+    idx = AnnIndex.build(df, cfg, block_size="auto")
+    assert idx.params.cfg.block_size == 128      # n << crossover
+    idx2 = AnnIndex.build(df, cfg, block_size=64)
+    assert idx2.params.cfg.block_size == 64
+    # and the auto-built index still answers (self-hit at distance 0)
+    q = df.limit(3).select(F.col("id").alias("q_id"), "vector")
+    top = search_batch(idx, q, k=1).collect()
+    assert all(r.distance == 0.0 and r.q_id == r.id for r in top)
+
+
+def test_fused_decrypt_score_bit_identical_to_split(spark, clustered, queries):
+    """The fused decrypt+score kernel (one mapInPandas: AES-GCM decrypt
+    + per-dimension left-to-right L2 accumulation) must be BIT-identical
+    to the split plan (decrypt_vectors → l2_expr fold) — same rows, same
+    distances to the last ulp, so oracle hashes and rank ties cannot
+    move.  The split plan stays reachable via _keys_bc=None (the legacy
+    decrypt_fn path)."""
+    from dataclasses import replace
+    from fspann_query_system_spark.crypto.keys import KeyManager
+    from fspann_query_system_spark.crypto.aes import encrypt_vectors
+
+    df, X = clustered
+    km = KeyManager(master=bytes(32))
+    bc = spark.sparkContext.broadcast(km.key_map())
+    enc = encrypt_vectors(df, bc, 1)
+    cfg = LshConfig(dim=16, m=8, lam=2, tables=3, divisions=2, block_size=32,
+                    probes=4, refinement_limit=300, seed=9)
+    fused = AnnIndex.build(df, cfg).with_encrypted_points(enc, bc, mode="skip")
+    assert fused._keys_bc is not None
+    split = replace(fused, _keys_bc=None)
+    r_fused = search_batch(fused, queries, k=8).orderBy("q_id", "rank").collect()
+    r_split = search_batch(split, queries, k=8).orderBy("q_id", "rank").collect()
+    assert [tuple(r) for r in r_fused] == [tuple(r) for r in r_split]
+    assert len(r_fused) > 0
+    # fused path also composes with SQ8 compressed refine + diagnostics
+    idx8 = AnnIndex.build(df, cfg).with_sq8() \
+        .with_encrypted_points(enc, bc, mode="skip")
+    r8f = search_batch(idx8, queries, k=8, sq8_rerank=4,
+                       with_diagnostics=True).orderBy("q_id", "rank").collect()
+    r8s = search_batch(replace(idx8, _keys_bc=None), queries, k=8,
+                       sq8_rerank=4, with_diagnostics=True) \
+        .orderBy("q_id", "rank").collect()
+    assert [tuple(r) for r in r8f] == [tuple(r) for r in r8s]

@@ -1,12 +1,19 @@
-"""1M-vector scale benchmark — the SCALE.md §8 run, reproducible.
+"""Scale benchmark — the SCALE.md §8/§8b runs, reproducible, KNOB-FREE.
 
-Generates 1M × 64-d clustered vectors (64 clusters, sigma controls LSH-
+Generates n × 64-d clustered vectors (64 clusters, sigma controls LSH-
 friendliness), then measures: AES-GCM encrypt-all, index build (the
 distributed two-pass ranking engages above DISTRIBUTED_RANK_THRESHOLD
-codes), batched encrypted search at two batch sizes, recall@100 vs a
-numpy exact oracle.
+codes; block size auto-sized from n), batched encrypted search, and
+recall@100 vs a numpy exact oracle.
+
+NO hand-tuned query knobs: the operating point (block size, probes,
+refinement budget, SQ8 rerank) is derived from the corpus size by the
+measured §8b budget-scaling law (``AnnIndex.build(block_size="auto")``
++ ``search_batch(budget="auto")``) — running this at 10M must
+reproduce the ≥0.87-recall point without editing anything.
 
 Usage: python3 tools/scale_bench.py [n_vectors] [n_queries]
+(10M needs SPARK_GRAFT_DRIVER_MEM=96g.)
 """
 
 from __future__ import annotations
@@ -24,8 +31,13 @@ from fspann_query_system_spark.query.ann import AnnIndex, search_batch  # noqa: 
 
 DIM = 64
 K = 100
+# Index GEOMETRY only (m/lam/tables/divisions — the §8 m-sweep winner).
+# Everything budget-shaped (block size, probes, refinement limit, SQ8
+# rerank) is derived from n at run time by the §8b law.  probes /
+# refinement_limit below are the LshConfig defaults for ad-hoc callers;
+# this script never uses them (budget="auto" overrides).
 CFG = dict(m=26, lam=2, tables=8, divisions=2, probes=8, block_size=128,
-           refinement_limit=8000)     # reference SIFT_P4_FAST refine budget
+           refinement_limit=8000)
 # Swept at 1M (tools/recall_sweep_1m.py, results in recall_sweep_1m.jsonl):
 # round 1 (m18 T6 p8 b64) had candidate pool T*D*probes*block = 6144 <
 # the 8000 refine budget — coverage-bound, recall 0.475.  Pool ~2x budget
@@ -106,11 +118,16 @@ def main():
     t0 = time.time()
     cfg = LshConfig(dim=DIM, seed=11, **CFG)
     params = fit_params(X[:10000], cfg)
-    idx = AnnIndex.build(vec, cfg, params=params)
+    idx = AnnIndex.build(vec, cfg, params=params, block_size="auto")
     idx.codes.count()          # force build
     idx.routing()
     t_build = time.time() - t0
-    print(f"index build (code + partition, distributed rank): {t_build:.1f}s",
+    print(f"index build (code + partition, distributed rank, "
+          f"block_size={idx.params.cfg.block_size} auto): {t_build:.1f}s",
+          flush=True)
+
+    sug = idx.suggest_budget()
+    print(f"auto operating point (SCALE.md §8b law, n={n}): {sug}",
           flush=True)
 
     from fspann_query_system_spark.crypto.keys import KeyManager
@@ -128,26 +145,29 @@ def main():
     queries = spark.createDataFrame(
         [(int(i), X[i].tolist()) for i in qi], "q_id LONG, vector ARRAY<DOUBLE>")
 
-    for label, qdf, m in (("batched", queries, nq), ("small", queries.limit(20), 20)):
-        t0 = time.time()
-        res = search_batch(idx_enc, qdf, k=K).collect()
-        dt = time.time() - t0
-        print(f"encrypted search {label} ({m} queries): {dt:.1f}s "
-              f"= {1000*dt/m:.0f} ms/query ({len(res)} rows)", flush=True)
+    # full-decrypt at the auto budget decrypts refinement_limit rows per
+    # query — the decrypt-bound comparison the SQ8 path exists to beat;
+    # measured on a small batch so the 10M run stays tractable
+    t0 = time.time()
+    res = search_batch(idx_enc, queries.limit(20), k=K, budget="auto").collect()
+    dt = time.time() - t0
+    print(f"encrypted search FULL-DECRYPT small (20 queries, auto budget): "
+          f"{dt:.1f}s = {1000*dt/20:.0f} ms/query ({len(res)} rows)",
+          flush=True)
 
     # --- distributed routing (the >broadcast-budget fallback a 1B-vector
-    # deployment runs): same output as broadcast routing, measured here
-    # so the path has a published latency next to its equivalence test
+    # deployment runs): same output as broadcast routing; routing_mode
+    # "auto" picks it past the measured crossover — print the decision
+    print(f"bounds rows {idx.bounds_rows()} -> routing_mode=auto picks "
+          f"{'join' if idx.bounds_rows() > 300_000 else 'broadcast'}",
+          flush=True)
     t0 = time.time()
-    res_j = search_batch(idx_enc, queries, k=K, routing_mode="join").collect()
+    res_j = search_batch(idx_enc, queries.limit(20), k=K, budget="auto",
+                         routing_mode="join").collect()
     dt = time.time() - t0
-    print(f"encrypted search routing_mode=join ({nq} queries): {dt:.1f}s "
-          f"= {1000*dt/nq:.0f} ms/query ({len(res_j)} rows)", flush=True)
+    print(f"encrypted search routing_mode=join small (20 queries): {dt:.1f}s "
+          f"= {1000*dt/20:.0f} ms/query ({len(res_j)} rows)", flush=True)
 
-    got: dict[int, set] = {}
-    res = search_batch(idx_enc, queries, k=K).collect()
-    for r in res:
-        got.setdefault(r.q_id, set()).add(r.id)
     # exact oracle on a query subsample (numpy blocked)
     sub = qi[:50]
 
@@ -168,29 +188,27 @@ def main():
             rec.append(len(by_q.get(int(q), set()) & gt) / K)
         return float(np.mean(rec))
 
-    print(f"recall@{K} over {len(sub)} queries: {recall_of(got):.3f}",
-          flush=True)
-
-    # --- compressed-refine: SQ8 shadow ranks candidates, decrypt top k*r
+    # --- the flagship path: SQ8 shadow ranks the whole auto-sized pool,
+    # decrypt only the top k*rerank — all knobs from the §8b law
     t0 = time.time()
     idx8 = idx.with_sq8()
     idx8.sq8_codes.count()
     print(f"sq8 shadow build (stats + encode {n}): {time.time()-t0:.1f}s",
           flush=True)
     idx8_enc = idx8.with_encrypted_points(enc, keys_bc)
-    for rerank in (4, 8):
-        t0 = time.time()
-        res8 = search_batch(idx8_enc, queries, k=K,
-                            sq8_rerank=rerank).collect()
-        dt = time.time() - t0
-        got8: dict[int, set] = {}
-        for r in res8:
-            got8.setdefault(r.q_id, set()).add(r.id)
-        print(f"encrypted search sq8_rerank={rerank} ({nq} queries): "
-              f"{dt:.1f}s = {1000*dt/nq:.0f} ms/query, "
-              f"recall@{K} {recall_of(got8):.3f} "
-              f"(decrypts {K*rerank}/{CFG['refinement_limit']} per query)",
-              flush=True)
+    for label, run_idx in (("plaintext", idx8), ("encrypted", idx8_enc)):
+        for attempt in ("cold", "warm"):
+            t0 = time.time()
+            res8 = search_batch(run_idx, queries, k=K, budget="auto").collect()
+            dt = time.time() - t0
+            got8: dict[int, set] = {}
+            for r in res8:
+                got8.setdefault(r.q_id, set()).add(r.id)
+            print(f"{label} search AUTO budget sq8 ({nq} queries, {attempt}): "
+                  f"{dt:.1f}s = {1000*dt/nq:.0f} ms/query, "
+                  f"recall@{K} {recall_of(got8):.3f} "
+                  f"(decrypts {K*sug['sq8_rerank']}/{sug['refinement_limit']}"
+                  f" per query)", flush=True)
 
 
 if __name__ == "__main__":

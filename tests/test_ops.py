@@ -1257,3 +1257,24 @@ def test_zipf_fit_matches_numpy_ols(spark):
     assert row.slope == pytest.approx(slope, abs=1e-3)
     assert row.intercept == pytest.approx(intercept, abs=1e-3)
     assert 0.9 <= row.r2 <= 1.0
+
+
+def test_nearest_cells_blas_branch_matches_exact_sweep(spark):
+    """_nearest_cells switches to the GEMM form past 256 centroids
+    (SemDeDup-scale codebooks); assignments must match the exact
+    per-centroid sweep on well-separated data."""
+    from fspann_query_system_spark.ops.similarity import _nearest_cells
+    rng = np.random.default_rng(5)
+    C = rng.normal(0, 10.0, (300, 8))           # > 256 -> BLAS branch
+    X = C[rng.integers(0, 300, 500)] + rng.normal(0, 0.01, (500, 8))
+    df = spark.createDataFrame([(i, X[i].tolist()) for i in range(500)],
+                               "id LONG, vector ARRAY<DOUBLE>")
+    cents = spark.createDataFrame([(j, C[j].tolist()) for j in range(300)],
+                                  "cell LONG, vector ARRAY<DOUBLE>")
+    got = {r.id: r.cell for r in
+           _nearest_cells(df, cents, 1, "id", "vector",
+                          "cell", "vector", False).collect()}
+    # numpy exact oracle
+    for i in range(500):
+        d2 = ((C - X[i]) ** 2).sum(1)
+        assert got[i] == int(np.argmin(d2)), i

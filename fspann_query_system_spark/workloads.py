@@ -2207,6 +2207,40 @@ def q_near_dup_lsh(spark, sf_dir):
     return embedding_near_dups(base, NEAR_DUP_LSH_THRESHOLD, index=idx)
 
 
+def q_near_dup_key(spark, sf_dir):
+    """Exact-code-key near-dup (round 6, ``bucket="key"``): candidate
+    pairs share an EXACT LSH code key in >= 1 (table, division) — the
+    recall-robust dedup blocking (block-size independent; measured 1.0
+    vs 0.84 planted recall at the same geometry, SCALE.md §9b), then
+    exact cosine verifies each candidate.  Shares the flagship fitted
+    params so the pair set reproduces in the generated SQL oracle."""
+    from .ops.similarity import embedding_near_dups
+    base = _emb(spark, sf_dir)
+    idx = _ann_index(spark, sf_dir, FLAGSHIP_CFG, _FLAGSHIP_CACHE)
+    return embedding_near_dups(base, NEAR_DUP_LSH_THRESHOLD, index=idx,
+                               bucket="key")
+
+
+def sql_near_dup_key(params: LshParams, threshold: float) -> str:
+    """Generated DuckDB oracle for the exact-key near-dup pair set:
+    code-key CTE (bit-exact ``code_family`` reproduction) → pairs
+    sharing a (table, division, code_key) → exact cosine verification.
+    Strictly simpler than the block oracle: no greedy-layout
+    reconstruction, because key equality IS the bucket."""
+    return f"""
+WITH {_sql_code_key_cte(params)},
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keys a JOIN keys b
+    ON a."table" = b."table" AND a.division = b.division
+   AND a.code_key = b.code_key AND a.id < b.id)
+SELECT p.id_a, p.id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+FROM pairs p JOIN e ea ON ea.id = p.id_a JOIN e eb ON eb.id = p.id_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+"""
+
+
 def sql_near_dup_lsh(params: LshParams, threshold: float) -> str:
     """Generated DuckDB oracle for the LSH-bucketed near-dup pair set:
     code-key CTE (bit-exact ``code_family`` reproduction) → greedy block
@@ -2650,12 +2684,13 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "near_dup_embedding": q_near_dup_embedding,
     "near_dup_lsh": q_near_dup_lsh,
+    "near_dup_key": q_near_dup_key,     # new r6: first certification
     "decontaminate": q_decontaminate,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
     # ---- position 50 ends here; entries below are PARKED (all freshly
     # ---- certified in the r05 gate window on current fixtures; none reads
     # ---- events.parquet; they rotate back in as window budget allows —
     # ---- SURVEY.md §8)
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "edit_near_dups": q_edit_near_dups,
     "vocab_topk": q_vocab_topk,
     "simhash": q_simhash,
@@ -2742,6 +2777,9 @@ def oracle_sql_map() -> dict[str, str]:
             N_VEC_QUERIES,
             allow_pred=f"r.id % {ANN_FILTER_MOD} = 0"),
         "near_dup_lsh": sql_near_dup_lsh(
+            _ann_params(ORACLE_SF_DIR, FLAGSHIP_CFG, _FLAGSHIP_CACHE),
+            NEAR_DUP_LSH_THRESHOLD),
+        "near_dup_key": sql_near_dup_key(
             _ann_params(ORACLE_SF_DIR, FLAGSHIP_CFG, _FLAGSHIP_CACHE),
             NEAR_DUP_LSH_THRESHOLD),
         "kmeans_centroids": sql_kmeans(KMEANS_K, KMEANS_ITERS),

@@ -207,6 +207,14 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
                 .join(upd.alias("new"), on="id", how="left")
                 .select("id", F.coalesce(F.col("new.vector"),
                                          F.col("old.vector")).alias("vector")))
+        # materialize the k-row centroid table each round: the next
+        # round's assignment collects it, and an unmaterialized cent
+        # would re-run the ENTIRE prior-iteration chain inside that
+        # collect — O(iters²) full-data passes.  Invisible at oracle
+        # scale (k=8), dominant at SemDeDup scale (k ~ n/64); k rows,
+        # so the persist is centroid-sized, never data-sized.
+        cent = cent.persist()
+        cent.count()
     return cent.select(F.col("id").alias("cell"), "vector")
 
 

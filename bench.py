@@ -74,6 +74,7 @@ HEADLINE = [
     "near_dup_pipeline",
     "near_dup_embedding",
     "near_dup_lsh",
+    "near_dup_key",
     "kmeans_centroids",
     "sq8_quantize",
     "sq8_ann",

@@ -113,23 +113,51 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                 continue
             B = np.vstack([np.asarray(v, dtype=np.float64)
                            for v in pdf[vector_col].to_numpy()])
-            if len(cid_) > 256:
+            if nc_req == 1 and len(cid_) > 256:
                 # large codebook (SemDeDup-scale k ~ n/64): GEMM form
-                # |b|^2 - 2 b·c + |c|^2 — one BLAS call instead of a
-                # k-iteration python loop (O(n·k·d) either way, but the
-                # loop's per-centroid dispatch dominates past a few
-                # hundred cells).  fp summation order differs from the
-                # exact sweep only within ~1 ulp — argmin can flip only
-                # for centroids tied to machine precision, which the
-                # oracle-gated small-k entries never hit (they keep the
-                # exact per-centroid sweep below).
-                d2 = (np.square(B).sum(axis=1, keepdims=True)
-                      - 2.0 * (B @ C_.T)
-                      + np.square(C_).sum(axis=1)[None, :])
-            else:
-                d2 = np.empty((len(B), len(cid_)), dtype=np.float64)
-                for j in range(len(cid_)):
-                    d2[:, j] = np.square(B - C_[j]).sum(axis=1)
+                # -2 b·c + |c|^2 (the |b|^2 term is row-constant, so it
+                # cannot move the argmin), computed in (row, centroid)
+                # TILES with preallocated buffers and a running argmin.
+                # Materializing the full batch×k distance matrix (and
+                # the GEMM expression's temporaries) at k=15625 means
+                # several ~1.25 GB allocations per 10k-row batch ×32
+                # concurrent workers — measured as a kernel-time
+                # page-zeroing storm that was SLOWER than the python
+                # loop.  Tiles bound the working set at ~64 MB/task.
+                # fp summation order differs from the exact sweep only
+                # within ~1 ulp; oracle-gated small-k entries keep the
+                # exact per-centroid sweep below.
+                cn = np.square(C_).sum(axis=1)
+                RB, CB = 2048, 4096
+                buf = np.empty((RB, CB), dtype=np.float64)
+                best_d = np.empty(len(B), dtype=np.float64)
+                best_j = np.empty(len(B), dtype=np.int64)
+                for r0 in range(0, len(B), RB):
+                    Br = B[r0:r0 + RB]
+                    bd = np.full(len(Br), np.inf)
+                    bj = np.zeros(len(Br), dtype=np.int64)
+                    for c0 in range(0, len(cid_), CB):
+                        Ct = C_[c0:c0 + CB]
+                        t = buf[:len(Br), :len(Ct)]
+                        np.matmul(Br, Ct.T, out=t)
+                        t *= -2.0
+                        t += cn[c0:c0 + CB]
+                        j = t.argmin(axis=1)
+                        d = t[np.arange(len(Br)), j]
+                        upd = d < bd      # strict: ties keep lower cid
+                        bd[upd] = d[upd]
+                        bj[upd] = j[upd] + c0
+                    best_d[r0:r0 + RB] = bd
+                    best_j[r0:r0 + RB] = bj
+                out = {id_col: pdf[id_col].to_numpy()}
+                if keep_vector:
+                    out[vector_col] = pdf[vector_col].to_numpy()
+                out["cell"] = cid_[best_j]
+                yield pd.DataFrame(out)
+                continue
+            d2 = np.empty((len(B), len(cid_)), dtype=np.float64)
+            for j in range(len(cid_)):
+                d2[:, j] = np.square(B - C_[j]).sum(axis=1)
             out = {id_col: np.repeat(pdf[id_col].to_numpy(), nc)}
             if keep_vector:
                 out[vector_col] = np.repeat(pdf[vector_col].to_numpy(), nc)

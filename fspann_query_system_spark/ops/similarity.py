@@ -290,12 +290,61 @@ def ivf_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
             .select(q_id_col, id_col, "dist", "rank"))
 
 
+def _key_bucket_pairs(df: DataFrame, index, threshold: float,
+                      id_col: str, vector_col: str,
+                      max_bucket: int | None) -> DataFrame:
+    """Exact-code-key near-dup pairs, scored per bucket.
+
+    Plan: codes ⋈ vectors (one vector per bucket MEMBER — O(n·T·D)
+    rows, the only data-sized shuffle), group by (table, division,
+    code_key), then one Arrow kernel per bucket computes the in-bucket
+    cosine matrix (normalized GEMM) and emits ONLY pairs >= threshold.
+    A pair found in several buckets emits identical rows (same float
+    math), collapsed by the final distinct.  Rounding is HALF_UP at 6
+    dp like the exact path, so results are oracle-comparable."""
+    sized = index.codes.groupBy("table", "division", "code_key").count()
+    if max_bucket is not None:
+        sized = sized.filter(F.col("count") <= max_bucket)
+    members = (index.codes.join(sized.select("table", "division", "code_key"),
+                                on=["table", "division", "code_key"])
+               .select("table", "division", "code_key", "id")
+               .join(df.select(F.col(id_col).alias("id"),
+                               F.col(vector_col).alias("_v")), on="id"))
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        B = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in pdf["_v"].to_numpy()[order]])
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+        S = Bn @ Bn.T
+        iu, ju = np.triu_indices(m, k=1)
+        s = S[iu, ju]
+        keep = s >= threshold
+        if not keep.any():
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        s = s[keep]
+        rounded = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                             "cosine": rounded})
+
+    return (members.groupBy("table", "division", "code_key")
+            .applyInPandas(score,
+                           schema="id_a BIGINT, id_b BIGINT, cosine DOUBLE")
+            .distinct())
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "id", vector_col: str = "vector",
                         index=None,
                         kernel_partitions: int | None = None,
                         max_exact_rows: int = 1_000_000,
-                        bucket: str = "block") -> DataFrame:
+                        bucket: str = "block",
+                        max_bucket: int | None = 4096) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
 
     Scale path: when an ``AnnIndex`` is supplied, only pairs co-located
@@ -306,10 +355,17 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     * ``"key"`` — pairs sharing an EXACT code key in any (table,
       division).  The recall-robust mode for high thresholds: a
       near-identical pair gets identical keys with probability ~1
-      regardless of how many other vectors share them.  Candidate
-      volume is sum-of-bucket² — data-dependent, small at high
-      thresholds (measured at 1M embeddings: fewer candidates than
-      block mode AND planted recall 1.0 vs 0.84; SCALE.md §9b).
+      regardless of how many other vectors share them.  Scoring runs
+      INSIDE a per-bucket Arrow kernel (vectors shuffle once per
+      bucket member, never per pair — the sum-of-bucket² candidate
+      set is compute, not a materialized DataFrame; at 1M embeddings
+      the pair-join formulation spilled ~160 GB where this shape
+      shuffles ~1 GB).  ``max_bucket`` (default 4096) is the df-cap
+      analog (see ``jaccard_pairs``): buckets bigger than the cap are
+      code-degenerate dense modes — scoring them all-pairs is
+      O(bucket²) for pairs a coarse code can no longer discriminate —
+      and are skipped, with the same documented recall trade as every
+      frequency cap in the dedup family.
     * ``"block"`` (default, the registry/oracle semantics) — pairs
       co-located in a greedy partition block.  Volume is bounded by
       blocks·block_size² by construction, but when an equal-key run
@@ -335,7 +391,10 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     if index is not None:
         if kernel_partitions is None:
             kernel_partitions = df.sparkSession.sparkContext.defaultParallelism
-        bucket_col = "part_idx" if bucket == "block" else "code_key"
+        if bucket == "key":
+            return _key_bucket_pairs(df, index, threshold, id_col,
+                                     vector_col, max_bucket)
+        bucket_col = "part_idx"
         codes = index.codes.select("table", "division", bucket_col,
                                    F.col("id").alias("_cid"))
         a = codes.select("table", "division", bucket_col,

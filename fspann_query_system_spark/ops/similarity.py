@@ -311,7 +311,7 @@ def _key_bucket_pairs(df: DataFrame, index, threshold: float,
                .join(df.select(F.col(id_col).alias("id"),
                                F.col(vector_col).alias("_v")), on="id"))
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(key, pdf):
         m = len(pdf)
         if m < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})

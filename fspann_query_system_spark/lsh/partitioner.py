@@ -109,6 +109,14 @@ def build_partitions(codes: DataFrame, block_size: int = 64,
     mid = agg.withColumn(
         "_mid_rn",
         F.col("_first_rn") + F.floor((F.col("n_ids") - 1) / 2).cast("long"))
+    # bounds-sized side of the rep join: broadcast it explicitly while it
+    # fits (N/block rows — 312k at 10M/b512 ≈ 12 MB, just past the 10 MB
+    # auto threshold, where Spark would otherwise SORT the full codes
+    # table for a sort-merge join); past ~5M bounds rows fall back to
+    # the shuffled join a >1B-vector build genuinely needs
+    n_bounds_est = (n_codes // block_size) if n_codes else None
+    if n_bounds_est is not None and n_bounds_est <= 5_000_000:
+        mid = F.broadcast(mid)
     reps = with_part.select(
         "table", "division", "rn",
         F.col("code_key").alias("center_key"),

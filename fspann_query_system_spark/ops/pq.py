@@ -1,0 +1,255 @@
+"""Product quantization (PQ) ANN — the subspace member of the
+vector-compression family next to SQ8 (scalar, ``similarity.sq8_*``) and
+IVF (coarse, ``similarity.ivf_*``): train per-subspace k-means
+codebooks, encode each vector as ``m_sub`` small cell ids, and score
+queries with asymmetric-distance (ADC) lookup tables.
+
+Beyond-reference operator (the reference engine has no quantizer at
+all — its refine stage decrypts full vectors,
+``QueryServiceImpl.java:219-271``); the algorithm is Jégou et al. 2011,
+*Product quantization for nearest neighbor search* — the standard
+100 TB ANN memory layout (IVF-PQ): a 64-dim float32 vector (256 B)
+becomes ``m_sub`` bytes (4–16 B), a 16–64× scan reduction before the
+exact re-rank touches any float vector.
+
+Scale shape (mirrors the certified ``kmeans_fit`` / ``sq8_topk``
+design):
+  train  — one Arrow kernel pass per Lloyd round; the kernel emits
+           PRE-AGGREGATED per-batch (sub, cell, spos, sum, count) rows,
+           so the update shuffle carries O(n_batches · m·k·d_sub) tiny
+           rows, never data rows;
+  encode — map-side against the broadcast codebook tensor, no shuffle;
+  query  — ADC lookup tables (Q × m·k doubles) broadcast; per-batch
+           partial top-(k·rerank) so the shuffle carries
+           O(Q·k·rerank·n_batches) rows; exact re-rank joins true
+           vectors for only Q·k·rerank ids.
+
+Cross-engine determinism (same contract as ``kmeans_fit``): init = the
+k lowest-id vectors (cell i = i-th lowest, per subspace); centroid
+updates rounded to 6 decimals at each round boundary; argmin ties break
+toward the lowest cell id; empty cells keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _codebook_tensor(codebook: DataFrame) -> np.ndarray:
+    """(sub, cell, vector) rows → dense (m_sub, k, d_sub) float64 tensor,
+    cells ordered ascending so ``np.argmin``'s first-minimum rule is the
+    lowest-cell tie-break."""
+    rows = codebook.select("sub", "cell", "vector").collect()
+    m = max(r["sub"] for r in rows) + 1
+    k = max(r["cell"] for r in rows) + 1
+    d = len(rows[0]["vector"])
+    T = np.empty((m, k, d), dtype=np.float64)
+    seen = 0
+    for r in rows:
+        T[r["sub"], r["cell"]] = r["vector"]
+        seen += 1
+    if seen != m * k:
+        raise ValueError(f"codebook has {seen} rows, expected {m * k}")
+    return T
+
+
+def pq_fit(df: DataFrame, m_sub: int = 4, k: int = 8, iters: int = 2,
+           id_col: str = "id", vector_col: str = "vector") -> DataFrame:
+    """Train per-subspace Lloyd codebooks → (sub, cell, vector) with
+    ``m_sub * k`` rows, d_sub = dim / m_sub components each.
+
+    One data pass per round: the assignment kernel slices each vector
+    into ``m_sub`` subvectors, argmins every subspace against the
+    broadcast codebook tensor, and emits batch-local partial sums — the
+    only shuffle per round aggregates those m·k·d_sub-sized partials.
+    """
+    spark = df.sparkSession
+    # init: subvectors of the k lowest-id rows; cell i = i-th lowest id.
+    # orderBy+limit is a distributed partial top-k (no global window).
+    head = df.select(id_col, vector_col).orderBy(id_col).limit(k).collect()
+    if len(head) < k:
+        raise ValueError(f"need >= {k} rows to init {k} cells")
+    dim = len(head[0][vector_col])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+    T = (np.array([list(r[vector_col]) for r in head], dtype=np.float64)
+         .reshape(k, m_sub, d_sub).transpose(1, 0, 2).copy())
+
+    sums_schema = ("sub INT, cell INT, spos INT, s DOUBLE, c LONG")
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(T)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            T_ = bc.value
+            m_, k_, d_ = T_.shape
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                B = np.vstack([np.asarray(v, dtype=np.float64)
+                               for v in pdf[vector_col].to_numpy()]
+                              ).reshape(-1, m_, d_)
+                sub_l, cell_l, spos_l, s_l, c_l = [], [], [], [], []
+                for s in range(m_):
+                    Bs = B[:, s, :]                      # (n, d_sub)
+                    d2 = np.empty((len(Bs), k_))
+                    for j in range(k_):
+                        d2[:, j] = np.square(Bs - T_[s, j]).sum(axis=1)
+                    a = np.argmin(d2, axis=1)            # ties -> lowest cell
+                    for j in range(k_):
+                        mask = a == j
+                        n_j = int(mask.sum())
+                        if n_j == 0:
+                            continue
+                        ssum = Bs[mask].sum(axis=0)
+                        sub_l.append(np.full(d_, s, dtype=np.int32))
+                        cell_l.append(np.full(d_, j, dtype=np.int32))
+                        spos_l.append(np.arange(d_, dtype=np.int32))
+                        s_l.append(ssum)
+                        c_l.append(np.full(d_, n_j, dtype=np.int64))
+                if not sub_l:
+                    continue
+                yield pd.DataFrame({
+                    "sub": np.concatenate(sub_l),
+                    "cell": np.concatenate(cell_l),
+                    "spos": np.concatenate(spos_l),
+                    "s": np.concatenate(s_l),
+                    "c": np.concatenate(c_l)})
+
+        upd_rows = (df.select(vector_col).mapInPandas(run, schema=sums_schema)
+                    .groupBy("sub", "cell", "spos")
+                    .agg(F.round(F.sum("s") / F.sum("c"), 6).alias("v"))
+                    .collect())
+        bc.unpersist()
+        # empty cells keep the previous centroid (rows simply absent)
+        for r in upd_rows:
+            T[r["sub"], r["cell"], r["spos"]] = r["v"]
+
+    flat = [(s, c, [float(x) for x in T[s, c]])
+            for s in range(m_sub) for c in range(k)]
+    return spark.createDataFrame(
+        flat, "sub INT, cell INT, vector ARRAY<DOUBLE>")
+
+
+def pq_encode(df: DataFrame, codebook: DataFrame,
+              id_col: str = "id", vector_col: str = "vector") -> DataFrame:
+    """Encode each vector as its per-subspace nearest cells →
+    (id, codes ARRAY<INT> length m_sub).  Strictly map-side against the
+    broadcast codebook tensor — encoding 10^9 vectors is one scan with
+    no shuffle; ties break toward the lowest cell id."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(_codebook_tensor(codebook))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        T_ = bc.value
+        m_, k_, d_ = T_.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vector_col].to_numpy()]
+                          ).reshape(-1, m_, d_)
+            codes = np.empty((len(B), m_), dtype=np.int32)
+            for s in range(m_):
+                d2 = np.empty((len(B), k_))
+                for j in range(k_):
+                    d2[:, j] = np.square(B[:, s, :] - T_[s, j]).sum(axis=1)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(),
+                                "codes": list(codes)})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vector_col).mapInPandas(
+        run, schema=f"id {id_type}, codes ARRAY<INT>")
+
+
+def pq_topk(base: DataFrame, queries: DataFrame, codebook: DataFrame,
+            k: int = 10, rerank: int = 4,
+            id_col: str = "id", vector_col: str = "vector",
+            q_id_col: str = "q_id", q_vector_col: str = "vector",
+            codes: DataFrame | None = None) -> DataFrame:
+    """ADC-compressed-refine ANN: rank candidates on PQ codes (m_sub
+    bytes scanned per vector instead of 4·dim), exact re-rank only the
+    top ``k·rerank`` with true vectors → (q_id, id, dist, rank ≤ k).
+
+    The approx stage never reconstructs vectors: per query a lookup
+    table LUT[sub, cell] = ||q_sub − c_{sub,cell}||² (m·k doubles) is
+    built driver-side and broadcast; each batch scores a row as
+    ``Σ_sub LUT[sub, codes[sub]]`` — pure table lookups + a sum, the
+    classic ADC inner loop.  Per-batch partial top-(k·rerank) with a
+    tie-inclusive cut (duplicated vectors yield equal codes AND equal
+    exact distances; an arbitrary boundary subset would make the final
+    top-k depend on batch partitioning — same contract as
+    ``sq8_topk``).
+
+    STANDALONE mode (codes=None over the full table) is the exhaustive
+    compressed baseline — every query scans every code at m_sub bytes a
+    row.  The scale path passes a precomputed/pruned ``codes`` table
+    (e.g. IVF-pruned cells), same kernel."""
+    from ..functions.distance import l2_expr
+    spark = base.sparkSession
+    if codes is None:
+        codes = pq_encode(base, codebook, id_col=id_col,
+                          vector_col=vector_col)
+    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
+    T = _codebook_tensor(codebook)
+    m, kc, d_sub = T.shape
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = (np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+         .reshape(len(q_rows), m, d_sub))
+    # LUT[q, sub, cell] = squared L2 between q's subvector and the cell
+    lut = np.square(Q[:, :, None, :] - T[None]).sum(axis=3)
+    kk = k * rerank
+    bc = spark.sparkContext.broadcast((q_ids, lut, kk))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, lut_, kk_ = bc.value
+        nq, m_, _ = lut_.shape
+        subs = np.arange(m_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.vstack([np.asarray(c, dtype=np.int64)
+                           for c in pdf["codes"].to_numpy()])
+            ids = pdf["id"].to_numpy()
+            n = len(ids)
+            take = min(kk_, n)
+            frames = []
+            for qi in range(nq):
+                d2 = lut_[qi, subs[None, :], C].sum(axis=1)
+                if take < n:
+                    kth = np.partition(d2, take - 1)[take - 1]
+                    part = np.flatnonzero(d2 <= kth)
+                else:
+                    part = np.arange(n)
+                frames.append(pd.DataFrame({
+                    "q_id": np.full(len(part), q_ids_[qi], dtype=np.int64),
+                    "id": ids[part], "d2": d2[part]}))
+            yield pd.concat(frames, ignore_index=True)
+
+    id_type = codes.schema["id"].dataType.simpleString()
+    partial = codes.mapInPandas(
+        run, schema=f"q_id BIGINT, id {id_type}, d2 DOUBLE")
+    w_approx = Window.partitionBy("q_id").orderBy(F.col("d2").asc(),
+                                                  F.col("id").asc())
+    shortlist = (partial.withColumn("_ar", F.row_number().over(w_approx))
+                 .filter(F.col("_ar") <= kk).select("q_id", "id"))
+    qv = queries.select(F.col(q_id_col).alias("q_id"),
+                        F.col(q_vector_col).alias("_qv"))
+    bv = base.select(F.col(id_col).alias("id"),
+                     F.col(vector_col).alias("_bv"))
+    w_exact = Window.partitionBy("q_id").orderBy(F.col("dist").asc(),
+                                                 F.col("id").asc())
+    return (shortlist.join(bv, on="id").join(F.broadcast(qv), on="q_id")
+            .withColumn("dist", l2_expr("_qv", "_bv"))
+            .withColumn("rank", F.row_number().over(w_exact))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "id", "dist", "rank"))

@@ -2170,6 +2170,133 @@ WHERE rnk <= 10
 """
 
 
+PQ_M_SUB = 4
+PQ_K = 8
+PQ_ITERS = 2
+PQ_RERANK = 4
+
+
+def q_pq_codebook(spark, sf_dir):
+    """Product-quantization trainer (Jégou et al. 2011; beyond-reference):
+    per-subspace distributed Lloyd — one Arrow kernel pass per round
+    emitting pre-aggregated (sub, cell, spos, sum, count) partials, so
+    the round shuffle is codebook-sized, never data-sized.  Output is
+    the long-form codebook (m_sub·k·d_sub rows)."""
+    from .ops.pq import pq_fit
+    cb = pq_fit(_emb(spark, sf_dir), m_sub=PQ_M_SUB, k=PQ_K, iters=PQ_ITERS)
+    return (cb.select("sub", "cell", F.posexplode("vector").alias("pos", "v"))
+            .select("sub", "cell", F.col("pos").cast("int").alias("pos"),
+                    F.round("v", 6).alias("v")))
+
+
+def q_pq_ann(spark, sf_dir):
+    """ADC compressed-refine ANN over PQ codes: approx rank reads m_sub
+    small ints per vector (16-64x less than the float scan) via
+    broadcast per-query lookup tables, exact re-rank only the top
+    k*rerank with true vectors — the IVF-PQ memory path at 100 TB."""
+    from .ops.pq import pq_fit, pq_topk
+    base = _emb(spark, sf_dir)
+    cb = pq_fit(base, m_sub=PQ_M_SUB, k=PQ_K, iters=PQ_ITERS)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (pq_topk(base, queries, cb, k=10, rerank=PQ_RERANK)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def _sql_pq_parts(m_sub: int, k: int, iters: int) -> tuple:
+    """Shared CTE chain for the unrolled per-subspace Lloyd iterations
+    (the PQ mirror of ``_sql_kmeans_parts``): vectors exploded to
+    (id, sub, spos, x); init = subvectors of the k lowest-id rows;
+    assign = argmin with (dd, cell) tie-break per (id, sub); update =
+    6dp-rounded per-(sub, cell, spos) mean; empty cells keep the
+    previous centroid.  Returns (parts, final_codebook_cte_name)."""
+    parts = [
+        "e AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        "ex AS (SELECT id, unnest(v) AS x, "
+        "unnest(range(0, len(v))) AS pos, len(v) AS d FROM e)",
+        f"sx AS (SELECT id, CAST(pos // (d // {m_sub}) AS INT) AS sub, "
+        f"CAST(pos % (d // {m_sub}) AS INT) AS spos, x FROM ex)",
+        f"init AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, id "
+        f"FROM (SELECT id FROM e ORDER BY id LIMIT {k}))",
+        "c0 AS (SELECT sx.sub, init.cell, sx.spos, sx.x AS cv "
+        "FROM init JOIN sx USING (id))",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT sx.id, sx.sub, p.cell, "
+            f"sum((sx.x - p.cv) * (sx.x - p.cv)) AS dd "
+            f"FROM sx JOIN {prev} p ON p.sub = sx.sub AND p.spos = sx.spos "
+            f"GROUP BY 1, 2, 3)")
+        parts.append(
+            f"a{i} AS (SELECT id, sub, cell FROM ("
+            f"SELECT id, sub, cell, row_number() OVER (PARTITION BY id, sub "
+            f"ORDER BY dd, cell) AS rn FROM d{i}) WHERE rn = 1)")
+        parts.append(
+            f"u{i} AS (SELECT a.sub, a.cell, sx.spos, "
+            f"round(avg(sx.x), 6) AS cv "
+            f"FROM a{i} a JOIN sx ON sx.id = a.id AND sx.sub = a.sub "
+            f"GROUP BY 1, 2, 3)")
+        parts.append(
+            f"c{i} AS (SELECT p.sub, p.cell, p.spos, "
+            f"coalesce(u.cv, p.cv) AS cv "
+            f"FROM {prev} p LEFT JOIN u{i} u ON u.sub = p.sub "
+            f"AND u.cell = p.cell AND u.spos = p.spos)")
+        prev = f"c{i}"
+    return parts, prev
+
+
+def sql_pq_codebook(m_sub: int, k: int, iters: int) -> str:
+    parts, prev = _sql_pq_parts(m_sub, k, iters)
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT sub, CAST(cell AS INT) AS cell, spos AS pos, "
+              f"round(cv, 6) AS v FROM {prev}")
+
+
+def sql_pq_ann(m_sub: int, k: int, iters: int, nq: int, kk: int) -> str:
+    """Generated oracle: the per-subspace Lloyd chain, a final
+    assignment (= PQ encoding), per-query ADC lookup tables as a
+    (q, sub, cell) partial-distance CTE, ADC sum + (ad2, id) shortlist
+    of kk, exact L2 re-rank to the top 10."""
+    parts, prev = _sql_pq_parts(m_sub, k, iters)
+    parts.append(
+        f"df AS (SELECT sx.id, sx.sub, p.cell, "
+        f"sum((sx.x - p.cv) * (sx.x - p.cv)) AS dd "
+        f"FROM sx JOIN {prev} p ON p.sub = sx.sub AND p.spos = sx.spos "
+        f"GROUP BY 1, 2, 3)")
+    parts.append(
+        "af AS (SELECT id, sub, cell FROM ("
+        "SELECT id, sub, cell, row_number() OVER (PARTITION BY id, sub "
+        "ORDER BY dd, cell) AS rn FROM df) WHERE rn = 1)")
+    parts.append(
+        f"lut AS (SELECT sx.id AS q_id, p.sub, p.cell, "
+        f"sum((sx.x - p.cv) * (sx.x - p.cv)) AS pd2 "
+        f"FROM sx JOIN {prev} p ON p.sub = sx.sub AND p.spos = sx.spos "
+        f"WHERE sx.id < {nq} GROUP BY 1, 2, 3)")
+    parts.append(
+        "ad AS (SELECT l.q_id, af.id, sum(l.pd2) AS ad2 "
+        "FROM af JOIN lut l ON l.sub = af.sub AND l.cell = af.cell "
+        "GROUP BY 1, 2)")
+    parts.append(
+        f"short AS (SELECT q_id, id FROM ("
+        f"SELECT q_id, id, row_number() OVER (PARTITION BY q_id "
+        f"ORDER BY ad2, id) AS ar FROM ad) WHERE ar <= {kk})")
+    parts.append(
+        "scored AS (SELECT s.q_id, s.id, "
+        "sqrt(list_reduce(list_transform(list_zip(qe.v, be.v), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)) AS dist "
+        "FROM short s JOIN e qe ON qe.id = s.q_id JOIN e be ON be.id = s.id)")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rnk AS INT) AS rank
+FROM (SELECT q_id, id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
+      FROM scored)
+WHERE rnk <= 10""")
+
+
 NEAR_DUP_THRESHOLD = 0.45  # synthetic embeddings top out at cos ~0.51
 
 
@@ -2667,8 +2794,8 @@ QUERIES = {
     "session_attribution": q_session_attribution,
     # -- flagship ANN / dedup / crypto / LLM-pipeline family (touched
     # -- this round or certified every round) --
-    "corpus_mix": q_corpus_mix,
-    "sequence_pack": q_sequence_pack,
+    "pq_codebook": q_pq_codebook,   # new r6: first certification
+    "pq_ann": q_pq_ann,             # new r6: first certification
     "shard_assign": q_shard_assign,
     "token_budget_mix": q_token_budget_mix,
     "near_dup_pipeline": q_near_dup_pipeline,
@@ -2691,6 +2818,8 @@ QUERIES = {
     # ---- events.parquet; they rotate back in as window budget allows —
     # ---- SURVEY.md §8)
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "corpus_mix": q_corpus_mix,         # parked r6: r05-certified
+    "sequence_pack": q_sequence_pack,   # parked r6: r05-certified
     "edit_near_dups": q_edit_near_dups,
     "vocab_topk": q_vocab_topk,
     "simhash": q_simhash,
@@ -2740,6 +2869,9 @@ def oracle_sql_map() -> dict[str, str]:
         "winnow_fingerprints": SQL_WINNOW,
         "sq8_quantize": SQL_SQ8,
         "sq8_ann": SQL_SQ8_ANN,
+        "pq_codebook": sql_pq_codebook(PQ_M_SUB, PQ_K, PQ_ITERS),
+        "pq_ann": sql_pq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,
+                             N_VEC_QUERIES, 10 * PQ_RERANK),
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,
         "simhash": SQL_SIMHASH,

@@ -1278,3 +1278,58 @@ def test_nearest_cells_blas_branch_matches_exact_sweep(spark):
     for i in range(500):
         d2 = ((C - X[i]) ** 2).sum(1)
         assert got[i] == int(np.argmin(d2)), i
+
+
+def test_pq_fit_codebook_shape_and_determinism(spark, clustered):
+    from fspann_query_system_spark.ops.pq import pq_fit
+    df, X = clustered
+    cb1 = pq_fit(df, m_sub=4, k=8, iters=2)
+    rows = cb1.collect()
+    assert len(rows) == 32 and all(len(r.vector) == 4 for r in rows)
+    assert {(r.sub, r.cell) for r in rows} == {
+        (s, c) for s in range(4) for c in range(8)}
+    cb2 = pq_fit(df, m_sub=4, k=8, iters=2)
+    a = {(r.sub, r.cell): r.vector for r in rows}
+    b = {(r.sub, r.cell): r.vector for r in cb2.collect()}
+    assert a == b  # byte-identical across runs (6dp-quantized updates)
+
+
+def test_pq_encode_is_per_subspace_argmin(spark, clustered):
+    import numpy as np
+    from fspann_query_system_spark.ops.pq import (pq_fit, pq_encode,
+                                                  _codebook_tensor)
+    df, X = clustered
+    cb = pq_fit(df, m_sub=4, k=8, iters=1)
+    T = _codebook_tensor(cb)
+    got = {r.id: list(r.codes) for r in pq_encode(df, cb).collect()}
+    B = X.reshape(len(X), 4, 4)
+    for i in [0, 17, 555, 1999]:
+        want = [int(np.square(B[i, s] - T[s]).sum(axis=1).argmin())
+                for s in range(4)]
+        assert got[i] == want
+
+
+def test_pq_topk_compressed_refine(spark, clustered):
+    from fspann_query_system_spark.ops.pq import pq_fit, pq_topk
+    from fspann_query_system_spark.query.exact import knn_exact
+    df, X = clustered
+    cb = pq_fit(df, m_sub=4, k=8, iters=2)
+    q = df.filter(F.col("id") < 15).select(F.col("id").alias("q_id"), "vector")
+    # rerank=64 -> 320-candidate shortlist: covers a whole 250-member
+    # cluster even when every member shares one PQ code (ADC all-ties)
+    out = pq_topk(df, q, cb, k=5, rerank=64).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(15))
+    for q_id, rows in by_q.items():
+        assert len(rows) == 5
+        first = min(rows, key=lambda r: r.rank)
+        assert first.id == q_id and first.dist == 0.0   # exact self-hit
+    # 12-bit codes on well-separated clusters: most of exact top-5 kept
+    ex = {}
+    for r in knn_exact(df, q, k=5).collect():
+        ex.setdefault(r.q_id, set()).add(r.id)
+    hits = sum(len(ex[qid] & {r.id for r in rows})
+               for qid, rows in by_q.items())
+    assert hits >= 70  # recall@5 >= 0.93 over 15 queries

@@ -200,32 +200,71 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             .select(id_col, F.transform("_s", lambda s: s["mh"]).alias("sig")))
 
 
-def minhash_band_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", k: int = 3,
-                       n_hashes: int = 16, bands: int = 4) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing >= 1 LSH band
-    (band hash = md5 of the band's signature slice).  Returns
-    (id_a, id_b, n_shared_bands), id_a < id_b."""
+def band_table(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 3,
+               n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(id, band, band_hash) — each document's LSH band identities
+    (band hash = md5 of the band's signature slice; with single-row
+    bands the minhash value IS the band identity).  This is the
+    materialization an incremental-dedup corpus keeps: band it once at
+    ingest, join each new batch against it forever after."""
     rows_per_band = n_hashes // bands
     per_hash = _minhash_rows(df, text_col, id_col, k, n_hashes)
     if rows_per_band == 1:
-        # single-row bands: the minhash value IS the band identity
-        banded = per_hash.select(id_col, F.col("h").alias("band"),
-                                 F.col("mh").alias("band_hash"))
-    else:
-        # band hash straight off the per-hash minima (no full-signature
-        # assembly stage): md5 of the band's mh values in h order
-        banded = (per_hash
-                  .withColumn("band", F.floor(F.col("h") / rows_per_band).cast("int"))
-                  .groupBy(id_col, "band")
-                  .agg(F.md5(F.concat_ws("|", F.transform(
-                      F.sort_array(F.collect_list(F.struct("h", "mh"))),
-                      lambda s: s["mh"].cast("string")))).alias("band_hash")))
+        # single-row bands: the minhash value IS the band identity (kept
+        # as LONG — the bucket join stays on a fixed-width key)
+        return per_hash.select(id_col, F.col("h").alias("band"),
+                               F.col("mh").alias("band_hash"))
+    # band hash straight off the per-hash minima (no full-signature
+    # assembly stage): md5 of the band's mh values in h order
+    return (per_hash
+            .withColumn("band", F.floor(F.col("h") / rows_per_band).cast("int"))
+            .groupBy(id_col, "band")
+            .agg(F.md5(F.concat_ws("|", F.transform(
+                F.sort_array(F.collect_list(F.struct("h", "mh"))),
+                lambda s: s["mh"].cast("string")))).alias("band_hash")))
+
+
+def minhash_band_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band.  Returns
+    (id_a, id_b, n_shared_bands), id_a < id_b."""
+    banded = band_table(df, text_col, id_col, k, n_hashes, bands)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (a.join(b, on=["band", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared_bands")))
+
+
+def incremental_near_dups(corpus: DataFrame, new_docs: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          k: int = 3, n_hashes: int = 16, bands: int = 4,
+                          corpus_bands: DataFrame | None = None) -> DataFrame:
+    """New-batch-vs-corpus near-dup candidates → (new_id, corpus_id,
+    n_shared_bands): which incoming documents near-duplicate something
+    the corpus already holds.
+
+    This is the production incremental-ingest shape at 100 TB: the
+    corpus is banded ONCE at ingest (pass ``corpus_bands`` — in practice
+    a materialized table, e.g. ``band_table(corpus).write`` bucketed by
+    band_hash) and each arriving batch bands only ITSELF — O(batch)
+    shingling, never a corpus re-scan — then equi-joins on
+    (band, band_hash).  Anti-joining the result against the batch gives
+    the admit set; the full-corpus re-banding pipeline
+    (:func:`near_dup_pipeline`) is the backfill twin of this operator.
+    """
+    if corpus_bands is None:
+        corpus_bands = band_table(corpus, text_col, id_col, k,
+                                  n_hashes, bands)
+    nb = band_table(new_docs, text_col, id_col, k, n_hashes, bands)
+    return (nb.select(F.col(id_col).alias("new_id"), "band", "band_hash")
+            .join(corpus_bands.select(F.col(id_col).alias("corpus_id"),
+                                      "band", "band_hash"),
+                  on=["band", "band_hash"])
+            .groupBy("new_id", "corpus_id")
             .agg(F.count("*").alias("n_shared_bands")))
 
 

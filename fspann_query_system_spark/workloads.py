@@ -1959,6 +1959,29 @@ GROUP BY 1, 2
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup: which 'new' documents (doc_id % 4 == 0
+    models the arriving batch) near-duplicate the standing corpus (the
+    other 3/4).  Corpus banded once, batch banded O(batch), candidates
+    from the (band, band_hash) equi-join — the corpus never re-shingles."""
+    from .ops.dedup import incremental_near_dups
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    return incremental_near_dups(corpus, new, "text", "doc_id",
+                                 k=3, n_hashes=8, bands=8)
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH {_SQL_SHINGLES_CTE},
+{_sql_minhash_cte(8)}
+SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS n_shared_bands
+FROM mh n JOIN mh c ON n.h = c.h AND n.mh = c.mh
+WHERE n.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
+GROUP BY 1, 2
+"""
+
+
 EDIT_MAX_DIST = 80
 
 
@@ -2796,7 +2819,7 @@ QUERIES = {
     # -- this round or certified every round) --
     "pq_codebook": q_pq_codebook,   # new r6: first certification
     "pq_ann": q_pq_ann,             # new r6: first certification
-    "shard_assign": q_shard_assign,
+    "incremental_dedup": q_incremental_dedup,   # new r6: first certification
     "token_budget_mix": q_token_budget_mix,
     "near_dup_pipeline": q_near_dup_pipeline,
     "cardinality_kmv": q_cardinality_kmv,
@@ -2820,6 +2843,7 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "corpus_mix": q_corpus_mix,         # parked r6: r05-certified
     "sequence_pack": q_sequence_pack,   # parked r6: r05-certified
+    "shard_assign": q_shard_assign,     # parked r6: r05-certified
     "edit_near_dups": q_edit_near_dups,
     "vocab_topk": q_vocab_topk,
     "simhash": q_simhash,
@@ -2869,6 +2893,7 @@ def oracle_sql_map() -> dict[str, str]:
         "winnow_fingerprints": SQL_WINNOW,
         "sq8_quantize": SQL_SQ8,
         "sq8_ann": SQL_SQ8_ANN,
+        "incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "pq_codebook": sql_pq_codebook(PQ_M_SUB, PQ_K, PQ_ITERS),
         "pq_ann": sql_pq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,
                              N_VEC_QUERIES, 10 * PQ_RERANK),

@@ -1333,3 +1333,27 @@ def test_pq_topk_compressed_refine(spark, clustered):
     hits = sum(len(ex[qid] & {r.id for r in rows})
                for qid, rows in by_q.items())
     assert hits >= 70  # recall@5 >= 0.93 over 15 queries
+
+
+def test_incremental_near_dups_matches_full_banding(spark):
+    from fspann_query_system_spark.ops.dedup import (incremental_near_dups,
+                                                     minhash_band_pairs)
+    rows = [(i, f"alpha beta gamma delta epsilon zeta doc {i}") for i in range(40)]
+    rows += [(100 + i, f"alpha beta gamma delta epsilon zeta doc {i}")
+             for i in range(10)]      # planted dups of docs 0..9
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    corpus = docs.filter("doc_id < 100")
+    new = docs.filter("doc_id >= 100")
+    inc = {(r.new_id, r.corpus_id, r.n_shared_bands)
+           for r in incremental_near_dups(corpus, new, k=3, n_hashes=8,
+                                          bands=8).collect()}
+    # every planted dup is found against its corpus original
+    found = {(n, c) for n, c, _ in inc}
+    assert {(100 + i, i) for i in range(10)} <= found
+    # consistency: the full-corpus banding restricted to (new, old) pairs
+    # is exactly the incremental result (same bands, same counts)
+    full = {(r.id_b, r.id_a, r.n_shared_bands)
+            for r in minhash_band_pairs(docs, k=3, n_hashes=8,
+                                        bands=8).collect()
+            if r.id_b >= 100 and r.id_a < 100}
+    assert inc == full

@@ -361,3 +361,39 @@ def bm25(docs: DataFrame, terms: tuple[str, ...],
             .where(F.col("n_terms_matched") > 0)
             .select("doc_id", "dl", "n_terms_matched",
                     F.round(score, 4).alias("bm25")))
+
+
+def boilerplate_stats(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      min_docs: int = 5) -> DataFrame:
+    """Corpus-level boilerplate detection (the C4/RefinedWeb recipe
+    lifted from lines to word n-grams): an ``n``-gram occurring in >=
+    ``min_docs`` DISTINCT documents is boilerplate (nav text, license
+    headers, templated snippets); each document reports how much of it
+    is boilerplate → (doc_id, n_grams, n_boiler, boiler_frac).
+    Filtering ``boiler_frac`` is the cleanup step; the gram table
+    itself is the site-template census.
+
+    Scale shape: grams are collapsed to 64-bit xxhash64 at build time
+    (the shuffle carries longs, never n-word strings — the measured
+    decontaminate/edit_near_dups win); document frequency is one
+    distinct-(doc, gram) shuffle + count; the gram↔boilerplate match is
+    a long-keyed equi-join (the boilerplate set is the high-DF tail,
+    bounded above by total_grams/min_docs — shuffled, not broadcast, by
+    default).  Only COUNTS reach the output, so the SQL oracle mirrors
+    raw gram strings; a 64-bit collision (P ≈ grams²/2⁶⁴) would perturb
+    one count.
+    """
+    from .dedup import shingle_table
+    sh = (shingle_table(docs, text_col, id_col, n, dedupe=False)
+          .select(id_col, F.xxhash64("shingle").alias("_g")))
+    docfreq = (sh.dropDuplicates([id_col, "_g"])
+               .groupBy("_g").agg(F.count("*").alias("_nd")))
+    boiler = (docfreq.filter(F.col("_nd") >= min_docs)
+              .select("_g", F.lit(1).alias("_b")))
+    return (sh.join(boiler, on="_g", how="left")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.count("_b").alias("n_boiler"))
+            .withColumn("boiler_frac",
+                        F.round(F.col("n_boiler") / F.col("n_grams"), 6)))

@@ -189,3 +189,25 @@ def sample_to_budget(df: DataFrame, budgets: dict[str, int],
         < F.floor(F.col("rate") * SAMPLE_DENOM).cast("long"))
     return kept.select(F.col(key_col), F.col(strata_col),
                        F.col(size_col), F.round("rate", 6).alias("rate"))
+
+
+def reservoir_sample(df: DataFrame, n: int, by: str = "source",
+                     key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic fixed-SIZE sample per group: the ``n`` rows with the
+    smallest md5(salt||key) per ``by`` value — the reproducible stand-in
+    for reservoir sampling ("5k eval docs per source") where
+    :func:`stratified_sample` fixes a RATE instead.
+
+    The hash order is a uniform random permutation of each group that is
+    a pure function of (salt, key): re-runs, engine changes, and
+    partition layout cannot move the sample, and appending rows only
+    displaces hash-boundary rows (bounded churn — classic bottom-k
+    sketch behavior).  Plan shape at scale: ONE hash-partitioned
+    exchange on ``by``; Spark's WindowGroupLimit pushes the rank filter
+    into a per-partition partial top-n before the shuffle, so a
+    10^9-row group moves only ~n rows per input partition, never the
+    group.  ``salt`` derives independent samples."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col(key_col).asc())
+    return (df.withColumn("_rs_rn", F.row_number().over(w))
+            .filter(F.col("_rs_rn") <= n).drop("_rs_rn"))

@@ -1959,6 +1959,62 @@ GROUP BY 1, 2
 """
 
 
+RESERVOIR_N = 5
+RESERVOIR_SALT = "s42|"
+BOILER_MIN_DOCS = 5
+
+
+def q_reservoir_sample(spark, sf_dir):
+    """Deterministic fixed-size per-source sample (bottom-k by keyed
+    md5): the reproducible eval-split / inspection-sample primitive.
+    One exchange on source; WindowGroupLimit makes the rank partial."""
+    from .ops.sampling import reservoir_sample
+    docs = _t(spark, sf_dir, "documents")
+    return (reservoir_sample(docs, RESERVOIR_N, by="source",
+                             key_col="doc_id", salt=RESERVOIR_SALT)
+            .select("source", "doc_id", "n_chars"))
+
+
+SQL_RESERVOIR = f"""
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('{RESERVOIR_SALT}' || CAST(doc_id AS VARCHAR)),
+                    doc_id) AS rn
+  FROM documents) WHERE rn <= {RESERVOIR_N}
+"""
+
+
+def q_boilerplate_stats(spark, sf_dir):
+    """Corpus-level boilerplate census: trigrams in >= {min_docs}
+    distinct docs are boilerplate; per-doc boilerplate fraction."""
+    from .ops.quality import boilerplate_stats
+    return boilerplate_stats(_t(spark, sf_dir, "documents"),
+                             n=3, min_docs=BOILER_MIN_DOCS)
+
+
+SQL_BOILERPLATE = f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS w
+  FROM documents),
+shm AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM docs),
+dfq AS (SELECT shingle, count(DISTINCT doc_id) AS nd FROM shm GROUP BY 1),
+b AS (SELECT shingle FROM dfq WHERE nd >= {BOILER_MIN_DOCS})
+SELECT s.doc_id, count(*) AS n_grams, count(b.shingle) AS n_boiler,
+       round(count(b.shingle) * 1.0 / count(*), 6) AS boiler_frac
+FROM shm s LEFT JOIN b ON b.shingle = s.shingle
+GROUP BY 1
+"""
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental ingest dedup: which 'new' documents (doc_id % 4 == 0
     models the arriving batch) near-duplicate the standing corpus (the
@@ -2820,10 +2876,10 @@ QUERIES = {
     "pq_codebook": q_pq_codebook,   # new r6: first certification
     "pq_ann": q_pq_ann,             # new r6: first certification
     "incremental_dedup": q_incremental_dedup,   # new r6: first certification
-    "token_budget_mix": q_token_budget_mix,
+    "reservoir_sample": q_reservoir_sample,     # new r6: first certification
+    "boilerplate_stats": q_boilerplate_stats,   # new r6: first certification
     "near_dup_pipeline": q_near_dup_pipeline,
     "cardinality_kmv": q_cardinality_kmv,
-    "streaming_dedup": q_streaming_dedup,
     "streaming_minhash": q_streaming_minhash,
     "sq8_ann": q_sq8_ann,
     "minhash_bands": q_minhash_bands,
@@ -2844,6 +2900,8 @@ QUERIES = {
     "corpus_mix": q_corpus_mix,         # parked r6: r05-certified
     "sequence_pack": q_sequence_pack,   # parked r6: r05-certified
     "shard_assign": q_shard_assign,     # parked r6: r05-certified
+    "token_budget_mix": q_token_budget_mix,   # parked r6: r05-certified
+    "streaming_dedup": q_streaming_dedup,     # parked r6: r05-certified
     "edit_near_dups": q_edit_near_dups,
     "vocab_topk": q_vocab_topk,
     "simhash": q_simhash,
@@ -2894,6 +2952,8 @@ def oracle_sql_map() -> dict[str, str]:
         "sq8_quantize": SQL_SQ8,
         "sq8_ann": SQL_SQ8_ANN,
         "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+        "reservoir_sample": SQL_RESERVOIR,
+        "boilerplate_stats": SQL_BOILERPLATE,
         "pq_codebook": sql_pq_codebook(PQ_M_SUB, PQ_K, PQ_ITERS),
         "pq_ann": sql_pq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,
                              N_VEC_QUERIES, 10 * PQ_RERANK),

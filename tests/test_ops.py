@@ -1357,3 +1357,59 @@ def test_incremental_near_dups_matches_full_banding(spark):
                                         bands=8).collect()
             if r.id_b >= 100 and r.id_a < 100}
     assert inc == full
+
+
+def test_reservoir_sample_fixed_size_and_append_stability(spark):
+    from fspann_query_system_spark.ops.sampling import reservoir_sample
+    rows = [(i, "s%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out = reservoir_sample(df, 10, by="source", key_col="doc_id")
+    got = [(r.source, r.doc_id) for r in out.collect()]
+    assert len(got) == 30 and len(set(got)) == 30
+    # deterministic across runs
+    assert set(got) == {(r.source, r.doc_id) for r in out.collect()}
+    # appending rows only displaces hash-boundary members: the sample
+    # from the grown table still contains >= 7/10 of each old group
+    # (bottom-k churn is bounded, never a reshuffle of the whole sample)
+    grown = spark.createDataFrame(
+        rows + [(1000 + i, "s%d" % (i % 3)) for i in range(60)],
+        "doc_id LONG, source STRING")
+    new = {(r.source, r.doc_id)
+           for r in reservoir_sample(grown, 10, by="source",
+                                     key_col="doc_id").collect()}
+    for s in ("s0", "s1", "s2"):
+        old_s = {d for src, d in got if src == s}
+        assert len(old_s & {d for src, d in new if src == s}) >= 7
+    # independent salt -> different sample
+    alt = {(r.source, r.doc_id)
+           for r in reservoir_sample(df, 10, by="source", key_col="doc_id",
+                                     salt="other").collect()}
+    assert alt != set(got)
+
+
+def test_reservoir_sample_plan_has_window_group_limit(spark):
+    from fspann_query_system_spark.ops.sampling import reservoir_sample
+    df = spark.createDataFrame([(i, "s") for i in range(50)],
+                               "doc_id LONG, source STRING")
+    plan = (reservoir_sample(df, 5)._jdf.queryExecution().executedPlan()
+            .toString())
+    # rank-filter pushdown: partial top-n runs before the exchange, so a
+    # 10^9-row group ships ~n rows per input partition
+    assert "WindowGroupLimit" in plan
+
+
+def test_boilerplate_stats_known_values(spark):
+    from fspann_query_system_spark.ops.quality import boilerplate_stats
+    # docs 0-4 all contain the same header trigram run; doc 5 is unique
+    rows = [(i, f"common header line for doc unique{i} tail{i}")
+            for i in range(5)]
+    rows.append((5, "totally different content entirely here now"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in
+           boilerplate_stats(docs, n=3, min_docs=5).collect()}
+    assert len(out) == 6
+    # "common header line", "header line for" appear in all 5 docs
+    assert out[0].n_boiler >= 2 and out[0].boiler_frac > 0
+    assert out[5].n_boiler == 0 and out[5].boiler_frac == 0.0
+    # every doc with 7 tokens has 5 trigrams
+    assert out[0].n_grams == 5

@@ -75,9 +75,14 @@ HEADLINE = [
     "near_dup_embedding",
     "near_dup_lsh",
     "near_dup_key",
+    "incremental_dedup",
+    "reservoir_sample",
+    "boilerplate_stats",
     "kmeans_centroids",
     "sq8_quantize",
     "sq8_ann",
+    "pq_codebook",
+    "pq_ann",
     "ivf_ann",
     "version_census",
     "streaming_window_agg",

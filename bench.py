@@ -83,6 +83,7 @@ HEADLINE = [
     "sq8_ann",
     "pq_codebook",
     "pq_ann",
+    "ivfpq_ann",
     "ivf_ann",
     "version_census",
     "streaming_window_agg",

@@ -238,6 +238,17 @@ def pq_topk(base: DataFrame, queries: DataFrame, codebook: DataFrame,
     id_type = codes.schema["id"].dataType.simpleString()
     partial = codes.mapInPandas(
         run, schema=f"q_id BIGINT, id {id_type}, d2 DOUBLE")
+    return _exact_rerank(partial, base, queries, k, kk,
+                         id_col, vector_col, q_id_col, q_vector_col)
+
+
+def _exact_rerank(partial: DataFrame, base: DataFrame, queries: DataFrame,
+                  k: int, kk: int, id_col: str, vector_col: str,
+                  q_id_col: str, q_vector_col: str) -> DataFrame:
+    """Shared compressed-refine tail: (q_id, id, d2) partials →
+    (ad2, id)-ordered shortlist of ``kk`` → exact-L2 re-rank of only
+    those ids with true vectors → top ``k``."""
+    from ..functions.distance import l2_expr
     w_approx = Window.partitionBy("q_id").orderBy(F.col("d2").asc(),
                                                   F.col("id").asc())
     shortlist = (partial.withColumn("_ar", F.row_number().over(w_approx))
@@ -253,3 +264,89 @@ def pq_topk(base: DataFrame, queries: DataFrame, codebook: DataFrame,
             .withColumn("rank", F.row_number().over(w_exact))
             .filter(F.col("rank") <= k)
             .select("q_id", "id", "dist", "rank"))
+
+
+def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
+               codebook: DataFrame, k: int = 10, nprobe: int = 2,
+               rerank: int = 4,
+               id_col: str = "id", vector_col: str = "vector",
+               q_id_col: str = "q_id", q_vector_col: str = "vector",
+               assigned: DataFrame | None = None,
+               codes: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ (the canonical 100 TB ANN composition, faiss's
+    ``IVFx,PQy`` with by_residual=false): coarse quantizer prunes each
+    query to ``nprobe`` cells, ADC lookup tables score ONLY rows in
+    probed cells, exact re-rank of the top ``k·rerank``.
+
+    The two prunings compose multiplicatively: the coarse stage cuts
+    candidates to ~nprobe/|C| of the corpus, and the ADC stage reads
+    m_sub bytes per surviving row — with an ``ivf_save``-style
+    cell-partitioned codes layout, the probed cells prune at FILE level
+    and the scan touches nprobe/|C| of the files.  Pass ``assigned`` /
+    ``codes`` to reuse ingest-time materializations (both computed once
+    per corpus, never per query)."""
+    from .similarity import _nearest_cells, ivf_assign
+    spark = base.sparkSession
+    if assigned is None:
+        assigned = ivf_assign(base, centroids, id_col, vector_col,
+                              id_col, vector_col)
+    if codes is None:
+        codes = pq_encode(base, codebook, id_col=id_col,
+                          vector_col=vector_col)
+    codes = codes.join(assigned.select(F.col(id_col).alias("id"), "cell"),
+                       on="id")
+    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
+    probe_rows = _nearest_cells(
+        queries, centroids, nprobe, q_id_col, q_vector_col,
+        id_col, vector_col, keep_vector=False).collect()
+    probed: dict[int, set] = {}
+    for r in probe_rows:
+        probed.setdefault(r[q_id_col], set()).add(r["cell"])
+    T = _codebook_tensor(codebook)
+    m, kc, d_sub = T.shape
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = (np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+         .reshape(len(q_rows), m, d_sub))
+    lut = np.square(Q[:, :, None, :] - T[None]).sum(axis=3)
+    kk = k * rerank
+    cell_lists = [np.array(sorted(probed.get(int(q), ())), dtype=np.int64)
+                  for q in q_ids]
+    bc = spark.sparkContext.broadcast((q_ids, lut, kk, cell_lists))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, lut_, kk_, cells_ = bc.value
+        nq, m_, _ = lut_.shape
+        subs = np.arange(m_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.vstack([np.asarray(c, dtype=np.int64)
+                           for c in pdf["codes"].to_numpy()])
+            ids = pdf["id"].to_numpy()
+            row_cell = pdf["cell"].to_numpy()
+            frames = []
+            for qi in range(nq):
+                keep = np.flatnonzero(np.isin(row_cell, cells_[qi]))
+                if len(keep) == 0:
+                    continue
+                d2 = lut_[qi, subs[None, :], C[keep]].sum(axis=1)
+                take = min(kk_, len(keep))
+                if take < len(keep):
+                    kth = np.partition(d2, take - 1)[take - 1]
+                    part = np.flatnonzero(d2 <= kth)
+                else:
+                    part = np.arange(len(keep))
+                frames.append(pd.DataFrame({
+                    "q_id": np.full(len(part), q_ids_[qi], dtype=np.int64),
+                    "id": ids[keep][part], "d2": d2[part]}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    id_type = base.schema[id_col].dataType.simpleString()
+    partial = (codes.select("id", "codes", "cell")
+               .mapInPandas(run, schema=f"q_id BIGINT, id {id_type}, d2 DOUBLE"))
+    return _exact_rerank(partial, base, queries, k, kk,
+                         id_col, vector_col, q_id_col, q_vector_col)

@@ -2376,6 +2376,86 @@ FROM (SELECT q_id, id, dist,
 WHERE rnk <= 10""")
 
 
+IVFPQ_NPROBE = 4
+
+
+def q_ivfpq_ann(spark, sf_dir):
+    """IVF-PQ composition (faiss ``IVFx,PQy``, by_residual=false): the
+    coarse quantizer (deterministic first-16 centroids, as `ivf_ann`)
+    prunes each query to nprobe cells; ADC lookup tables score only
+    rows in probed cells at m_sub bytes/row; exact re-rank of the top
+    k*rerank — both prunings compose multiplicatively at 100 TB."""
+    from .ops.pq import pq_fit, ivfpq_topk
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    cb = pq_fit(base, m_sub=PQ_M_SUB, k=PQ_K, iters=PQ_ITERS)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (ivfpq_topk(base, queries, centroids, cb, k=10,
+                       nprobe=IVFPQ_NPROBE, rerank=PQ_RERANK)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def sql_ivfpq_ann(m_sub: int, k: int, iters: int, nq: int, kk: int,
+                  n_centroids: int, nprobe: int) -> str:
+    """Generated oracle: PQ Lloyd chain + encoding + ADC (as
+    ``sql_pq_ann``) with the candidate set intersected against the
+    coarse quantizer's probed cells before the shortlist."""
+    parts, prev = _sql_pq_parts(m_sub, k, iters)
+    parts.append(
+        f"cc AS (SELECT id AS cid, v AS ccv FROM e WHERE id < {n_centroids})")
+    parts.append(
+        "cassign AS (SELECT id, ccell FROM ("
+        "SELECT e.id, cc.cid AS ccell, "
+        "row_number() OVER (PARTITION BY e.id "
+        "ORDER BY list_distance(e.v, cc.ccv), cc.cid) AS rn "
+        "FROM e CROSS JOIN cc) WHERE rn = 1)")
+    parts.append(
+        f"qcv AS (SELECT id AS q_id, v AS qvec FROM e WHERE id < {nq})")
+    parts.append(
+        f"cprobes AS (SELECT q_id, ccell FROM ("
+        f"SELECT qcv.q_id, cc.cid AS ccell, "
+        f"row_number() OVER (PARTITION BY qcv.q_id "
+        f"ORDER BY list_distance(qcv.qvec, cc.ccv), cc.cid) AS rn "
+        f"FROM qcv CROSS JOIN cc) WHERE rn <= {nprobe})")
+    parts.append(
+        f"df AS (SELECT sx.id, sx.sub, p.cell, "
+        f"sum((sx.x - p.cv) * (sx.x - p.cv)) AS dd "
+        f"FROM sx JOIN {prev} p ON p.sub = sx.sub AND p.spos = sx.spos "
+        f"GROUP BY 1, 2, 3)")
+    parts.append(
+        "af AS (SELECT id, sub, cell FROM ("
+        "SELECT id, sub, cell, row_number() OVER (PARTITION BY id, sub "
+        "ORDER BY dd, cell) AS rn FROM df) WHERE rn = 1)")
+    parts.append(
+        f"lut AS (SELECT sx.id AS q_id, p.sub, p.cell, "
+        f"sum((sx.x - p.cv) * (sx.x - p.cv)) AS pd2 "
+        f"FROM sx JOIN {prev} p ON p.sub = sx.sub AND p.spos = sx.spos "
+        f"WHERE sx.id < {nq} GROUP BY 1, 2, 3)")
+    parts.append(
+        "ad AS (SELECT l.q_id, af.id, sum(l.pd2) AS ad2 "
+        "FROM af JOIN lut l ON l.sub = af.sub AND l.cell = af.cell "
+        "JOIN cassign ca ON ca.id = af.id "
+        "JOIN cprobes cp ON cp.q_id = l.q_id AND cp.ccell = ca.ccell "
+        "GROUP BY 1, 2)")
+    parts.append(
+        f"short AS (SELECT q_id, id FROM ("
+        f"SELECT q_id, id, row_number() OVER (PARTITION BY q_id "
+        f"ORDER BY ad2, id) AS ar FROM ad) WHERE ar <= {kk})")
+    parts.append(
+        "scored AS (SELECT s.q_id, s.id, "
+        "sqrt(list_reduce(list_transform(list_zip(qe.v, be.v), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)) AS dist "
+        "FROM short s JOIN e qe ON qe.id = s.q_id JOIN e be ON be.id = s.id)")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rnk AS INT) AS rank
+FROM (SELECT q_id, id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
+      FROM scored)
+WHERE rnk <= 10""")
+
+
 NEAR_DUP_THRESHOLD = 0.45  # synthetic embeddings top out at cos ~0.51
 
 
@@ -2882,8 +2962,8 @@ QUERIES = {
     "cardinality_kmv": q_cardinality_kmv,
     "streaming_minhash": q_streaming_minhash,
     "sq8_ann": q_sq8_ann,
+    "ivfpq_ann": q_ivfpq_ann,           # new r6: first certification
     "minhash_bands": q_minhash_bands,
-    "jaccard_pairs": q_jaccard_pairs,
     "ann_search": q_ann_search,
     "ann_search_selective": q_ann_search_selective,
     "ann_search_filtered": q_ann_search_filtered,
@@ -2902,6 +2982,7 @@ QUERIES = {
     "shard_assign": q_shard_assign,     # parked r6: r05-certified
     "token_budget_mix": q_token_budget_mix,   # parked r6: r05-certified
     "streaming_dedup": q_streaming_dedup,     # parked r6: r05-certified
+    "jaccard_pairs": q_jaccard_pairs,         # parked r6: r05-certified, untouched
     "edit_near_dups": q_edit_near_dups,
     "vocab_topk": q_vocab_topk,
     "simhash": q_simhash,
@@ -2957,6 +3038,9 @@ def oracle_sql_map() -> dict[str, str]:
         "pq_codebook": sql_pq_codebook(PQ_M_SUB, PQ_K, PQ_ITERS),
         "pq_ann": sql_pq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,
                              N_VEC_QUERIES, 10 * PQ_RERANK),
+        "ivfpq_ann": sql_ivfpq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,
+                                   N_VEC_QUERIES, 10 * PQ_RERANK,
+                                   N_IVF_CENTROIDS, IVFPQ_NPROBE),
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,
         "simhash": SQL_SIMHASH,

@@ -1413,3 +1413,31 @@ def test_boilerplate_stats_known_values(spark):
     assert out[5].n_boiler == 0 and out[5].boiler_frac == 0.0
     # every doc with 7 tokens has 5 trigrams
     assert out[0].n_grams == 5
+
+
+def test_ivfpq_probed_cells_only_and_full_probe_equivalence(spark, clustered):
+    from fspann_query_system_spark.ops.pq import pq_fit, pq_topk, ivfpq_topk
+    from fspann_query_system_spark.ops.similarity import ivf_assign
+    df, X = clustered
+    cb = pq_fit(df, m_sub=4, k=8, iters=2)
+    centroids = df.filter(F.col("id") < 16)
+    q = df.filter(F.col("id") < 10).select(F.col("id").alias("q_id"), "vector")
+    out = ivfpq_topk(df, q, centroids, cb, k=5, nprobe=2, rerank=8).collect()
+    # results only come from probed cells
+    from fspann_query_system_spark.ops.similarity import _nearest_cells
+    cells = {r.id: r.cell for r in ivf_assign(df, centroids).collect()}
+    probes = {}
+    for r in _nearest_cells(q, centroids, 2, "q_id", "vector",
+                            "id", "vector", keep_vector=False).collect():
+        probes.setdefault(r.q_id, set()).add(r.cell)
+    for r in out:
+        assert cells[r.id] in probes[r.q_id]
+    # self-hit: each query's own cell is its nearest -> always probed
+    firsts = {r.q_id: r for r in out if r.rank == 1}
+    assert all(firsts[qid].id == qid and firsts[qid].dist == 0.0
+               for qid in range(10))
+    # probing every cell degenerates to plain PQ-ADC over the full corpus
+    full = ivfpq_topk(df, q, centroids, cb, k=5, nprobe=16, rerank=8)
+    plain = pq_topk(df, q, cb, k=5, rerank=8)
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, plain.collect()))

@@ -242,7 +242,8 @@ def minhash_band_pairs(df: DataFrame, text_col: str = "text",
 def incremental_near_dups(corpus: DataFrame, new_docs: DataFrame,
                           text_col: str = "text", id_col: str = "doc_id",
                           k: int = 3, n_hashes: int = 16, bands: int = 4,
-                          corpus_bands: DataFrame | None = None) -> DataFrame:
+                          corpus_bands: DataFrame | None = None,
+                          broadcast_batch: bool = False) -> DataFrame:
     """New-batch-vs-corpus near-dup candidates → (new_id, corpus_id,
     n_shared_bands): which incoming documents near-duplicate something
     the corpus already holds.
@@ -255,15 +256,24 @@ def incremental_near_dups(corpus: DataFrame, new_docs: DataFrame,
     (band, band_hash).  Anti-joining the result against the batch gives
     the admit set; the full-corpus re-banding pipeline
     (:func:`near_dup_pipeline`) is the backfill twin of this operator.
+
+    With ``broadcast_batch=True`` the batch's band rows are broadcast,
+    so the CORPUS side never exchanges at all: per-batch cost is one
+    corpus-bands scan + a map-side hash join — flat in corpus size for
+    any batch whose bands fit the broadcast budget (~a few M docs).
+    Leave it False for backfill-sized batches (sort-merge on the
+    fixed-width key).
     """
     if corpus_bands is None:
         corpus_bands = band_table(corpus, text_col, id_col, k,
                                   n_hashes, bands)
-    nb = band_table(new_docs, text_col, id_col, k, n_hashes, bands)
-    return (nb.select(F.col(id_col).alias("new_id"), "band", "band_hash")
-            .join(corpus_bands.select(F.col(id_col).alias("corpus_id"),
-                                      "band", "band_hash"),
-                  on=["band", "band_hash"])
+    nb = (band_table(new_docs, text_col, id_col, k, n_hashes, bands)
+          .select(F.col(id_col).alias("new_id"), "band", "band_hash"))
+    if broadcast_batch:
+        nb = F.broadcast(nb)
+    return (nb.join(corpus_bands.select(F.col(id_col).alias("corpus_id"),
+                                        "band", "band_hash"),
+                    on=["band", "band_hash"])
             .groupBy("new_id", "corpus_id")
             .agg(F.count("*").alias("n_shared_bands")))
 

@@ -59,7 +59,8 @@ def _codebook_tensor(codebook: DataFrame) -> np.ndarray:
 
 
 def pq_fit(df: DataFrame, m_sub: int = 4, k: int = 8, iters: int = 2,
-           id_col: str = "id", vector_col: str = "vector") -> DataFrame:
+           id_col: str = "id", vector_col: str = "vector",
+           init_offset: int = 0) -> DataFrame:
     """Train per-subspace Lloyd codebooks → (sub, cell, vector) with
     ``m_sub * k`` rows, d_sub = dim / m_sub components each.
 
@@ -67,11 +68,23 @@ def pq_fit(df: DataFrame, m_sub: int = 4, k: int = 8, iters: int = 2,
     into ``m_sub`` subvectors, argmins every subspace against the
     broadcast codebook tensor, and emits batch-local partial sums — the
     only shuffle per round aggregates those m·k·d_sub-sized partials.
+
+    ``init_offset``: init from the k lowest ids with id >= offset.
+    REQUIRED when training on residuals whose coarse centroids are
+    themselves corpus rows (ids < offset): those rows' residuals are
+    identically zero, so a zero-init codebook makes every round-1
+    distance an exact tie — and cross-engine aggregation-order noise
+    then breaks the ties differently (observed DuckDB-vs-numpy
+    divergence).  Distinct init points keep the iteration in the
+    proven deterministic regime.
     """
     spark = df.sparkSession
-    # init: subvectors of the k lowest-id rows; cell i = i-th lowest id.
-    # orderBy+limit is a distributed partial top-k (no global window).
-    head = df.select(id_col, vector_col).orderBy(id_col).limit(k).collect()
+    # init: subvectors of the k lowest-id rows (>= init_offset);
+    # cell i = i-th lowest id.  orderBy+limit is a distributed partial
+    # top-k (no global window).
+    head = (df.select(id_col, vector_col)
+            .filter(F.col(id_col) >= init_offset)
+            .orderBy(id_col).limit(k).collect())
     if len(head) < k:
         raise ValueError(f"need >= {k} rows to init {k} cells")
     dim = len(head[0][vector_col])
@@ -266,13 +279,43 @@ def _exact_rerank(partial: DataFrame, base: DataFrame, queries: DataFrame,
             .select("q_id", "id", "dist", "rank"))
 
 
+def residual_table(base: DataFrame, centroids: DataFrame,
+                   id_col: str = "id", vector_col: str = "vector",
+                   c_id_col: str = "id", c_vector_col: str = "vector",
+                   assigned: DataFrame | None = None) -> DataFrame:
+    """(id, vector = x − coarse_centroid(cell), cell): the residual
+    representation IVF-PQ encodes (faiss ``by_residual=true``).
+    Residual magnitudes live at intra-cell scale, so a PQ codebook of
+    the same size resolves them far more finely than raw vectors —
+    the standard fix for ADC rank collapse inside dense cells.
+    Map-side: cell assignment is the broadcast argmin kernel, the
+    subtraction a zip_with against the broadcast-joined centroid."""
+    from .similarity import ivf_assign
+    if assigned is None:
+        assigned = ivf_assign(base, centroids, id_col, vector_col,
+                              c_id_col, c_vector_col)
+    cent = centroids.select(
+        F.col(c_id_col).alias("cell"),
+        F.col(c_vector_col).cast("array<double>").alias("_cv"))
+    # double-width subtraction: float32 inputs widen exactly, so the
+    # residual is bit-identical to the SQL oracle's double arithmetic
+    # (a float32 subtraction would round before the kernel widens)
+    return (assigned.join(F.broadcast(cent), on="cell")
+            .select(id_col,
+                    F.zip_with(F.col(vector_col).cast("array<double>"),
+                               F.col("_cv"),
+                               lambda a, b: a - b).alias(vector_col),
+                    "cell"))
+
+
 def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
                codebook: DataFrame, k: int = 10, nprobe: int = 2,
                rerank: int = 4,
                id_col: str = "id", vector_col: str = "vector",
                q_id_col: str = "q_id", q_vector_col: str = "vector",
                assigned: DataFrame | None = None,
-               codes: DataFrame | None = None) -> DataFrame:
+               codes: DataFrame | None = None,
+               by_residual: bool = False) -> DataFrame:
     """IVF-PQ (the canonical 100 TB ANN composition, faiss's
     ``IVFx,PQy`` with by_residual=false): coarse quantizer prunes each
     query to ``nprobe`` cells, ADC lookup tables score ONLY rows in
@@ -284,14 +327,26 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
     cell-partitioned codes layout, the probed cells prune at FILE level
     and the scan touches nprobe/|C| of the files.  Pass ``assigned`` /
     ``codes`` to reuse ingest-time materializations (both computed once
-    per corpus, never per query)."""
+    per corpus, never per query).
+
+    ``by_residual=True`` (the faiss default) encodes RESIDUALS
+    x − coarse_centroid(cell) instead of raw vectors: ADC then uses a
+    per-(query, probed cell) lookup table over (q − c_cell), which
+    resolves intra-cell structure the raw-vector codebook collapses
+    into ties (measured at 1M: the rerank budget needed for a given
+    recall drops by an order of magnitude — SCALE.md §9c).  When set,
+    ``codes``/``codebook`` must come from :func:`residual_table`
+    vectors (training included)."""
     from .similarity import _nearest_cells, ivf_assign
     spark = base.sparkSession
     if assigned is None:
         assigned = ivf_assign(base, centroids, id_col, vector_col,
                               id_col, vector_col)
     if codes is None:
-        codes = pq_encode(base, codebook, id_col=id_col,
+        src = (residual_table(base, centroids, id_col, vector_col,
+                              id_col, vector_col, assigned=assigned)
+               if by_residual else base)
+        codes = pq_encode(src, codebook, id_col=id_col,
                           vector_col=vector_col)
     codes = codes.join(assigned.select(F.col(id_col).alias("id"), "cell"),
                        on="id")
@@ -310,15 +365,28 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = (np.array([list(r[1]) for r in q_rows], dtype=np.float64)
          .reshape(len(q_rows), m, d_sub))
-    lut = np.square(Q[:, :, None, :] - T[None]).sum(axis=3)
     kk = k * rerank
     cell_lists = [np.array(sorted(probed.get(int(q), ())), dtype=np.int64)
                   for q in q_ids]
-    bc = spark.sparkContext.broadcast((q_ids, lut, kk, cell_lists))
+    if by_residual:
+        c_rows = centroids.select(id_col, vector_col).collect()
+        coarse = {int(r[0]): np.asarray(list(r[1]), dtype=np.float64)
+                  for r in c_rows}
+        # per-(query, probed cell) LUT over the residual query
+        luts = [{int(c): np.square(
+                    (Q[qi].reshape(-1) - coarse[int(c)])
+                    .reshape(m, 1, d_sub) - T).sum(axis=2)
+                 for c in cell_lists[qi]}
+                for qi in range(len(q_ids))]
+    else:
+        lut_all = np.square(Q[:, :, None, :] - T[None]).sum(axis=3)
+        luts = [{int(c): lut_all[qi] for c in cell_lists[qi]}
+                for qi in range(len(q_ids))]
+    bc = spark.sparkContext.broadcast((q_ids, luts, kk, cell_lists, m))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_ids_, lut_, kk_, cells_ = bc.value
-        nq, m_, _ = lut_.shape
+        q_ids_, luts_, kk_, cells_, m_ = bc.value
+        nq = len(q_ids_)
         subs = np.arange(m_)
         for pdf in batches:
             if len(pdf) == 0:
@@ -329,10 +397,18 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
             row_cell = pdf["cell"].to_numpy()
             frames = []
             for qi in range(nq):
-                keep = np.flatnonzero(np.isin(row_cell, cells_[qi]))
-                if len(keep) == 0:
+                keeps, d2s = [], []
+                for c in cells_[qi]:
+                    keep = np.flatnonzero(row_cell == c)
+                    if len(keep) == 0:
+                        continue
+                    lut_c = luts_[qi][int(c)]
+                    keeps.append(keep)
+                    d2s.append(lut_c[subs[None, :], C[keep]].sum(axis=1))
+                if not keeps:
                     continue
-                d2 = lut_[qi, subs[None, :], C[keep]].sum(axis=1)
+                keep = np.concatenate(keeps)
+                d2 = np.concatenate(d2s)
                 take = min(kk_, len(keep))
                 if take < len(keep):
                     kth = np.partition(d2, take - 1)[take - 1]

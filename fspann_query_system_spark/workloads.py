@@ -2283,13 +2283,18 @@ def q_pq_ann(spark, sf_dir):
                     F.col("rank").cast("int").alias("rank")))
 
 
-def _sql_pq_parts(m_sub: int, k: int, iters: int) -> tuple:
+def _sql_pq_parts(m_sub: int, k: int, iters: int,
+                  src: str = "sx", pre: list | None = None,
+                  init_offset: int = 0) -> tuple:
     """Shared CTE chain for the unrolled per-subspace Lloyd iterations
     (the PQ mirror of ``_sql_kmeans_parts``): vectors exploded to
     (id, sub, spos, x); init = subvectors of the k lowest-id rows;
     assign = argmin with (dd, cell) tie-break per (id, sub); update =
     6dp-rounded per-(sub, cell, spos) mean; empty cells keep the
-    previous centroid.  Returns (parts, final_codebook_cte_name)."""
+    previous centroid.  ``src`` is the training source CTE (``sx`` raw
+    subvectors; a residual CTE for by_residual oracles), ``pre`` extra
+    CTEs inserted before init (e.g. the coarse quantizer + residual
+    chain ``src`` depends on).  Returns (parts, final_codebook_cte)."""
     parts = [
         "e AS (SELECT vec_id AS id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
@@ -2298,26 +2303,29 @@ def _sql_pq_parts(m_sub: int, k: int, iters: int) -> tuple:
         "unnest(range(0, len(v))) AS pos, len(v) AS d FROM e)",
         f"sx AS (SELECT id, CAST(pos // (d // {m_sub}) AS INT) AS sub, "
         f"CAST(pos % (d // {m_sub}) AS INT) AS spos, x FROM ex)",
+        *(pre or []),
         f"init AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, id "
-        f"FROM (SELECT id FROM e ORDER BY id LIMIT {k}))",
-        "c0 AS (SELECT sx.sub, init.cell, sx.spos, sx.x AS cv "
-        "FROM init JOIN sx USING (id))",
+        f"FROM (SELECT id FROM e WHERE id >= {init_offset} "
+        f"ORDER BY id LIMIT {k}))",
+        f"c0 AS (SELECT {src}.sub, init.cell, {src}.spos, {src}.x AS cv "
+        f"FROM init JOIN {src} USING (id))",
     ]
     prev = "c0"
     for i in range(1, iters + 1):
         parts.append(
-            f"d{i} AS (SELECT sx.id, sx.sub, p.cell, "
-            f"sum((sx.x - p.cv) * (sx.x - p.cv)) AS dd "
-            f"FROM sx JOIN {prev} p ON p.sub = sx.sub AND p.spos = sx.spos "
+            f"d{i} AS (SELECT {src}.id, {src}.sub, p.cell, "
+            f"sum(({src}.x - p.cv) * ({src}.x - p.cv)) AS dd "
+            f"FROM {src} JOIN {prev} p ON p.sub = {src}.sub "
+            f"AND p.spos = {src}.spos "
             f"GROUP BY 1, 2, 3)")
         parts.append(
             f"a{i} AS (SELECT id, sub, cell FROM ("
             f"SELECT id, sub, cell, row_number() OVER (PARTITION BY id, sub "
             f"ORDER BY dd, cell) AS rn FROM d{i}) WHERE rn = 1)")
         parts.append(
-            f"u{i} AS (SELECT a.sub, a.cell, sx.spos, "
-            f"round(avg(sx.x), 6) AS cv "
-            f"FROM a{i} a JOIN sx ON sx.id = a.id AND sx.sub = a.sub "
+            f"u{i} AS (SELECT a.sub, a.cell, {src}.spos, "
+            f"round(avg({src}.x), 6) AS cv "
+            f"FROM a{i} a JOIN {src} ON {src}.id = a.id AND {src}.sub = a.sub "
             f"GROUP BY 1, 2, 3)")
         parts.append(
             f"c{i} AS (SELECT p.sub, p.cell, p.spos, "
@@ -2438,6 +2446,107 @@ def sql_ivfpq_ann(m_sub: int, k: int, iters: int, nq: int, kk: int,
         "FROM af JOIN lut l ON l.sub = af.sub AND l.cell = af.cell "
         "JOIN cassign ca ON ca.id = af.id "
         "JOIN cprobes cp ON cp.q_id = l.q_id AND cp.ccell = ca.ccell "
+        "GROUP BY 1, 2)")
+    parts.append(
+        f"short AS (SELECT q_id, id FROM ("
+        f"SELECT q_id, id, row_number() OVER (PARTITION BY q_id "
+        f"ORDER BY ad2, id) AS ar FROM ad) WHERE ar <= {kk})")
+    parts.append(
+        "scored AS (SELECT s.q_id, s.id, "
+        "sqrt(list_reduce(list_transform(list_zip(qe.v, be.v), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)) AS dist "
+        "FROM short s JOIN e qe ON qe.id = s.q_id JOIN e be ON be.id = s.id)")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rnk AS INT) AS rank
+FROM (SELECT q_id, id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
+      FROM scored)
+WHERE rnk <= 10""")
+
+
+def q_ivfpq_residual_ann(spark, sf_dir):
+    """IVF-PQ with residual encoding (faiss by_residual=true, the
+    default): the PQ codebook trains on x − coarse_centroid(cell), so
+    ADC resolves intra-cell structure the raw-vector codebook collapses
+    into ties — measured at 1M: an order of magnitude less rerank for
+    the same recall (SCALE.md §9c)."""
+    from .ops.pq import pq_fit, ivfpq_topk, residual_table
+    from .ops.similarity import ivf_assign
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    assigned = ivf_assign(base, centroids)
+    res = residual_table(base, centroids, assigned=assigned)
+    # init past the centroid ids: their residuals are identically zero
+    cb = pq_fit(res, m_sub=PQ_M_SUB, k=PQ_K, iters=PQ_ITERS,
+                init_offset=N_IVF_CENTROIDS)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (ivfpq_topk(base, queries, centroids, cb, k=10,
+                       nprobe=IVFPQ_NPROBE, rerank=PQ_RERANK,
+                       assigned=assigned, by_residual=True)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def sql_ivfpq_residual_ann(m_sub: int, k: int, iters: int, nq: int,
+                           kk: int, n_centroids: int, nprobe: int) -> str:
+    """Generated oracle for residual IVF-PQ: coarse assign → residual
+    CTE → PQ Lloyd chain TRAINED ON RESIDUALS → residual encoding →
+    per-(query, probed cell) LUTs over the residual query → ADC sum
+    (candidates restricted to probed cells by the lut join) → exact
+    re-rank on the ORIGINAL vectors."""
+    pre = [
+        f"cc AS (SELECT id AS cid, v AS ccv FROM e WHERE id < {n_centroids})",
+        f"csx AS (SELECT cid, CAST(cpos // (cd // {m_sub}) AS INT) AS sub, "
+        f"CAST(cpos % (cd // {m_sub}) AS INT) AS spos, cx "
+        f"FROM (SELECT cid, unnest(ccv) AS cx, "
+        f"unnest(range(0, len(ccv))) AS cpos, len(ccv) AS cd FROM cc))",
+        "cassign AS (SELECT id, ccell FROM ("
+        "SELECT e.id, cc.cid AS ccell, "
+        "row_number() OVER (PARTITION BY e.id "
+        "ORDER BY list_distance(e.v, cc.ccv), cc.cid) AS rn "
+        "FROM e CROSS JOIN cc) WHERE rn = 1)",
+        "rsx AS (SELECT sx.id, sx.sub, sx.spos, sx.x - csx.cx AS x "
+        "FROM sx JOIN cassign ca ON ca.id = sx.id "
+        "JOIN csx ON csx.cid = ca.ccell AND csx.sub = sx.sub "
+        "AND csx.spos = sx.spos)",
+    ]
+    parts, prev = _sql_pq_parts(m_sub, k, iters, src="rsx", pre=pre,
+                                init_offset=n_centroids)
+    parts.append(
+        f"qcv AS (SELECT id AS q_id, v AS qvec FROM e WHERE id < {nq})")
+    parts.append(
+        f"cprobes AS (SELECT q_id, ccell FROM ("
+        f"SELECT qcv.q_id, cc.cid AS ccell, "
+        f"row_number() OVER (PARTITION BY qcv.q_id "
+        f"ORDER BY list_distance(qcv.qvec, cc.ccv), cc.cid) AS rn "
+        f"FROM qcv CROSS JOIN cc) WHERE rn <= {nprobe})")
+    parts.append(
+        f"dfr AS (SELECT rsx.id, rsx.sub, p.cell, "
+        f"sum((rsx.x - p.cv) * (rsx.x - p.cv)) AS dd "
+        f"FROM rsx JOIN {prev} p ON p.sub = rsx.sub AND p.spos = rsx.spos "
+        f"GROUP BY 1, 2, 3)")
+    parts.append(
+        "af AS (SELECT id, sub, cell FROM ("
+        "SELECT id, sub, cell, row_number() OVER (PARTITION BY id, sub "
+        "ORDER BY dd, cell) AS rn FROM dfr) WHERE rn = 1)")
+    parts.append(
+        f"qrs AS (SELECT sx.id AS q_id, cp.ccell, sx.sub, sx.spos, "
+        f"sx.x - csx.cx AS x "
+        f"FROM sx JOIN cprobes cp ON cp.q_id = sx.id "
+        f"JOIN csx ON csx.cid = cp.ccell AND csx.sub = sx.sub "
+        f"AND csx.spos = sx.spos "
+        f"WHERE sx.id < {nq})")
+    parts.append(
+        f"lut AS (SELECT q.q_id, q.ccell, p.sub, p.cell, "
+        f"sum((q.x - p.cv) * (q.x - p.cv)) AS pd2 "
+        f"FROM qrs q JOIN {prev} p ON p.sub = q.sub AND p.spos = q.spos "
+        f"GROUP BY 1, 2, 3, 4)")
+    parts.append(
+        "ad AS (SELECT l.q_id, af.id, sum(l.pd2) AS ad2 "
+        "FROM af JOIN cassign ca ON ca.id = af.id "
+        "JOIN lut l ON l.sub = af.sub AND l.cell = af.cell "
+        "AND l.ccell = ca.ccell "
         "GROUP BY 1, 2)")
     parts.append(
         f"short AS (SELECT q_id, id FROM ("
@@ -2963,6 +3072,7 @@ QUERIES = {
     "streaming_minhash": q_streaming_minhash,
     "sq8_ann": q_sq8_ann,
     "ivfpq_ann": q_ivfpq_ann,           # new r6: first certification
+    "ivfpq_residual_ann": q_ivfpq_residual_ann,   # new r6: first certification
     "minhash_bands": q_minhash_bands,
     "ann_search": q_ann_search,
     "ann_search_selective": q_ann_search_selective,
@@ -2971,7 +3081,6 @@ QUERIES = {
     "near_dup_embedding": q_near_dup_embedding,
     "near_dup_lsh": q_near_dup_lsh,
     "near_dup_key": q_near_dup_key,     # new r6: first certification
-    "decontaminate": q_decontaminate,
     # ---- position 50 ends here; entries below are PARKED (all freshly
     # ---- certified in the r05 gate window on current fixtures; none reads
     # ---- events.parquet; they rotate back in as window budget allows —
@@ -2983,6 +3092,7 @@ QUERIES = {
     "token_budget_mix": q_token_budget_mix,   # parked r6: r05-certified
     "streaming_dedup": q_streaming_dedup,     # parked r6: r05-certified
     "jaccard_pairs": q_jaccard_pairs,         # parked r6: r05-certified, untouched
+    "decontaminate": q_decontaminate,         # parked r6: r05-certified, untouched
     "edit_near_dups": q_edit_near_dups,
     "vocab_topk": q_vocab_topk,
     "simhash": q_simhash,
@@ -3041,6 +3151,9 @@ def oracle_sql_map() -> dict[str, str]:
         "ivfpq_ann": sql_ivfpq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,
                                    N_VEC_QUERIES, 10 * PQ_RERANK,
                                    N_IVF_CENTROIDS, IVFPQ_NPROBE),
+        "ivfpq_residual_ann": sql_ivfpq_residual_ann(
+            PQ_M_SUB, PQ_K, PQ_ITERS, N_VEC_QUERIES, 10 * PQ_RERANK,
+            N_IVF_CENTROIDS, IVFPQ_NPROBE),
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,
         "simhash": SQL_SIMHASH,

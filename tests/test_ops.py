@@ -1347,6 +1347,12 @@ def test_incremental_near_dups_matches_full_banding(spark):
     inc = {(r.new_id, r.corpus_id, r.n_shared_bands)
            for r in incremental_near_dups(corpus, new, k=3, n_hashes=8,
                                           bands=8).collect()}
+    # broadcast-batch mode (corpus side never exchanges) is result-equal
+    bcast = {(r.new_id, r.corpus_id, r.n_shared_bands)
+             for r in incremental_near_dups(corpus, new, k=3, n_hashes=8,
+                                            bands=8,
+                                            broadcast_batch=True).collect()}
+    assert bcast == inc
     # every planted dup is found against its corpus original
     found = {(n, c) for n, c, _ in inc}
     assert {(100 + i, i) for i in range(10)} <= found
@@ -1441,3 +1447,39 @@ def test_ivfpq_probed_cells_only_and_full_probe_equivalence(spark, clustered):
     plain = pq_topk(df, q, cb, k=5, rerank=8)
     assert sorted(map(tuple, full.collect())) == \
         sorted(map(tuple, plain.collect()))
+
+
+def test_ivfpq_residual_resolves_intra_cell_ties(spark, clustered):
+    from fspann_query_system_spark.ops.pq import (pq_fit, ivfpq_topk,
+                                                  residual_table)
+    from fspann_query_system_spark.ops.similarity import ivf_assign
+    from fspann_query_system_spark.query.exact import knn_exact
+    df, X = clustered
+    centroids = df.filter(F.col("id") < 16)
+    assigned = ivf_assign(df, centroids)
+    q = df.filter(F.col("id") < 15).select(F.col("id").alias("q_id"), "vector")
+    ex = {}
+    for r in knn_exact(df, q, k=5).collect():
+        ex.setdefault(r.q_id, set()).add(r.id)
+
+    def hits(out):
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.q_id, set()).add(r.id)
+        return sum(len(ex[qid] & ids) for qid, ids in by_q.items())
+
+    # raw-vector codebook at a small rerank: intra-cell ADC ties cap recall
+    cb_raw = pq_fit(df, m_sub=4, k=8, iters=2)
+    raw = hits(ivfpq_topk(df, q, centroids, cb_raw, k=5, nprobe=4,
+                          rerank=4).collect())
+    # residual codebook (faiss by_residual): same budget, ties resolved
+    res = residual_table(df, centroids, assigned=assigned)
+    cb_res = pq_fit(res, m_sub=4, k=8, iters=2, init_offset=16)
+    rr = ivfpq_topk(df, q, centroids, cb_res, k=5, nprobe=4,
+                    rerank=4, assigned=assigned, by_residual=True).collect()
+    resid = hits(rr)
+    assert resid > raw          # the point of residual encoding
+    assert resid >= 55          # recall@5 >= 0.73 at rerank=4 (dim-16 codes)
+    firsts = {r.q_id: r for r in rr if r.rank == 1}
+    assert all(firsts[qid].id == qid and firsts[qid].dist == 0.0
+               for qid in range(15))

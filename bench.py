@@ -84,6 +84,7 @@ HEADLINE = [
     "pq_codebook",
     "pq_ann",
     "ivfpq_ann",
+    "ivfpq_residual_ann",
     "ivf_ann",
     "version_census",
     "streaming_window_agg",

@@ -127,7 +127,7 @@ def main():
     codes_r = pq_encode(res, cb_r).persist()
     codes_r.count()
     out["residual_fit_encode_s"] = round(time.time() - t0, 1)
-    for nprobe, rr in ((16, 4), (32, 4), (32, 16)):
+    for nprobe, rr in ((16, 4), (32, 4), (32, 16), (32, 64)):
         t0 = time.time()
         rows = ivfpq_topk(vec, queries, cents, cb_r, k=K, nprobe=nprobe,
                           rerank=rr, assigned=assigned, codes=codes_r,

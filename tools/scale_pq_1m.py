@@ -35,19 +35,30 @@ COARSE_ITERS = 2
 
 
 def exact_gt(X: np.ndarray, q_ids: np.ndarray) -> dict[int, set]:
-    Q = X[q_ids].astype(np.float64)
+    """Exact top-K per query in ONE pass over X: per chunk, the
+    (chunk × nq) GEMM |x|² − 2x·q (|q|² is rank-invariant), per-query
+    per-chunk partial top-K kept, merged at the end.  10M × 100 queries
+    fits in ~200 MB of chunk workspace."""
+    Q = X[q_ids].astype(np.float64)              # (nq, d)
+    nq = len(q_ids)
+    cand_d = [[] for _ in range(nq)]
+    cand_i = [[] for _ in range(nq)]
+    step = 250_000
+    for lo in range(0, len(X), step):
+        hi = min(lo + step, len(X))
+        B = X[lo:hi].astype(np.float64)
+        D = np.square(B).sum(axis=1)[:, None] - 2.0 * (B @ Q.T)
+        take = min(K, hi - lo)
+        part = np.argpartition(D, take - 1, axis=0)[:take]   # (take, nq)
+        for qi in range(nq):
+            cand_d[qi].append(D[part[:, qi], qi])
+            cand_i[qi].append(part[:, qi] + lo)
     gt = {}
-    for i, q in enumerate(q_ids):
-        d2 = np.square(X.astype(np.float64) - Q[i]).sum(axis=1) \
-            if len(X) <= 200_000 else None
-        if d2 is None:
-            # blocked: |x|^2 - 2 x.q (|q|^2 constant per query)
-            d2 = np.empty(len(X))
-            for lo in range(0, len(X), 1_000_000):
-                hi = min(lo + 1_000_000, len(X))
-                B = X[lo:hi].astype(np.float64)
-                d2[lo:hi] = np.square(B).sum(axis=1) - 2.0 * (B @ Q[i])
-        gt[int(q)] = set(np.argsort(d2, kind="stable")[:K].tolist())
+    for qi, q in enumerate(q_ids):
+        d = np.concatenate(cand_d[qi])
+        i = np.concatenate(cand_i[qi])
+        order = np.lexsort((i, d))[:K]
+        gt[int(q)] = set(i[order].tolist())
     return gt
 
 
@@ -91,7 +102,8 @@ def main():
     codes.count()
     out["pq_encode_s"] = round(time.time() - t0, 1)
 
-    for rr in (4, 16, 64, 256):
+    slim = n > 2_000_000      # 10M: one full-ADC point, IVF does the rest
+    for rr in ((256,) if slim else (4, 16, 64, 256)):
         t0 = time.time()
         rows = pq_topk(vec, queries, cb, k=K, rerank=rr,
                        codes=codes).collect()
@@ -109,7 +121,8 @@ def main():
     assigned.count()
     out["coarse_assign_s"] = round(time.time() - t0, 1)
 
-    for nprobe, rr in ((16, 64), (32, 64), (32, 256)):
+    for nprobe, rr in (((32, 256),) if slim
+                       else ((16, 64), (32, 64), (32, 256))):
         t0 = time.time()
         rows = ivfpq_topk(vec, queries, cents, cb, k=K, nprobe=nprobe,
                           rerank=rr, assigned=assigned,
@@ -127,7 +140,8 @@ def main():
     codes_r = pq_encode(res, cb_r).persist()
     codes_r.count()
     out["residual_fit_encode_s"] = round(time.time() - t0, 1)
-    for nprobe, rr in ((16, 4), (32, 4), (32, 16), (32, 64)):
+    for nprobe, rr in (((32, 16), (32, 64)) if slim
+                       else ((16, 4), (32, 4), (32, 16), (32, 64))):
         t0 = time.time()
         rows = ivfpq_topk(vec, queries, cents, cb_r, k=K, nprobe=nprobe,
                           rerank=rr, assigned=assigned, codes=codes_r,

@@ -280,3 +280,29 @@ def test_vocab_overlap_vocab_sized_self_join(spark):
     plan = _plan(vocab_overlap(W._t(spark, SF, "documents")))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_dedup_plan_no_product_and_broadcast_batch(spark):
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.ops.dedup import incremental_near_dups
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i}") for i in range(40)],
+        "doc_id LONG, text STRING")
+    corpus, new = docs.filter("doc_id < 30"), docs.filter("doc_id >= 30")
+    plan = _formatted(incremental_near_dups(corpus, new, k=3, n_hashes=8,
+                                            bands=8))
+    assert "CartesianProduct" not in plan
+    # broadcast_batch mode: the batch side is a broadcast exchange, so
+    # the corpus bands never shuffle for the join
+    planb = _formatted(incremental_near_dups(corpus, new, k=3, n_hashes=8,
+                                             bands=8, broadcast_batch=True))
+    assert "BroadcastHashJoin" in planb and "CartesianProduct" not in planb
+
+
+def test_boilerplate_stats_plan_no_product(spark):
+    from fspann_query_system_spark.ops.quality import boilerplate_stats
+    docs = spark.createDataFrame(
+        [(i, f"common header line doc {i}") for i in range(10)],
+        "doc_id LONG, text STRING")
+    plan = _formatted(boilerplate_stats(docs, n=3, min_docs=3))
+    assert "CartesianProduct" not in plan

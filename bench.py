@@ -78,6 +78,7 @@ HEADLINE = [
     "incremental_dedup",
     "reservoir_sample",
     "boilerplate_stats",
+    "temperature_mix",
     "kmeans_centroids",
     "sq8_quantize",
     "sq8_ann",

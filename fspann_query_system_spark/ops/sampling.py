@@ -211,3 +211,44 @@ def reservoir_sample(df: DataFrame, n: int, by: str = "source",
     w = Window.partitionBy(by).orderBy(h.asc(), F.col(key_col).asc())
     return (df.withColumn("_rs_rn", F.row_number().over(w))
             .filter(F.col("_rs_rn") <= n).drop("_rs_rn"))
+
+
+def temperature_mix(df: DataFrame, alpha: float = 0.3,
+                    budget_frac: float = 0.5,
+                    strata_col: str = "source",
+                    key_col: str = "doc_id",
+                    salt: str = "") -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-corpus recipe
+    of XLM-R / mT5, their exponent alpha): target share of source s ∝
+    n_s^alpha, so alpha=1 reproduces natural proportions and alpha→0
+    flattens toward uniform — up-weighting tail sources (rate ∝
+    n^(alpha−1)) without duplicating rows.
+
+    rate_s = min(1, budget_frac · N · q_s / n_s) with
+    q_s = n_s^alpha / Σ_t n_t^alpha; the keep-decision is the same
+    deterministic md5 bucket as :func:`stratified_sample` (append-
+    stable, salt-derivable).  Two tiny aggregates (per-stratum counts,
+    then the 1-row normalizer broadcast back via crossJoin — the bm25
+    corpus-stats shape); the data pass itself is map-side.
+
+    Rates are rounded to 6dp BEFORE the bucket threshold so the pow()
+    ulp disagreements between engines cannot move a row across the
+    keep boundary.  Output: (key, stratum, rate).
+    """
+    totals = df.groupBy(strata_col).agg(
+        F.count("*").cast("double").alias("_n"))
+    z = totals.agg(
+        F.sum(F.pow(F.col("_n"), F.lit(float(alpha)))).alias("_zn"),
+        F.sum("_n").alias("_total"))
+    rates = (totals.crossJoin(F.broadcast(z))
+             .withColumn(
+                 "rate",
+                 F.least(F.lit(1.0), F.round(
+                     F.lit(budget_frac) * F.col("_total")
+                     * F.pow(F.col("_n"), F.lit(float(alpha)))
+                     / F.col("_zn") / F.col("_n"), 6)))
+             .select(strata_col, "rate"))
+    kept = (df.join(F.broadcast(rates), on=strata_col)
+            .filter(sample_bucket(F.col(key_col), salt)
+                    < F.floor(F.col("rate") * SAMPLE_DENOM).cast("long")))
+    return kept.select(F.col(key_col), F.col(strata_col), F.col("rate"))

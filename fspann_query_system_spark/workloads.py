@@ -970,6 +970,36 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
 """
 
 
+MIX_ALPHA = 0.3
+MIX_BUDGET_FRAC = 0.5
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled language mixing (XLM-R / mT5 recipe): keep
+    rate per lang ∝ n^(alpha-1) — alpha=0.3 up-weights tail languages
+    toward uniform without duplicating rows; deterministic hash keep."""
+    from .ops.sampling import temperature_mix
+    return temperature_mix(_t(spark, sf_dir, "documents"),
+                           alpha=MIX_ALPHA, budget_frac=MIX_BUDGET_FRAC,
+                           strata_col="lang")
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH t AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+           FROM documents GROUP BY lang),
+z AS (SELECT sum(pow(n, {MIX_ALPHA})) AS zn, sum(n) AS total FROM t),
+r AS (SELECT t.lang,
+             least(1.0, round({MIX_BUDGET_FRAC} * z.total
+                              * pow(t.n, {MIX_ALPHA}) / z.zn / t.n,
+                              6)) AS rate
+      FROM t CROSS JOIN z)
+SELECT d.doc_id, d.lang, r.rate
+FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < CAST(floor(r.rate * 10000) AS BIGINT)
+"""
+
+
 def q_asof_enrich(spark, sf_dir):
     """Point-in-time-correct enrichment: each purchase event gets the
     user's most recent click at-or-before it (as-of join — ONE shuffle +
@@ -3067,9 +3097,9 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,   # new r6: first certification
     "reservoir_sample": q_reservoir_sample,     # new r6: first certification
     "boilerplate_stats": q_boilerplate_stats,   # new r6: first certification
+    "temperature_mix": q_temperature_mix,       # new r6: first certification
     "near_dup_pipeline": q_near_dup_pipeline,
     "cardinality_kmv": q_cardinality_kmv,
-    "streaming_minhash": q_streaming_minhash,
     "sq8_ann": q_sq8_ann,
     "ivfpq_ann": q_ivfpq_ann,           # new r6: first certification
     "ivfpq_residual_ann": q_ivfpq_residual_ann,   # new r6: first certification
@@ -3093,6 +3123,7 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,     # parked r6: r05-certified
     "jaccard_pairs": q_jaccard_pairs,         # parked r6: r05-certified, untouched
     "decontaminate": q_decontaminate,         # parked r6: r05-certified, untouched
+    "streaming_minhash": q_streaming_minhash, # parked r6: r05-certified
     "edit_near_dups": q_edit_near_dups,
     "vocab_topk": q_vocab_topk,
     "simhash": q_simhash,
@@ -3144,6 +3175,7 @@ def oracle_sql_map() -> dict[str, str]:
         "sq8_ann": SQL_SQ8_ANN,
         "incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "reservoir_sample": SQL_RESERVOIR,
+        "temperature_mix": SQL_TEMPERATURE_MIX,
         "boilerplate_stats": SQL_BOILERPLATE,
         "pq_codebook": sql_pq_codebook(PQ_M_SUB, PQ_K, PQ_ITERS),
         "pq_ann": sql_pq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,

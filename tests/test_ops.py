@@ -1483,3 +1483,25 @@ def test_ivfpq_residual_resolves_intra_cell_ties(spark, clustered):
     firsts = {r.q_id: r for r in rr if r.rank == 1}
     assert all(firsts[qid].id == qid and firsts[qid].dist == 0.0
                for qid in range(15))
+
+
+def test_temperature_mix_flattens_toward_tail_sources(spark):
+    from fspann_query_system_spark.ops.sampling import temperature_mix
+    rows = ([(i, "big") for i in range(900)]
+            + [(1000 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out = temperature_mix(df, alpha=0.5, budget_frac=0.5).collect()
+    rates = {}
+    for r in out:
+        rates[r.source] = r.rate
+    # alpha < 1 up-weights the tail: small-source keep rate strictly higher
+    assert rates["small"] > rates["big"]
+    # alpha = 1 reproduces natural proportions: every rate == budget_frac
+    flat = {r.source: r.rate
+            for r in temperature_mix(df, alpha=1.0, budget_frac=0.5).collect()}
+    assert flat == {"big": 0.5, "small": 0.5}
+    # deterministic: same rows kept on re-run
+    a = sorted(r.doc_id for r in out)
+    b = sorted(r.doc_id for r in
+               temperature_mix(df, alpha=0.5, budget_frac=0.5).collect())
+    assert a == b

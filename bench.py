@@ -79,9 +79,11 @@ HEADLINE = [
     "reservoir_sample",
     "boilerplate_stats",
     "temperature_mix",
+    "gopher_filter",
     "kmeans_centroids",
     "sq8_quantize",
     "sq8_ann",
+    "bq_ann",
     "pq_codebook",
     "pq_ann",
     "ivfpq_ann",

@@ -85,6 +85,85 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         .cast("int"))
 
 
+def gopher_filter(docs: DataFrame, text_col: str = "text",
+                  min_tokens: int = 50, max_tokens: int = 100_000,
+                  min_mean_token_len: float = 3.0,
+                  max_mean_token_len: float = 10.0,
+                  min_alpha_ratio: float = 0.8,
+                  min_stop_hits: int = 2,
+                  min_distinct_ratio: float = 0.5,
+                  max_top_bigram_frac: float = 0.18) -> DataFrame:
+    """Composite Gopher quality gate (Rae et al. 2021, table A1): the
+    whole rule chain a production corpus filter actually runs, as ONE
+    boolean column plus the first failing rule for audit.
+
+    Rules, applied in order (``fail_reason`` names the first to fire):
+      1. ``n_tokens``        -- word count within [min_tokens, max_tokens]
+      2. ``mean_token_len``  -- mean word length within [3, 10]
+      3. ``alpha_ratio``     -- >=80% of words contain a letter
+      4. ``stopwords``       -- at least 2 common-stopword hits
+      5. ``distinct_ratio``  -- distinct-token ratio >= 0.5
+      6. ``top_bigram``      -- top-bigram fraction <= 0.18
+
+    Output: (doc_id, n_tokens, mean_token_len, alpha_ratio, stop_hits,
+    distinct_ratio, top_bigram_frac, keep, fail_reason).  Ratios are
+    rounded to 6 dp BEFORE threshold comparison so the keep decision is
+    reproducible across engines (same convention as ``temperature_mix``).
+
+    Scale shape: like ``repetition_stats`` this is array-side HOFs over
+    each row's token list -- a map-only projection with ZERO exchanges
+    at any corpus size; the 100 TB plan is a straight scan.
+    """
+    d = docs.select("doc_id", T.tokens(text_col).alias("toks"))
+    d = d.withColumn("n_tokens", F.size("toks"))
+    d = d.withColumn("bigrams", _bigrams(F.col("toks"), F.col("n_tokens")))
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct("bigrams"),
+        lambda g: F.size(F.filter(F.col("bigrams"), lambda x: x == g))))
+    stop_list = F.array(*[F.lit(w) for w in T.STOPWORDS["en"]])
+    d = d.select(
+        "doc_id", "n_tokens",
+        F.round(
+            F.when(F.col("n_tokens") > 0,
+                   F.aggregate("toks", F.lit(0),
+                               lambda acc, t: acc + F.length(t))
+                   .cast("double") / F.col("n_tokens"))
+            .otherwise(F.lit(0.0)), 6).alias("mean_token_len"),
+        F.round(
+            F.when(F.col("n_tokens") > 0,
+                   F.size(F.filter("toks",
+                                   lambda t: t.rlike("[a-z]")))
+                   .cast("double") / F.col("n_tokens"))
+            .otherwise(F.lit(0.0)), 6).alias("alpha_ratio"),
+        F.size(F.filter("toks",
+                        lambda t: F.array_contains(stop_list, t)))
+        .alias("stop_hits"),
+        F.round(
+            F.when(F.col("n_tokens") > 0,
+                   F.size(F.array_distinct("toks")).cast("double")
+                   / F.col("n_tokens")).otherwise(F.lit(0.0)),
+            6).alias("distinct_ratio"),
+        F.round(
+            F.when(F.col("n_tokens") >= 2,
+                   top_cnt.cast("double") / (F.col("n_tokens") - 1))
+            .otherwise(F.lit(0.0)), 6).alias("top_bigram_frac"),
+    )
+    reason = (
+        F.when((F.col("n_tokens") < min_tokens)
+               | (F.col("n_tokens") > max_tokens), F.lit("n_tokens"))
+        .when((F.col("mean_token_len") < min_mean_token_len)
+              | (F.col("mean_token_len") > max_mean_token_len),
+              F.lit("mean_token_len"))
+        .when(F.col("alpha_ratio") < min_alpha_ratio, F.lit("alpha_ratio"))
+        .when(F.col("stop_hits") < min_stop_hits, F.lit("stopwords"))
+        .when(F.col("distinct_ratio") < min_distinct_ratio,
+              F.lit("distinct_ratio"))
+        .when(F.col("top_bigram_frac") > max_top_bigram_frac,
+              F.lit("top_bigram")))
+    return d.withColumn("fail_reason", reason).withColumn(
+        "keep", F.col("fail_reason").isNull().cast("int"))
+
+
 def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 5,
                   bench_every: int = 50,
                   threshold: float = 0.5) -> DataFrame:

@@ -624,6 +624,143 @@ def sq8_quantize(df: DataFrame, mins: list, maxs: list,
             .select(F.col(id_col).alias("id"), "codes", "mse"))
 
 
+def bq_thresholds(mins: list, maxs: list) -> list:
+    """Per-dimension binary-quantization thresholds: the midrange
+    (mn+mx)/2 of each dimension.  Midrange (unlike the mean) is exactly
+    reproducible across engines — min/max are order-independent, so the
+    same corpus yields bit-identical thresholds in Spark, numpy, and
+    SQL, which keeps the whole BQ pipeline oracle-checkable without any
+    quantized-boundary tricks."""
+    return [(mn + mx) / 2.0 for mn, mx in zip(mins, maxs)]
+
+
+_POPCOUNT16 = None
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (numpy<2 has no
+    ``bitwise_count``): 16-bit table lookup over the raw words."""
+    global _POPCOUNT16
+    if _POPCOUNT16 is None:
+        _POPCOUNT16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                               dtype=np.uint8)
+    v = np.ascontiguousarray(a).view(np.uint16)
+    return _POPCOUNT16[v].reshape(*a.shape, 4).sum(axis=-1, dtype=np.int64)
+
+
+def bq_encode(df: DataFrame, thresholds: list,
+              id_col: str = "id", vector_col: str = "vector") -> DataFrame:
+    """1-bit binary quantization: bit_j = (x_j > thr_j), packed MSB-first
+    into 64-dim words → (id, words ARRAY<BIGINT>).  32× smaller than the
+    float32 column — the cheapest ANN payload compression tier (below
+    SQ8's 4× and PQ's 16-64×), and the only one whose approximate
+    distance is pure integer ops (XOR + popcount).
+
+    Entirely map-side native expressions (the thresholds ride in the
+    plan as a literal array) — encoding 10^9 vectors is one scan, no
+    shuffle, no Python, same as :func:`sq8_quantize`."""
+    dim = len(thresholds)
+    thr = F.array(*[F.lit(float(t)) for t in thresholds])
+    out = df.withColumn(
+        "_bits", F.zip_with(F.col(vector_col), thr,
+                            lambda x, t: (x > t).cast("long")))
+    words = [
+        F.aggregate(F.slice("_bits", w + 1, min(64, dim - w)),
+                    F.lit(0).cast("long"),
+                    lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b))
+        for w in range(0, dim, 64)]
+    return out.select(F.col(id_col).alias("id"),
+                      F.array(*words).alias("words"))
+
+
+def bq_topk(base: DataFrame, queries: DataFrame, thresholds: list,
+            k: int = 10, rerank: int = 8,
+            id_col: str = "id", vector_col: str = "vector",
+            q_id_col: str = "q_id", q_vector_col: str = "vector",
+            codes: DataFrame | None = None) -> DataFrame:
+    """Binary-quantization compressed-refine ANN: approximate rank by
+    Hamming distance over packed sign bits (XOR + popcount, 32× less
+    scanned data than the float column), then exact re-rank of the top
+    ``k*rerank`` with true vectors → (q_id, id, dist, rank ≤ k).
+
+    Same two-stage gated shape as :func:`sq8_topk`: the approx stage is
+    an Arrow kernel over the words column with a per-batch tie-inclusive
+    partial top-k (Hamming is integer-valued, so ties are common — the
+    cut keeps every row at the kth value, and the deterministic global
+    order is (hamming, id)); the exact stage joins true vectors for only
+    Q·k·rerank ids.  1-bit codes are the coarsest tier, so ``rerank``
+    defaults higher (8) than SQ8's 4.
+
+    STANDALONE mode scans every code per query — the exhaustive
+    compressed baseline.  At scale, compose with LSH/IVF routing the
+    same way SQ8 composes via ``AnnIndex.with_sq8``."""
+    from ..functions.distance import l2_expr
+    spark = base.sparkSession
+    if codes is None:
+        codes = bq_encode(base, thresholds, id_col=id_col,
+                          vector_col=vector_col)
+    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    thr = np.array(thresholds, dtype=np.float64)
+    dim = len(thresholds)
+    n_words = (dim + 63) // 64
+    qbits = (Q > thr)                                  # (nq, dim)
+    qwords = np.zeros((len(q_ids), n_words), dtype=np.uint64)
+    for w in range(n_words):
+        chunk = qbits[:, 64 * w:64 * (w + 1)]
+        for j in range(chunk.shape[1]):                # MSB-first
+            qwords[:, w] = (qwords[:, w] << np.uint64(1)) | chunk[:, j].astype(np.uint64)
+    kk = k * rerank
+    bc = spark.sparkContext.broadcast((q_ids, qwords, kk))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, qw_, kk_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            W = np.vstack([np.asarray(ws, dtype=np.int64)
+                           for ws in pdf["words"].to_numpy()]).view(np.uint64)
+            ids = pdf["id"].to_numpy()
+            n = len(ids)
+            take = min(kk_, n)
+            frames = []
+            for qi in range(len(q_ids_)):
+                ham = _popcount64(W ^ qw_[qi]).sum(axis=1)
+                if take < n:
+                    kth = np.partition(ham, take - 1)[take - 1]
+                    part = np.flatnonzero(ham <= kth)
+                else:
+                    part = np.arange(n)
+                frames.append(pd.DataFrame({
+                    "q_id": np.full(len(part), q_ids_[qi], dtype=np.int64),
+                    "id": ids[part], "ham": ham[part]}))
+            yield pd.concat(frames, ignore_index=True)
+
+    id_type = codes.schema["id"].dataType.simpleString()
+    partial = codes.mapInPandas(
+        run, schema=f"q_id BIGINT, id {id_type}, ham BIGINT")
+    w_approx = Window.partitionBy("q_id").orderBy(F.col("ham").asc(),
+                                                  F.col("id").asc())
+    shortlist = (partial.withColumn("_ar", F.row_number().over(w_approx))
+                 .filter(F.col("_ar") <= kk).select("q_id", "id"))
+
+    qv = queries.select(F.col(q_id_col).alias("q_id"),
+                        F.col(q_vector_col).alias("_qv"))
+    bv = base.select(F.col(id_col).alias("id"),
+                     F.col(vector_col).alias("_bv"))
+    w_exact = Window.partitionBy("q_id").orderBy(F.col("dist").asc(),
+                                                 F.col("id").asc())
+    return (shortlist.join(bv, on="id").join(F.broadcast(qv), on="q_id")
+            .withColumn("dist", l2_expr("_qv", "_bv"))
+            .withColumn("rank", F.row_number().over(w_exact))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "id", "dist", "rank"))
+
+
 def embedding_dim_stats(emb: DataFrame, vector_col: str = "embedding",
                         round_to: int = 4) -> DataFrame:
     """Per-dimension distribution report over an embedding column —

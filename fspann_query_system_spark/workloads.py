@@ -1103,6 +1103,66 @@ FROM (
 """
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Composite Gopher quality gate (rule chain + first failing rule);
+    map-only — see ops/quality.py:gopher_filter."""
+    from .ops.quality import gopher_filter
+    return gopher_filter(_t(spark, sf_dir, "documents"))
+
+
+SQL_GOPHER_FILTER = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                          p -> p[1] || ' ' || p[2])
+         ELSE []::VARCHAR[] END AS bigrams
+  FROM tok),
+sig AS (
+  SELECT doc_id, n_tokens,
+    round(CASE WHEN n_tokens > 0
+               THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                    / n_tokens ELSE 0.0 END, 6) AS mean_token_len,
+    round(CASE WHEN n_tokens > 0
+               THEN len(list_filter(toks,
+                          t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                    / n_tokens ELSE 0.0 END, 6) AS alpha_ratio,
+    len(list_filter(toks, t -> list_contains(
+        ['the','a','an','of','and','to','in','is','on','for','with','as',
+         'by','at','be','this','that','it','or','are'], t))) AS stop_hits,
+    round(CASE WHEN n_tokens > 0
+               THEN len(list_distinct(toks))::DOUBLE / n_tokens
+               ELSE 0.0 END, 6) AS distinct_ratio,
+    round(CASE WHEN n_tokens >= 2
+               THEN list_max(list_transform(list_distinct(bigrams),
+                      g -> len(list_filter(bigrams, x -> x = g))))::DOUBLE
+                    / (n_tokens - 1)
+               ELSE 0.0 END, 6) AS top_bigram_frac
+  FROM base)
+SELECT doc_id, n_tokens, mean_token_len, alpha_ratio, stop_hits,
+       distinct_ratio, top_bigram_frac,
+       CASE WHEN n_tokens < 50 OR n_tokens > 100000 THEN 'n_tokens'
+            WHEN mean_token_len < 3.0 OR mean_token_len > 10.0
+              THEN 'mean_token_len'
+            WHEN alpha_ratio < 0.8 THEN 'alpha_ratio'
+            WHEN stop_hits < 2 THEN 'stopwords'
+            WHEN distinct_ratio < 0.5 THEN 'distinct_ratio'
+            WHEN top_bigram_frac > 0.18 THEN 'top_bigram'
+       END AS fail_reason,
+       CAST(n_tokens >= 50 AND n_tokens <= 100000
+            AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
+            AND alpha_ratio >= 0.8 AND stop_hits >= 2
+            AND distinct_ratio >= 0.5 AND top_bigram_frac <= 0.18
+            AS INT) AS keep
+FROM sig
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark n-gram-overlap decontamination — per-doc grams deduped
     array-side, benchmark gram set broadcast, single keyed agg; see
@@ -2279,6 +2339,55 @@ WHERE rnk <= 10
 """
 
 
+BQ_RERANK = 8
+
+
+def q_bq_ann(spark, sf_dir):
+    """Binary-quantization compressed-refine ANN: approx rank by Hamming
+    over packed sign bits (32x less scanned data, integer-only ops),
+    exact re-rank of the top k*rerank — the coarsest compression tier
+    below SQ8/PQ, as the same gated two-stage plan."""
+    from .ops.similarity import sq8_stats, bq_thresholds, bq_topk
+    base = _emb(spark, sf_dir)
+    mins, maxs = sq8_stats(base)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (bq_topk(base, queries, bq_thresholds(mins, maxs),
+                    k=10, rerank=BQ_RERANK)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+SQL_BQ_ANN = f"""
+WITH e AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+ex AS (SELECT id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
+thr AS (SELECT pos, (min(x) + max(x)) / 2.0 AS t FROM ex GROUP BY pos),
+bits AS (SELECT id, pos, CAST(x > t AS INT) AS b FROM ex JOIN thr USING (pos)),
+qb AS (SELECT id AS q_id, pos, b FROM bits WHERE id < {N_VEC_QUERIES}),
+ham AS (SELECT q.q_id, b.id,
+               sum(CASE WHEN b.b != q.b THEN 1 ELSE 0 END) AS ham
+        FROM bits b JOIN qb q USING (pos) GROUP BY 1, 2),
+short AS (
+  SELECT q_id, id FROM (
+    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+                                        ORDER BY ham, id) AS ar
+    FROM ham) WHERE ar <= {10 * BQ_RERANK}),
+scored AS (
+  SELECT s.q_id, s.id,
+         sqrt(list_reduce(list_transform(list_zip(qe.v, be.v),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                          (acc, x) -> acc + x)) AS dist
+  FROM short s JOIN e qe ON qe.id = s.q_id JOIN e be ON be.id = s.id)
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rnk AS INT) AS rank
+FROM (SELECT q_id, id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
+      FROM scored)
+WHERE rnk <= 10
+"""
+
+
 PQ_M_SUB = 4
 PQ_K = 8
 PQ_ITERS = 2
@@ -3103,11 +3212,11 @@ QUERIES = {
     "sq8_ann": q_sq8_ann,
     "ivfpq_ann": q_ivfpq_ann,           # new r6: first certification
     "ivfpq_residual_ann": q_ivfpq_residual_ann,   # new r6: first certification
-    "minhash_bands": q_minhash_bands,
+    "gopher_filter": q_gopher_filter,   # new r6: first certification
     "ann_search": q_ann_search,
     "ann_search_selective": q_ann_search_selective,
     "ann_search_filtered": q_ann_search_filtered,
-    "dedup_clusters": q_dedup_clusters,
+    "bq_ann": q_bq_ann,                 # new r6: first certification
     "near_dup_embedding": q_near_dup_embedding,
     "near_dup_lsh": q_near_dup_lsh,
     "near_dup_key": q_near_dup_key,     # new r6: first certification
@@ -3115,6 +3224,11 @@ QUERIES = {
     # ---- certified in the r05 gate window on current fixtures; none reads
     # ---- events.parquet; they rotate back in as window budget allows —
     # ---- SURVEY.md §8)
+    "dedup_clusters": q_dedup_clusters, # parked r6: r05-certified, CC code
+                                        # untouched this round
+    "minhash_bands": q_minhash_bands,   # parked r6: r05-certified (banding
+                                        # refactor covered by incremental_dedup
+                                        # cert + local full oracle run)
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "corpus_mix": q_corpus_mix,         # parked r6: r05-certified
     "sequence_pack": q_sequence_pack,   # parked r6: r05-certified
@@ -3173,9 +3287,11 @@ def oracle_sql_map() -> dict[str, str]:
         "winnow_fingerprints": SQL_WINNOW,
         "sq8_quantize": SQL_SQ8,
         "sq8_ann": SQL_SQ8_ANN,
+        "bq_ann": SQL_BQ_ANN,
         "incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "reservoir_sample": SQL_RESERVOIR,
         "temperature_mix": SQL_TEMPERATURE_MIX,
+        "gopher_filter": SQL_GOPHER_FILTER,
         "boilerplate_stats": SQL_BOILERPLATE,
         "pq_codebook": sql_pq_codebook(PQ_M_SUB, PQ_K, PQ_ITERS),
         "pq_ann": sql_pq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,

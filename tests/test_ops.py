@@ -749,6 +749,79 @@ def test_sq8_topk_compressed_refine(spark, clustered):
     assert hits >= 70  # recall@5 >= 0.93 over 15 queries
 
 
+def test_bq_encode_packs_msb_first(spark):
+    from fspann_query_system_spark.ops.similarity import bq_encode
+    # 4 dims, thresholds 0: bits = sign pattern, MSB-first in one word
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 1.0, -1.0]),    # 1010 -> 10
+         (2, [-1.0, -1.0, -1.0, 1.0]),   # 0001 -> 1
+         (3, [1.0, 1.0, 1.0, 1.0])],     # 1111 -> 15
+        "id LONG, vector ARRAY<DOUBLE>")
+    rows = {r.id: list(r.words) for r in
+            bq_encode(df, [0.0, 0.0, 0.0, 0.0]).collect()}
+    assert rows == {1: [10], 2: [1], 3: [15]}
+    # 70 dims spill into a second word: dim 64 is the MSB of word 1
+    v = [0.0] * 70
+    v[0] = 1.0       # MSB of word 0
+    v[64] = 1.0      # MSB of word 1 (6 packed bits -> 100000 = 32)
+    v[69] = 1.0      # LSB of word 1 -> +1
+    df2 = spark.createDataFrame([(1, v)], "id LONG, vector ARRAY<DOUBLE>")
+    [r] = bq_encode(df2, [0.5] * 70).collect()
+    # top bit of a signed long wraps negative; word 1 packs 6 bits:
+    # 100001 = 33
+    assert list(r.words) == [-(2 ** 63), 33]
+
+
+def test_bq_topk_matches_exact_on_clusters(spark, clustered):
+    from fspann_query_system_spark.ops.similarity import (sq8_stats,
+                                                          bq_thresholds,
+                                                          bq_topk)
+    from fspann_query_system_spark.query.exact import knn_exact
+    df, X = clustered
+    thr = bq_thresholds(*sq8_stats(df))
+    q = df.filter(F.col("id") < 15).select(F.col("id").alias("q_id"), "vector")
+    # 16-bit codes collapse each 250-member cluster onto a near-constant
+    # sign pattern — rerank must cover the tie plateau (pool 300 >= one
+    # cluster) for the exact stage to recover the true neighbours.  This
+    # is the documented BQ trade: coarsest codes, largest rerank.
+    out = bq_topk(df, q, thr, k=5, rerank=60).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(15))
+    for q_id, rows in by_q.items():
+        first = min(rows, key=lambda r: r.rank)
+        assert first.id == q_id and first.dist == 0.0   # exact self-hit
+    ex = {}
+    for r in knn_exact(df, q, k=5).collect():
+        ex.setdefault(r.q_id, set()).add(r.id)
+    hits = sum(len(ex[qid] & {r.id for r in rows})
+               for qid, rows in by_q.items())
+    # 1-bit codes on well-separated clusters still route the rerank pool
+    assert hits >= 65  # recall@5 >= 0.86 over 15 queries
+
+
+def test_bq_topk_partition_invariant(spark):
+    """Hamming is integer-valued so approx ties are pervasive: the
+    shortlist must come out identical under any partitioning (tie-
+    inclusive batch cut + (ham, id) window)."""
+    from fspann_query_system_spark.ops.similarity import bq_topk
+    rows = ([(i, [1.0, 1.0, 1.0, 1.0]) for i in range(40)]
+            + [(100, [0.5, 0.5, 0.5, 0.5]), (101, [0.4, 0.4, 0.4, 0.4])])
+    q = spark.createDataFrame([(0, [0.0, 0.0, 0.0, 0.0])],
+                              "q_id LONG, vector ARRAY<DOUBLE>")
+    # thresholds 0.45: dups+100 -> 1111, 101 -> 0000 (ham 0 to the query)
+    expect = None
+    for nparts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>") \
+                  .repartition(nparts)
+        got = sorted((r.id, r.rank) for r in
+                     bq_topk(df, q, [0.45] * 4, k=10, rerank=1).collect())
+        if expect is None:
+            expect = got
+        assert got == expect, (nparts, got)
+
+
 def test_topk_boundary_ties_deterministic(spark):
     """Duplicated vectors put exact ties on the partial-top-k boundary:
     every kernel must return the lowest-id winners regardless of how the
@@ -900,6 +973,32 @@ def test_repetition_stats_known_values(spark):
     assert rows[3].n_tokens == 1 and rows[3].top_bigram_frac == 0.0
     assert rows[3].repetitive == 0
     assert rows[4].n_tokens == 0 and rows[4].distinct_ratio == 0.0
+
+
+def test_gopher_filter_rule_chain(spark):
+    from fspann_query_system_spark.ops.quality import gopher_filter
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks along the river bank with many other small animals "
+            "that live near the old stone bridge every single day "
+            "while birds sing loudly from tall green trees above them "
+            "and the wind moves softly through long yellow grass there")
+    docs = spark.createDataFrame(
+        [(1, good),                               # passes every rule
+         (2, "short doc"),                        # rule 1: n_tokens
+         (3, " ".join(["zz"] * 60)),              # rule 2: mean len 2 < 3
+         (4, " ".join(["the", "and"] * 30)),      # rule 5: distinct_ratio
+         (5, " ".join(f"w{i:03d}xx" for i in range(60)))],  # rule 4: stopwords
+        "doc_id LONG, text STRING")
+    rows = {r.doc_id: r for r in gopher_filter(docs).collect()}
+    assert rows[1].keep == 1 and rows[1].fail_reason is None
+    assert rows[2].fail_reason == "n_tokens"
+    assert rows[3].fail_reason == "mean_token_len"
+    # doc 4 survives length/mean/alpha/stopwords, dies on repetition
+    assert rows[4].fail_reason == "distinct_ratio"
+    assert rows[5].fail_reason == "stopwords" and rows[5].stop_hits == 0
+    # rule order is part of the contract: doc 4 ALSO violates top_bigram,
+    # but distinct_ratio fires first
+    assert rows[4].top_bigram_frac > 0.18
 
 
 def test_decontaminate_flags_copies(spark):

@@ -72,6 +72,7 @@ HEADLINE = [
     "minhash_bands",
     "dedup_clusters",
     "near_dup_pipeline",
+    "span_dedup",
     "near_dup_embedding",
     "near_dup_lsh",
     "near_dup_key",

@@ -701,6 +701,53 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
                     (F.col(id_col) == canonical).cast("int").alias("keep")))
 
 
+def span_dedup(docs: DataFrame, text_col: str = "text",
+               span_tokens: int = 5) -> DataFrame:
+    """C4-style span-granular deduplication (Raffel et al. 2020 §2.2:
+    "we discarded all but one of any three-sentence span occurring more
+    than once in the data set" — here the span unit is ``span_tokens``
+    consecutive words, since the corpus fixture has no sentence
+    boundaries).  Unlike document-level dedup this removes boilerplate
+    REGIONS from otherwise-unique documents.
+
+    Semantics: split each doc into non-overlapping ``span_tokens``-word
+    spans (final partial span included); for every distinct span text
+    the FIRST occurrence in (doc_id, pos) order survives; all other
+    occurrences are cut.  Output one row per doc that produced at least
+    one span: (doc_id, n_spans, n_kept, text_kept) — ``text_kept`` is
+    the document re-assembled from surviving spans in position order.
+
+    Scale shape: two keyed exchanges, both on bounded keys — one window
+    over span-text hash partitions (keep-first needs a global order per
+    distinct span; partitions are span-frequency-sized, and a span that
+    repeats enough to skew a partition is exactly the boilerplate being
+    cut), then one doc-keyed aggregate to reassemble.  Never all-pairs,
+    never corpus², and the span table is ~1/span_tokens the token count.
+    """
+    from ..functions.text import tokens
+    k = span_tokens
+    toks = docs.select("doc_id", tokens(text_col).alias("toks"))
+    n_spans = F.ceil(F.size("toks") / F.lit(k)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(" ", F.slice("toks", i * k + 1, k)))
+    from ..functions.plan import select_posexploded
+    sp = select_posexploded(toks, spans, "pos", "span", "doc_id")
+    w = Window.partitionBy("span").orderBy("doc_id", "pos")
+    sp = sp.withColumn("_keep", F.row_number().over(w) == 1)
+    return (sp.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_spans"),
+                 F.sum(F.col("_keep").cast("int")).cast("int")
+                 .alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_keep"),
+                                    F.struct("pos", "span")))),
+                         lambda s: s["span"]),
+                     " ").alias("text_kept")))
+
+
 def edit_near_dups(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", k: int = 3,
                    n_hashes: int = 16, bands: int = 4,

@@ -1103,6 +1103,43 @@ FROM (
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """C4-style span-granular dedup: every repeated 5-word span is cut
+    from all but its first (doc_id, pos) occurrence, docs reassembled
+    from surviving spans — see ops/dedup.py:span_dedup."""
+    from .ops.dedup import span_dedup
+    return span_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_SPAN_DEDUP = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents),
+sp AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(toks) / 5.0) AS INT))) AS pos,
+         toks
+  FROM tok),
+spans AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos * 5 + 1 : pos * 5 + 5], ' ') AS span
+  FROM sp),
+marked AS (
+  SELECT doc_id, pos, span,
+         row_number() OVER (PARTITION BY span
+                            ORDER BY doc_id, pos) = 1 AS keep
+  FROM spans)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_spans,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN span END, ' '
+                           ORDER BY pos), '') AS text_kept
+FROM marked GROUP BY doc_id
+"""
+
+
 def q_gopher_filter(spark, sf_dir):
     """Composite Gopher quality gate (rule chain + first failing rule);
     map-only — see ops/quality.py:gopher_filter."""
@@ -3218,12 +3255,16 @@ QUERIES = {
     "ann_search_filtered": q_ann_search_filtered,
     "bq_ann": q_bq_ann,                 # new r6: first certification
     "near_dup_embedding": q_near_dup_embedding,
-    "near_dup_lsh": q_near_dup_lsh,
+    "span_dedup": q_span_dedup,         # new r6: first certification
     "near_dup_key": q_near_dup_key,     # new r6: first certification
     # ---- position 50 ends here; entries below are PARKED (all freshly
     # ---- certified in the r05 gate window on current fixtures; none reads
     # ---- events.parquet; they rotate back in as window budget allows —
     # ---- SURVEY.md §8)
+    "near_dup_lsh": q_near_dup_lsh,     # parked r6: r05-certified; its
+                                        # block-mode path is untouched this
+                                        # round (r6 changes hit exact-mode
+                                        # guard and key-bucket mode only)
     "dedup_clusters": q_dedup_clusters, # parked r6: r05-certified, CC code
                                         # untouched this round
     "minhash_bands": q_minhash_bands,   # parked r6: r05-certified (banding
@@ -3292,6 +3333,7 @@ def oracle_sql_map() -> dict[str, str]:
         "reservoir_sample": SQL_RESERVOIR,
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "gopher_filter": SQL_GOPHER_FILTER,
+        "span_dedup": SQL_SPAN_DEDUP,
         "boilerplate_stats": SQL_BOILERPLATE,
         "pq_codebook": sql_pq_codebook(PQ_M_SUB, PQ_K, PQ_ITERS),
         "pq_ann": sql_pq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,

@@ -975,6 +975,31 @@ def test_repetition_stats_known_values(spark):
     assert rows[4].n_tokens == 0 and rows[4].distinct_ratio == 0.0
 
 
+def test_span_dedup_keeps_first_occurrence(spark):
+    from fspann_query_system_spark.ops.dedup import span_dedup
+    boiler = "all rights reserved contact us"          # one 5-token span
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon " + boiler),
+         (2, "one two three four five " + boiler),     # span repeated
+         (3, boiler),                                  # doc IS the span
+         (4, "unique words only here now")],
+        "doc_id LONG, text STRING")
+    rows = {r.doc_id: r for r in span_dedup(docs, span_tokens=5).collect()}
+    # doc 1 holds the first occurrence (doc_id order): keeps both spans
+    assert rows[1].n_spans == 2 and rows[1].n_kept == 2
+    assert rows[1].text_kept.endswith(boiler)
+    # docs 2 and 3 lose the repeated span
+    assert rows[2].n_kept == 1
+    assert rows[2].text_kept == "one two three four five"
+    assert rows[3].n_kept == 0 and rows[3].text_kept == ""
+    assert rows[4].n_kept == 1
+    # partial final span: 7 tokens -> spans of 5 and 2
+    docs2 = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id LONG, text STRING")
+    [r] = span_dedup(docs2, span_tokens=5).collect()
+    assert r.n_spans == 2 and r.text_kept == "a b c d e f g"
+
+
 def test_gopher_filter_rule_chain(spark):
     from fspann_query_system_spark.ops.quality import gopher_filter
     good = ("the quick brown fox jumps over the lazy dog and then "

@@ -701,6 +701,40 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
                     (F.col(id_col) == canonical).cast("int").alias("keep")))
 
 
+def leakage_safe_split(docs: DataFrame, val_frac: float = 0.1,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 3, n_hashes: int = 8, bands: int = 8,
+                       threshold: float = 0.5, salt: str = "split",
+                       checkpoint_mode: str = "local") -> DataFrame:
+    """Near-dup-aware train/validation split: every document in a
+    near-duplicate component lands on the SAME side, so no eval example
+    has a training-set near-duplicate (the contamination mode a naive
+    per-doc split creates by construction — the reason Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" found
+    >1% of eval perplexity attributable to train/test overlap).
+
+    Composition: :func:`near_dup_pipeline` (banded candidates → exact
+    Jaccard verify → connected components → canonical id) then a
+    deterministic md5 bucket of the CANONICAL id decides the side — a
+    pure function of (salt, component), so re-runs, appends, and
+    repartitioning cannot move a document, and two docs that dedup
+    together can never straddle the split.
+
+    Output: (doc_id, canonical_id, split 'train'|'val') for every input
+    document.  Scale shape: identical to ``near_dup_pipeline`` (banding
+    bounds candidates; CC is log-round); the split decision adds zero
+    exchanges."""
+    from .sampling import SAMPLE_DENOM, sample_bucket
+    labeled = near_dup_pipeline(docs, text_col=text_col, id_col=id_col,
+                                k=k, n_hashes=n_hashes, bands=bands,
+                                threshold=threshold,
+                                checkpoint_mode=checkpoint_mode)
+    cut = int(round(val_frac * SAMPLE_DENOM))
+    side = F.when(sample_bucket(F.col("canonical_id"), salt) < cut,
+                  F.lit("val")).otherwise(F.lit("train"))
+    return labeled.select(id_col, "canonical_id", side.alias("split"))
+
+
 def span_dedup(docs: DataFrame, text_col: str = "text",
                span_tokens: int = 5) -> DataFrame:
     """C4-style span-granular deduplication (Raffel et al. 2020 §2.2:

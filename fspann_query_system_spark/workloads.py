@@ -2251,7 +2251,10 @@ def q_near_dup_pipeline(spark, sf_dir):
 
 NEAR_DUP_PIPE_THRESHOLD = 0.5
 
-SQL_NEAR_DUP_PIPE = f"""
+# Shared CTE chain (shingles → minhash bands → candidate pairs → exact
+# Jaccard verify → recursive-CTE connected components): the oracle
+# backbone of near_dup_pipeline and leakage_safe_split.
+_SQL_NEAR_DUP_CHAIN = f"""
 WITH RECURSIVE {_SQL_SHINGLES_CTE},
 {_sql_minhash_cte(8)},
 pairs AS (
@@ -2279,10 +2282,34 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN und e ON r.dst = e.a),
 comp AS (SELECT src AS id, least(src, min(dst)) AS component
          FROM reach GROUP BY src)
+"""
+
+SQL_NEAR_DUP_PIPE = _SQL_NEAR_DUP_CHAIN + """
 SELECT d.doc_id,
        coalesce(c.component, d.doc_id) AS canonical_id,
        CAST(d.doc_id = coalesce(c.component, d.doc_id) AS INT) AS keep
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Dedup-aware train/val split: near-dup components land on one
+    side (md5 bucket of the canonical id) — see
+    ops/dedup.py:leakage_safe_split."""
+    from .ops.dedup import leakage_safe_split
+    return leakage_safe_split(_t(spark, sf_dir, "documents"),
+                              val_frac=0.1,
+                              threshold=NEAR_DUP_PIPE_THRESHOLD)
+
+
+SQL_LEAKAGE_SPLIT = _SQL_NEAR_DUP_CHAIN + """
+SELECT doc_id, canonical_id,
+       CASE WHEN ('0x' || substr(md5('split' ||
+                                     CAST(canonical_id AS VARCHAR)),
+                                 1, 15))::BIGINT % 10000 < 1000
+            THEN 'val' ELSE 'train' END AS split
+FROM (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
 """
 
 
@@ -3261,6 +3288,12 @@ QUERIES = {
     # ---- certified in the r05 gate window on current fixtures; none reads
     # ---- events.parquet; they rotate back in as window budget allows —
     # ---- SURVEY.md §8)
+    "leakage_safe_split": q_leakage_safe_split,  # new r6, parked from birth
+                                        # (no safe window slot left: every
+                                        # remaining window entry carries r6
+                                        # code changes needing driver certs);
+                                        # verified by the local full oracle
+                                        # run; first window cert in r7
     "near_dup_lsh": q_near_dup_lsh,     # parked r6: r05-certified; its
                                         # block-mode path is untouched this
                                         # round (r6 changes hit exact-mode
@@ -3334,6 +3367,7 @@ def oracle_sql_map() -> dict[str, str]:
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "gopher_filter": SQL_GOPHER_FILTER,
         "span_dedup": SQL_SPAN_DEDUP,
+        "leakage_safe_split": SQL_LEAKAGE_SPLIT,
         "boilerplate_stats": SQL_BOILERPLATE,
         "pq_codebook": sql_pq_codebook(PQ_M_SUB, PQ_K, PQ_ITERS),
         "pq_ann": sql_pq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,

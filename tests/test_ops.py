@@ -975,6 +975,35 @@ def test_repetition_stats_known_values(spark):
     assert rows[4].n_tokens == 0 and rows[4].distinct_ratio == 0.0
 
 
+def test_leakage_safe_split_components_stay_together(spark):
+    from fspann_query_system_spark.ops.dedup import leakage_safe_split
+    base = ("spark shuffles data between stages whenever a wide "
+            "dependency like a join or group by forces a repartition "
+            "of the rows across the executors of the whole cluster")
+    rows = [(1, base), (2, base + " extra"), (3, base + " more words")]
+    rows += [(100 + i, f"unique doc {i} " + " ".join(
+        f"tok{i}x{j}" for j in range(30))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in
+           leakage_safe_split(docs, val_frac=0.3).collect()}
+    assert len(out) == 43
+    # the planted near-dup trio shares a canonical id and a side
+    assert out[1].canonical_id == out[2].canonical_id == \
+        out[3].canonical_id == 1
+    assert out[1].split == out[2].split == out[3].split
+    # deterministic: a re-run lands every doc on the same side
+    again = {r.doc_id: r.split for r in
+             leakage_safe_split(docs, val_frac=0.3).collect()}
+    assert again == {k: v.split for k, v in out.items()}
+    # both sides populated at val_frac=0.3 over 40 singletons
+    sides = {v.split for v in out.values()}
+    assert sides == {"train", "val"}
+    # a different salt derives an independent split
+    other = {r.doc_id: r.split for r in
+             leakage_safe_split(docs, val_frac=0.3, salt="s2").collect()}
+    assert other != {k: v.split for k, v in out.items()}
+
+
 def test_span_dedup_keeps_first_occurrence(spark):
     from fspann_query_system_spark.ops.dedup import span_dedup
     boiler = "all rights reserved contact us"          # one 5-token span

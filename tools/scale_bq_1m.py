@@ -1,0 +1,87 @@
+"""1M-vector scale measurement for the binary-quantization family
+(SCALE.md §9e): ``bq_encode`` throughput and ``bq_topk`` amortized
+ms/query + recall@100 vs exact ground truth, at increasing rerank.
+
+Same corpus/GT harness as the PQ tool (``scale_bench.make_data``:
+64 clusters, sigma 1.0, dim 64).  1-bit codes collapse each cluster
+onto a near-constant sign pattern, so recall is a direct function of
+whether rerank covers the intra-cluster tie plateau (n/64 vectors) —
+the measured curve quantifies the documented BQ trade.
+
+Usage: python3 tools/scale_bq_1m.py [n] [nq]
+Appends one JSON line to tools/scale_bq_1m.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from pyspark.sql import functions as F                   # noqa: E402
+
+from fspann_query_system_spark.session import get_spark  # noqa: E402
+from scale_bench import DIM, K, make_data, materialize   # noqa: E402
+from scale_pq_1m import exact_gt                         # noqa: E402
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark("scale-bq-1m",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    from fspann_query_system_spark.ops.similarity import (bq_encode,
+                                                          bq_thresholds,
+                                                          bq_topk,
+                                                          sq8_stats)
+
+    X = make_data(n)
+    vec = materialize(spark, X)
+    rng = np.random.default_rng(11)
+    q_ids = np.sort(rng.choice(n, nq, replace=False))
+    queries = (vec.filter(F.col("id").isin([int(q) for q in q_ids]))
+               .select(F.col("id").alias("q_id"), "vector").persist())
+    queries.count()
+    print("computing exact GT...", flush=True)
+    gt = exact_gt(X, q_ids)
+
+    out = {"n": n, "nq": nq, "dim": DIM}
+
+    t0 = time.time()
+    mins, maxs = sq8_stats(vec)
+    thr = bq_thresholds(mins, maxs)
+    out["thresholds_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    codes = bq_encode(vec, thr).persist()
+    codes.count()
+    out["encode_s"] = round(time.time() - t0, 1)
+
+    for rr in (16, 64, 256):
+        t0 = time.time()
+        rows = bq_topk(vec, queries, thr, k=K, rerank=rr,
+                       codes=codes).collect()
+        w = time.time() - t0
+        got: dict[int, set] = {}
+        for r in rows:
+            got.setdefault(r.q_id, set()).add(r.id)
+        rec = float(np.mean([len(got.get(int(q), set()) & gt[int(q)]) / K
+                             for q in q_ids]))
+        out[f"bq_r{rr}_ms_q"] = round(w / nq * 1000, 1)
+        out[f"bq_r{rr}_recall"] = round(rec, 3)
+        print(f"rerank={rr}: {out[f'bq_r{rr}_ms_q']} ms/q "
+              f"recall {rec:.3f}", flush=True)
+
+    print(json.dumps(out), flush=True)
+    with open("/root/repo/tools/scale_bq_1m.jsonl", "a") as f:
+        f.write(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -306,3 +306,47 @@ def test_boilerplate_stats_plan_no_product(spark):
         "doc_id LONG, text STRING")
     plan = _formatted(boilerplate_stats(docs, n=3, min_docs=3))
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_filter_is_map_only(spark):
+    """The composite Gopher gate is array-side HOFs over each row: one
+    scan + project, zero exchanges at any corpus size."""
+    from fspann_query_system_spark.ops.quality import gopher_filter
+    plan = _plan(gopher_filter(W._t(spark, SF, "documents")))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_span_dedup_two_bounded_exchanges_no_double_eval(spark):
+    """span_dedup shuffles exactly twice (span-keyed window, doc-keyed
+    reassembly) and must not re-evaluate the computed span array below
+    the Generate (the InferFiltersFromGenerate double-eval class)."""
+    from fspann_query_system_spark.ops.dedup import span_dedup
+    import re
+    plan = _formatted(span_dedup(W._t(spark, SF, "documents")))
+    # formatted output names each node twice (tree + detail section)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 2, plan
+    assert "CartesianProduct" not in plan
+    # the explode goes through select_posexploded (posexplode in Outer
+    # mode): no inferred size()-filter duplicating the slice chain below
+    # the Generate
+    assert "posexplode" in plan, plan
+    # the inferred-filter double-eval class would insert a Filter BELOW
+    # the Generate (smaller node id) re-evaluating the span build; the
+    # only Filter here is select_posexploded's null guard above it
+    nodes = dict((name, int(i)) for i, name in
+                 re.findall(r"^\((\d+)\) (\w+)", plan, re.M))
+    assert nodes.get("Filter", 10 ** 6) > nodes["Generate"], plan
+
+
+def test_bq_topk_no_product_and_broadcast_rerank(spark):
+    """BQ ANN: approx stage is a scan-side kernel (no Q x N join); the
+    exact re-rank broadcasts the tiny query side."""
+    from fspann_query_system_spark.ops.similarity import bq_topk
+    base = W._emb(spark, SF)
+    q = base.filter(F.col("id") < 5).selectExpr("id as q_id", "vector")
+    plan = _formatted(bq_topk(base, q, [0.0] * 64, k=5, rerank=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -27,7 +27,7 @@ order on both sides so doubles agree bit-for-bit before rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -440,6 +440,65 @@ def bm25(docs: DataFrame, terms: tuple[str, ...],
             .where(F.col("n_terms_matched") > 0)
             .select("doc_id", "dl", "n_terms_matched",
                     F.round(score, 4).alias("bm25")))
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              text_col: str = "text",
+              q_id_col: str = "q_id", terms_col: str = "terms",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Multi-query BM25 retrieval: the top-k documents per query — the
+    inverted-index search plan (posting-list join), complementing
+    :func:`bm25` (fixed-term scoring column) and ``tfidf_topk``
+    (per-doc keyword extraction).
+
+    ``queries`` is (q_id, terms ARRAY<STRING>); scoring uses the same
+    Okapi formula as :func:`bm25`, summed over the query's distinct
+    terms; ranking and output round to 4 dp (cross-engine fp-sum-order
+    discipline, same as ``unigram_logprob``), ties break on doc_id.
+
+    Output: (q_id, doc_id, n_terms_matched, bm25, rank <= k).
+
+    Scale shape: the corpus collapses to the (doc, term, tf) posting
+    table in ONE shuffle; a broadcast semi-join against the query term
+    set drops every posting list a query never touches BEFORE df/stats
+    work; df per surviving term derives from the filtered postings
+    (every doc containing t is in t's posting list); corpus N/avgdl is
+    a 1-row aggregate.  The scoring join is term-keyed, the final agg
+    (q_id, doc)-keyed, top-k a WindowGroupLimit — never corpus × queries.
+    """
+    from ..functions.plan import select_exploded
+    d = docs.select("doc_id", T.tokens(text_col).alias("toks"))
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tok = select_exploded(d, F.col("toks"), "term", "doc_id")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    qt = (select_exploded(
+        queries.select(F.col(q_id_col).alias("q_id"), terms_col),
+        F.col(terms_col), "term", "q_id").distinct())
+    qterms = qt.select("term").distinct()
+    posts = tf.join(F.broadcast(qterms), "term", "leftsemi")
+    dfreq = posts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tfv = F.col("tf").cast("double")
+    part = idf * (tfv * F.lit(k1 + 1.0)) / (
+        tfv + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                           + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    scored = (posts.join(F.broadcast(qt), "term")
+              .join(dfreq, "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .select("q_id", "doc_id", part.alias("part")))
+    agg = (scored.groupBy("q_id", "doc_id")
+           .agg(F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+                F.round(F.sum("part"), 4).alias("bm25")))
+    w = Window.partitionBy("q_id").orderBy(F.col("bm25").desc(),
+                                           F.col("doc_id").asc())
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "doc_id", "n_terms_matched", "bm25", "rank"))
 
 
 def boilerplate_stats(docs: DataFrame, text_col: str = "text",

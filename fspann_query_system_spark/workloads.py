@@ -1621,6 +1621,60 @@ WHERE {matched} > 0
 """
 
 
+BM25_QUERIES = ((0, ("spark", "join")),
+                (1, ("hash", "table", "scan")),
+                (2, ("customer", "order", "value")))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Multi-query BM25 retrieval (inverted-index posting-list join):
+    top-10 docs per query — see ops/quality.py:bm25_topk."""
+    from .ops.quality import bm25_topk
+    queries = spark.createDataFrame(
+        [(q, list(t)) for q, t in BM25_QUERIES],
+        "q_id LONG, terms ARRAY<STRING>")
+    return bm25_topk(_t(spark, sf_dir, "documents"), queries, k=10,
+                     k1=_BM25_K1, b=_BM25_B)
+
+
+def _sql_bm25_topk() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    qrows = ", ".join(f"({q}, '{t}')"
+                      for q, terms in BM25_QUERIES for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+qt(q_id, term) AS (VALUES {qrows}),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+       GROUP BY 1, 2),
+posts AS (SELECT * FROM tf WHERE term IN (SELECT term FROM qt)),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM posts GROUP BY 1),
+scored AS (
+  SELECT q.q_id, p.doc_id,
+         ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+         * (p.tf::DOUBLE * {k1 + 1.0!r})
+         / (p.tf::DOUBLE + {k1!r} * (1.0 - {b!r} + {b!r} * d.dl / s.avgdl))
+           AS part
+  FROM posts p JOIN qt q USING (term) JOIN dfreq f USING (term)
+       JOIN dl d USING (doc_id) CROSS JOIN stats s),
+agg AS (SELECT q_id, doc_id,
+               CAST(count(*) AS INT) AS n_terms_matched,
+               round(sum(part), 4) AS bm25
+        FROM scored GROUP BY 1, 2)
+SELECT q_id, doc_id, n_terms_matched, bm25, CAST(rnk AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM agg)
+WHERE rnk <= 10
+"""
+
+
 def q_streaming_minhash(spark, sf_dir):
     """Streaming MinHash signatures: the dedup-ingest path as a running
     complete-mode aggregate — per-document signature state accumulates
@@ -3288,6 +3342,8 @@ QUERIES = {
     # ---- certified in the r05 gate window on current fixtures; none reads
     # ---- events.parquet; they rotate back in as window budget allows —
     # ---- SURVEY.md §8)
+    "bm25_topk": q_bm25_topk,           # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
     "leakage_safe_split": q_leakage_safe_split,  # new r6, parked from birth
                                         # (no safe window slot left: every
                                         # remaining window entry carries r6
@@ -3368,6 +3424,7 @@ def oracle_sql_map() -> dict[str, str]:
         "gopher_filter": SQL_GOPHER_FILTER,
         "span_dedup": SQL_SPAN_DEDUP,
         "leakage_safe_split": SQL_LEAKAGE_SPLIT,
+        "bm25_topk": _sql_bm25_topk(),
         "boilerplate_stats": SQL_BOILERPLATE,
         "pq_codebook": sql_pq_codebook(PQ_M_SUB, PQ_K, PQ_ITERS),
         "pq_ann": sql_pq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,

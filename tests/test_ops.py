@@ -1074,6 +1074,37 @@ def test_decontaminate_flags_copies(spark):
     assert rows[3].contaminated == 1              # 0.5 >= threshold
 
 
+def test_bm25_topk_retrieval(spark):
+    import math
+    from fspann_query_system_spark.ops.quality import bm25_topk
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle spark join spark"),   # heavy on q0 terms
+         (2, "spark appears once here only"),
+         (3, "hash table hash probe build"),
+         (4, "totally unrelated words everywhere")],
+        "doc_id LONG, text STRING")
+    queries = spark.createDataFrame(
+        [(0, ["spark", "join"]), (1, ["hash"]), (2, ["absentterm"])],
+        "q_id LONG, terms ARRAY<STRING>")
+    rows = bm25_topk(docs, queries, k=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    # q0: doc 1 (tf 3 + join hit) above doc 2 (tf 1)
+    got0 = sorted(by_q[0], key=lambda r: r.rank)
+    assert [r.doc_id for r in got0] == [1, 2]
+    assert got0[0].n_terms_matched == 2 and got0[1].n_terms_matched == 1
+    # q1: only doc 3 contains 'hash'
+    assert [r.doc_id for r in by_q[1]] == [3]
+    # q2: no postings -> no rows
+    assert 2 not in by_q
+    # formula spot-check: q1/doc3, tf=2, df=1, N=4, dl=5, avgdl=19/4
+    k1, b = 1.2, 0.75
+    idf = math.log(1 + (4 - 1 + 0.5) / (1 + 0.5))
+    expect = idf * (2 * (k1 + 1)) / (2 + k1 * (1 - b + b * 5 / (19 / 4)))
+    assert by_q[1][0].bm25 == pytest.approx(round(expect, 4), abs=1e-4)
+
+
 def test_bm25_matches_reference_formula(spark):
     import math
     from fspann_query_system_spark.ops.quality import bm25

@@ -2219,6 +2219,47 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_incremental_dedup(spark, sf_dir):
+    """Streaming admission control — the incremental-dedup ingest shape
+    as a live stream: the standing corpus's band table is materialized
+    ONCE (localCheckpoint here; a bucketed table in production), then
+    every arriving micro-batch is banded O(batch) inside foreachBatch
+    and equi-joined against it (broadcast_batch mode: the corpus never
+    exchanges per batch).  foreachBatch is the correct vehicle because
+    banding is itself an aggregation — a second streaming agg on top
+    would exceed Structured Streaming's single-agg limit.
+
+    Same oracle as `incremental_dedup`: one availableNow micro-batch
+    over the single fixture file reproduces the batch twin exactly."""
+    import uuid
+    docs = _t(spark, sf_dir, "documents")
+    from .ops.dedup import band_table, incremental_near_dups
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    corpus_bands = band_table(corpus, "text", "doc_id",
+                              k=3, n_hashes=8, bands=8).localCheckpoint()
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    collected: list = []
+
+    def admit(bdf, _bid):
+        new = bdf.filter(F.col("doc_id") % 4 == 0)
+        out = incremental_near_dups(corpus, new, "text", "doc_id",
+                                    k=3, n_hashes=8, bands=8,
+                                    corpus_bands=corpus_bands,
+                                    broadcast_batch=True)
+        collected.extend(out.collect())
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    q = (stream.writeStream.foreachBatch(admit)
+         .queryName("stream_inc_dedup_" + uuid.uuid4().hex[:8])
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.createDataFrame(
+        collected, "new_id LONG, corpus_id LONG, n_shared_bands BIGINT")
+
+
 EDIT_MAX_DIST = 80
 
 
@@ -3342,6 +3383,9 @@ QUERIES = {
     # ---- certified in the r05 gate window on current fixtures; none reads
     # ---- events.parquet; they rotate back in as window budget allows —
     # ---- SURVEY.md §8)
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
+                                        # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
     "bm25_topk": q_bm25_topk,           # new r6, parked from birth (see
                                         # leakage_safe_split note below)
     "leakage_safe_split": q_leakage_safe_split,  # new r6, parked from birth
@@ -3425,6 +3469,7 @@ def oracle_sql_map() -> dict[str, str]:
         "span_dedup": SQL_SPAN_DEDUP,
         "leakage_safe_split": SQL_LEAKAGE_SPLIT,
         "bm25_topk": _sql_bm25_topk(),
+        "streaming_incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "boilerplate_stats": SQL_BOILERPLATE,
         "pq_codebook": sql_pq_codebook(PQ_M_SUB, PQ_K, PQ_ITERS),
         "pq_ann": sql_pq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,

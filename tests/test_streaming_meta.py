@@ -219,3 +219,47 @@ def test_windowed_counts_watermark_drops_late_data(spark, tmp_path):
             for r in spark.table(name).collect()}
     # the 10:00 window finalized with the three ON-TIME rows only
     assert rows[(t(0), "click")] == 3
+
+
+def test_streaming_incremental_dedup_admission_across_batches(spark, tmp_path):
+    """Incremental admission over two file drops: the corpus band table
+    is built ONCE; each micro-batch bands only itself inside
+    foreachBatch and joins the static bands — a near-dup arriving in
+    either batch is flagged against the same standing corpus."""
+    from fspann_query_system_spark.ops.dedup import (band_table,
+                                                     incremental_near_dups)
+    corpus_rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+                   (2, "completely different corpus document number two here")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id LONG, text STRING")
+    corpus_bands = band_table(corpus, "text", "doc_id",
+                              k=3, n_hashes=8, bands=8).localCheckpoint()
+    src = str(tmp_path / "newdocs")
+    batches = [
+        # batch 1: near-dup of corpus doc 1 (one word swapped) + a new doc
+        [(100, "the quick brown fox jumps over the lazy dog tonight"),
+         (101, "fresh unseen content alpha beta gamma delta epsilon zeta")],
+        # batch 2: near-dup of corpus doc 2
+        [(200, "completely different corpus document number two there")],
+    ]
+    for rows in batches:
+        (spark.createDataFrame(rows, "doc_id LONG, text STRING")
+         .coalesce(1).write.mode("append").parquet(src))
+        time.sleep(1.2)
+    collected = []
+
+    def admit(bdf, _bid):
+        out = incremental_near_dups(corpus, bdf, "text", "doc_id",
+                                    k=3, n_hashes=8, bands=8,
+                                    corpus_bands=corpus_bands,
+                                    broadcast_batch=True)
+        collected.extend(out.collect())
+
+    stream = (spark.readStream.schema("doc_id LONG, text STRING")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(admit)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2
+    hits = {(r.new_id, r.corpus_id) for r in collected}
+    assert (100, 1) in hits and (200, 2) in hits
+    assert not any(n == 101 for n, _ in hits)      # the new doc admits

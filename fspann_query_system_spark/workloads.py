@@ -751,6 +751,10 @@ WHERE pos <= n - {WINNOW_WINDOW - 1} OR (n < {WINNOW_WINDOW} AND pos = 1)
 """
 
 
+def _sql_shingles_cte(src: str = "documents") -> str:
+    return _SQL_SHINGLES_CTE.replace("FROM documents)", f"FROM {src})", 1)
+
+
 _SQL_SHINGLES_CTE = """
 docs AS (
   SELECT doc_id,
@@ -2348,9 +2352,12 @@ NEAR_DUP_PIPE_THRESHOLD = 0.5
 
 # Shared CTE chain (shingles → minhash bands → candidate pairs → exact
 # Jaccard verify → recursive-CTE connected components): the oracle
-# backbone of near_dup_pipeline and leakage_safe_split.
-_SQL_NEAR_DUP_CHAIN = f"""
-WITH RECURSIVE {_SQL_SHINGLES_CTE},
+# backbone of near_dup_pipeline, leakage_safe_split and
+# training_corpus_prep.  ``pre`` injects CTEs ahead of the chain;
+# ``src`` redirects the shingle source (default: the documents table).
+def _sql_near_dup_chain(src: str = "documents", pre: str = "") -> str:
+    return f"""
+WITH RECURSIVE {pre}{_sql_shingles_cte(src)},
 {_sql_minhash_cte(8)},
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2378,6 +2385,95 @@ reach(src, dst) AS (
 comp AS (SELECT src AS id, least(src, min(dst)) AS component
          FROM reach GROUP BY src)
 """
+
+
+_SQL_NEAR_DUP_CHAIN = _sql_near_dup_chain()
+
+PREP_MIN_TOKENS = 30
+PREP_MIN_DISTINCT = 0.35
+PREP_ALPHA = 0.3
+PREP_BUDGET = 0.7
+
+
+def q_training_corpus_prep(spark, sf_dir):
+    """The capstone corpus-prep composite — the full training-data
+    pipeline as ONE plan: Gopher quality gate (multilingual: stopword
+    rule off) → near-dup pipeline over survivors (banded candidates,
+    exact verify, CC, keep canonical) → temperature-scaled language
+    mix of the deduped corpus.  Every stage is an already-certified
+    operator; the composite certifies their composition."""
+    from .ops.dedup import near_dup_pipeline
+    from .ops.quality import gopher_filter
+    from .ops.sampling import temperature_mix
+    docs = _t(spark, sf_dir, "documents")
+    qual = (gopher_filter(docs, min_tokens=PREP_MIN_TOKENS,
+                          min_stop_hits=0,
+                          min_distinct_ratio=PREP_MIN_DISTINCT)
+            .filter(F.col("keep") == 1).select("doc_id"))
+    clean = docs.join(qual, "doc_id", "leftsemi")
+    canon = (near_dup_pipeline(clean, threshold=NEAR_DUP_PIPE_THRESHOLD)
+             .filter(F.col("keep") == 1).select("doc_id"))
+    surv = clean.join(canon, "doc_id", "leftsemi")
+    return temperature_mix(surv, alpha=PREP_ALPHA,
+                           budget_frac=PREP_BUDGET, strata_col="lang")
+
+
+def _sql_training_corpus_prep() -> str:
+    qual = f"""
+tokq AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                          p -> p[1] || ' ' || p[2])
+         ELSE []::VARCHAR[] END AS bigrams
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents)),
+qual AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, n_tokens,
+      round(CASE WHEN n_tokens > 0
+                 THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                      / n_tokens ELSE 0.0 END, 6) AS mtl,
+      round(CASE WHEN n_tokens > 0
+                 THEN len(list_filter(toks,
+                            t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                      / n_tokens ELSE 0.0 END, 6) AS ar,
+      round(CASE WHEN n_tokens > 0
+                 THEN len(list_distinct(toks))::DOUBLE / n_tokens
+                 ELSE 0.0 END, 6) AS dr,
+      round(CASE WHEN n_tokens >= 2
+                 THEN list_max(list_transform(list_distinct(bigrams),
+                        g -> len(list_filter(bigrams, x -> x = g))))::DOUBLE
+                      / (n_tokens - 1)
+                 ELSE 0.0 END, 6) AS tbf
+    FROM tokq)
+  WHERE n_tokens >= {PREP_MIN_TOKENS} AND n_tokens <= 100000
+        AND mtl >= 3.0 AND mtl <= 10.0 AND ar >= 0.8
+        AND dr >= {PREP_MIN_DISTINCT} AND tbf <= 0.18),
+qdocs AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN qual USING (doc_id)),
+"""
+    return _sql_near_dup_chain(src="qdocs", pre=qual) + f"""
+, kept AS (
+  SELECT q.doc_id, q.lang
+  FROM qdocs q LEFT JOIN comp c ON c.id = q.doc_id
+  WHERE coalesce(c.component, q.doc_id) = q.doc_id),
+t AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM kept GROUP BY lang),
+z AS (SELECT sum(pow(n, {PREP_ALPHA})) AS zn, sum(n) AS total FROM t),
+r AS (SELECT t.lang,
+             least(1.0, round({PREP_BUDGET} * z.total
+                              * pow(t.n, {PREP_ALPHA}) / z.zn / t.n,
+                              6)) AS rate
+      FROM t CROSS JOIN z)
+SELECT k.doc_id, k.lang, r.rate
+FROM kept k JOIN r USING (lang)
+WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < CAST(floor(r.rate * 10000) AS BIGINT)
+"""
+
 
 SQL_NEAR_DUP_PIPE = _SQL_NEAR_DUP_CHAIN + """
 SELECT d.doc_id,
@@ -3383,6 +3479,9 @@ QUERIES = {
     # ---- certified in the r05 gate window on current fixtures; none reads
     # ---- events.parquet; they rotate back in as window budget allows —
     # ---- SURVEY.md §8)
+    "training_corpus_prep": q_training_corpus_prep,
+                                        # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
                                         # new r6, parked from birth (see
                                         # leakage_safe_split note below)
@@ -3470,6 +3569,7 @@ def oracle_sql_map() -> dict[str, str]:
         "leakage_safe_split": SQL_LEAKAGE_SPLIT,
         "bm25_topk": _sql_bm25_topk(),
         "streaming_incremental_dedup": SQL_INCREMENTAL_DEDUP,
+        "training_corpus_prep": _sql_training_corpus_prep(),
         "boilerplate_stats": SQL_BOILERPLATE,
         "pq_codebook": sql_pq_codebook(PQ_M_SUB, PQ_K, PQ_ITERS),
         "pq_ann": sql_pq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,

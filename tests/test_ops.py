@@ -975,6 +975,33 @@ def test_repetition_stats_known_values(spark):
     assert rows[4].n_tokens == 0 and rows[4].distinct_ratio == 0.0
 
 
+def test_training_corpus_prep_composes_stages(spark):
+    """The capstone composite: quality-rejected docs never reach dedup,
+    near-dup copies never reach the mix, and the mix output is a subset
+    of the deduped survivors with per-lang rates attached."""
+    from fspann_query_system_spark import workloads as W
+    out = W.q_training_corpus_prep(spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    assert 0 < len(rows) < 500
+    assert {r.lang for r in rows} <= {"en", "es", "de", "fr", "zh"}
+    assert all(0 < r.rate <= 1.0 for r in rows)
+    # stage containment: every emitted doc passed the quality gate and
+    # is its cluster's canonical
+    from fspann_query_system_spark.ops.dedup import near_dup_pipeline
+    from fspann_query_system_spark.ops.quality import gopher_filter
+    docs = W._t(spark, "/root/testdata/sf0.01", "documents")
+    qual = {r.doc_id for r in
+            gopher_filter(docs, min_tokens=30, min_stop_hits=0,
+                          min_distinct_ratio=0.35)
+            .filter(F.col("keep") == 1).select("doc_id").collect()}
+    emitted = {r.doc_id for r in rows}
+    assert emitted <= qual
+    clean = docs.filter(F.col("doc_id").isin([int(i) for i in qual]))
+    canon = {r.doc_id for r in near_dup_pipeline(clean)
+             .filter(F.col("keep") == 1).select("doc_id").collect()}
+    assert emitted <= canon
+
+
 def test_leakage_safe_split_components_stay_together(spark):
     from fspann_query_system_spark.ops.dedup import leakage_safe_split
     base = ("spark shuffles data between stages whenever a wide "

@@ -252,3 +252,41 @@ def temperature_mix(df: DataFrame, alpha: float = 0.3,
             .filter(sample_bucket(F.col(key_col), salt)
                     < F.floor(F.col("rate") * SAMPLE_DENOM).cast("long")))
     return kept.select(F.col(key_col), F.col(strata_col), F.col("rate"))
+
+
+def quality_curriculum(docs: DataFrame, n_buckets: int = 4,
+                       floor: float = 0.2, text_col: str = "text",
+                       key_col: str = "doc_id",
+                       salt: str = "") -> DataFrame:
+    """Quality-bucketed curriculum sampling: score every document with
+    the engine's composite quality heuristic, split the corpus into
+    ``n_buckets`` equal-size quality tiers (ntile over (score, id) —
+    the id tie-break makes bucket assignment deterministic across
+    engines and re-runs), and keep a linearly ramped fraction of each:
+    rate(worst)=``floor`` … rate(best)=1.0.  The "sample more of the
+    good data" recipe (perplexity-bucket sampling of CCNet, quality
+    weighting of DoReMi-style mixes) without duplicating any row.
+
+    Output: (key, bucket 1..n, rate) for kept rows.  The keep decision
+    is the same deterministic md5 bucket as :func:`stratified_sample`
+    (append-stable, salt-derivable).
+
+    Scale shape: scoring is map-only; the ntile is ONE global sort of
+    (score, id) pairs — a 16-byte-row exchange, the same budget as any
+    global rank; the keep filter is map-side.  For corpora where even
+    that is too hot, the partitioner's two-pass ranking scheme applies,
+    but a quality curriculum is typically computed on corpus-sized
+    metadata, not raw bytes.
+    """
+    from ..functions.text import quality_score
+    scored = docs.select(F.col(key_col),
+                         F.round(quality_score(text_col), 6).alias("q"))
+    w = Window.orderBy(F.col("q").asc(), F.col(key_col).asc())
+    b = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    rate = F.round(
+        F.lit(floor) + F.lit(1.0 - floor)
+        * (F.col("bucket") - 1) / F.lit(float(n_buckets - 1)), 6)
+    b = b.withColumn("rate", rate)
+    return (b.filter(sample_bucket(F.col(key_col), salt)
+                     < F.floor(F.col("rate") * SAMPLE_DENOM).cast("long"))
+            .select(key_col, "bucket", "rate"))

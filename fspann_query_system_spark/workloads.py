@@ -670,6 +670,50 @@ FROM (SELECT doc_id, text,
 """
 
 
+_SQL_QUALITY_EXPR = """round(
+    least(1.0, len(toks) / 50.0) * 0.3
+    + least(1.0, CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','on','for','with','as','by','at','be','this','that','it','or','are'], t)))::DOUBLE / len(toks) ELSE 0.0 END * 4.0) * 0.3
+    + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text) ELSE 0.0 END) * 10.0) * 0.2
+    + least(1.0, CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) ELSE 0.0 END / 8.0) * 0.2
+  , 6)"""
+
+CURRICULUM_BUCKETS = 4
+CURRICULUM_FLOOR = 0.2
+
+
+def q_quality_curriculum(spark, sf_dir):
+    """Quality-bucketed curriculum sampling: ntile quality tiers with a
+    linearly ramped keep rate (keep more of the better data) — see
+    ops/sampling.py:quality_curriculum."""
+    from .ops.sampling import quality_curriculum
+    return quality_curriculum(_t(spark, sf_dir, "documents"),
+                              n_buckets=CURRICULUM_BUCKETS,
+                              floor=CURRICULUM_FLOOR)
+
+
+SQL_QUALITY_CURRICULUM = f"""
+WITH s AS (
+  SELECT doc_id, {_SQL_QUALITY_EXPR} AS q
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents)),
+b AS (SELECT doc_id,
+             CAST(ntile({CURRICULUM_BUCKETS})
+                  OVER (ORDER BY q, doc_id) AS INT) AS bucket
+      FROM s),
+r AS (SELECT doc_id, bucket,
+             round({CURRICULUM_FLOOR} + {1.0 - CURRICULUM_FLOOR}
+                   * (bucket - 1) / {float(CURRICULUM_BUCKETS - 1)!r},
+                   6) AS rate
+      FROM b)
+SELECT doc_id, bucket, rate
+FROM r
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < CAST(floor(rate * 10000) AS BIGINT)
+"""
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", T.lang_id("text").alias("lang_pred"))
@@ -3479,6 +3523,9 @@ QUERIES = {
     # ---- certified in the r05 gate window on current fixtures; none reads
     # ---- events.parquet; they rotate back in as window budget allows —
     # ---- SURVEY.md §8)
+    "quality_curriculum": q_quality_curriculum,
+                                        # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
     "training_corpus_prep": q_training_corpus_prep,
                                         # new r6, parked from birth (see
                                         # leakage_safe_split note below)
@@ -3570,6 +3617,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_topk": _sql_bm25_topk(),
         "streaming_incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "training_corpus_prep": _sql_training_corpus_prep(),
+        "quality_curriculum": SQL_QUALITY_CURRICULUM,
         "boilerplate_stats": SQL_BOILERPLATE,
         "pq_codebook": sql_pq_codebook(PQ_M_SUB, PQ_K, PQ_ITERS),
         "pq_ann": sql_pq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,

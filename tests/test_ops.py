@@ -975,6 +975,28 @@ def test_repetition_stats_known_values(spark):
     assert rows[4].n_tokens == 0 and rows[4].distinct_ratio == 0.0
 
 
+def test_quality_curriculum_ramp_and_determinism(spark):
+    from fspann_query_system_spark.ops.sampling import quality_curriculum
+    docs = spark.createDataFrame(
+        [(i, ("the and of to in is on for with as by at it or are "
+              "good long document text " * (1 + i % 5))[: 40 + 7 * i])
+         for i in range(200)],
+        "doc_id LONG, text STRING")
+    out = quality_curriculum(docs, n_buckets=4, floor=0.25).collect()
+    assert 0 < len(out) < 200
+    rates = {r.bucket: r.rate for r in out}
+    # linear ramp 0.25 -> 1.0 over 4 buckets
+    assert rates == {1: 0.25, 2: 0.5, 3: 0.75, 4: 1.0} or \
+        set(rates.items()) <= {(1, 0.25), (2, 0.5), (3, 0.75), (4, 1.0)}
+    # bucket 4 (best) keeps everything: 50 docs per ntile bucket
+    assert sum(1 for r in out if r.bucket == 4) == 50
+    # deterministic under re-run and partitioning
+    again = sorted((r.doc_id, r.bucket) for r in
+                   quality_curriculum(docs.repartition(13), n_buckets=4,
+                                      floor=0.25).collect())
+    assert again == sorted((r.doc_id, r.bucket) for r in out)
+
+
 def test_training_corpus_prep_composes_stages(spark):
     """The capstone composite: quality-rejected docs never reach dedup,
     near-dup copies never reach the mix, and the mix output is a subset

@@ -727,12 +727,28 @@ def bq_topk(base: DataFrame, queries: DataFrame, thresholds: list,
             ids = pdf["id"].to_numpy()
             n = len(ids)
             take = min(kk_, n)
+            # Hamming is integer-valued with massive tie plateaus
+            # (every member of a code-degenerate cluster shares one
+            # value), so a tie-INCLUSIVE cut can keep ~whole clusters
+            # per batch (measured: 10× blowup at 10M as rerank grows).
+            # Instead select EXACTLY the batch top-take by the global
+            # order (ham, id) via one packed-int argpartition — still
+            # partition-invariant (a global top-kk row is a batch
+            # top-kk row under the same total order), flat in rerank.
+            ids_i = np.asarray(ids)
+            packable = (np.issubdtype(ids_i.dtype, np.integer)
+                        and n and ids_i.min() >= 0
+                        and ids_i.max() < (1 << 48))
             frames = []
             for qi in range(len(q_ids_)):
                 ham = _popcount64(W ^ qw_[qi]).sum(axis=1)
                 if take < n:
-                    kth = np.partition(ham, take - 1)[take - 1]
-                    part = np.flatnonzero(ham <= kth)
+                    if packable:
+                        key = (ham << np.int64(48)) | ids_i.astype(np.int64)
+                        part = np.argpartition(key, take - 1)[:take]
+                    else:
+                        kth = np.partition(ham, take - 1)[take - 1]
+                        part = np.flatnonzero(ham <= kth)
                 else:
                     part = np.arange(n)
                 frames.append(pd.DataFrame({

@@ -87,6 +87,30 @@ def main():
           "wall_sec": round(gwall, 1), "docs_per_sec": round(n / gwall),
           "rows_out": gagg.rows, "keep_frac": round(gagg.kept / gagg.rows, 4)})
 
+    # ---- training_corpus_prep (the capstone composite, end-to-end) ----
+    # gate relaxed to this corpus: 40-token docs, no stopwords, distinct
+    # ratio high (w#### vocab) — quality passes everything, so the
+    # composite's cost is gate-scan + dedup + mix, the realistic shape.
+    from fspann_query_system_spark.ops.dedup import near_dup_pipeline
+    from fspann_query_system_spark.ops.sampling import temperature_mix
+    docs_l = docs.withColumn("lang", F.concat(
+        F.lit("l"), F.pmod(F.col("doc_id"), F.lit(5))))
+    t0 = time.time()
+    qual = (gopher_filter(docs_l, min_tokens=30, min_stop_hits=0,
+                          min_distinct_ratio=0.35)
+            .filter(F.col("keep") == 1).select("doc_id"))
+    clean = docs_l.join(qual, "doc_id", "leftsemi")
+    canon = (near_dup_pipeline(clean, threshold=0.5)
+             .filter(F.col("keep") == 1).select("doc_id"))
+    surv = clean.join(canon, "doc_id", "leftsemi")
+    mixed = temperature_mix(surv, alpha=0.3, budget_frac=0.7,
+                            strata_col="lang")
+    n_out = mixed.count()
+    wall = time.time() - t0
+    emit({"metric": "training_corpus_prep_1m", "n_docs": n,
+          "wall_sec": round(wall, 1), "docs_per_sec": round(n / wall),
+          "rows_out": n_out})
+
 
 if __name__ == "__main__":
     main()

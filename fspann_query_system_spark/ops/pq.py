@@ -241,6 +241,14 @@ def pq_topk(base: DataFrame, queries: DataFrame, codebook: DataFrame,
                 if take < n:
                     kth = np.partition(d2, take - 1)[take - 1]
                     part = np.flatnonzero(d2 <= kth)
+                    if len(part) > take:
+                        # bound the tie plateau: exactly the batch
+                        # top-take under the global (d2, id) order —
+                        # identical codes tie exactly, and a
+                        # code-degenerate cluster would otherwise ship
+                        # its whole membership to the shortlist window
+                        order = np.lexsort((ids[part], d2[part]))[:take]
+                        part = part[order]
                 else:
                     part = np.arange(n)
                 frames.append(pd.DataFrame({
@@ -413,6 +421,12 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
                 if take < len(keep):
                     kth = np.partition(d2, take - 1)[take - 1]
                     part = np.flatnonzero(d2 <= kth)
+                    if len(part) > take:
+                        # bound the tie plateau (see pq_topk): exact
+                        # batch top-take under the (d2, id) order
+                        kid = ids[keep]
+                        order = np.lexsort((kid[part], d2[part]))[:take]
+                        part = part[order]
                 else:
                     part = np.arange(len(keep))
                 frames.append(pd.DataFrame({

@@ -546,12 +546,20 @@ def sq8_topk(base: DataFrame, queries: DataFrame, mins: list, maxs: list,
             for qi in range(len(q_ids_)):
                 d2 = np.square(R - Q_[qi]).sum(axis=1)
                 if take < n:
-                    # tie-inclusive cut: duplicated vectors yield equal
-                    # codes AND equal exact distances, so an arbitrary
-                    # boundary subset would make the shortlist (and the
-                    # final top-k) depend on batch partitioning
+                    # tie-inclusive cut first (duplicated vectors yield
+                    # equal codes AND equal distances, so an arbitrary
+                    # boundary subset would make the shortlist depend on
+                    # batch partitioning) ...
                     kth = np.partition(d2, take - 1)[take - 1]
                     part = np.flatnonzero(d2 <= kth)
+                    if len(part) > take:
+                        # ... then bound the plateau: exactly the batch
+                        # top-take under the global (d2, id) order — a
+                        # code-degenerate cluster would otherwise ship
+                        # its whole membership to the shortlist window
+                        # (the BQ 10M pathology)
+                        order = np.lexsort((ids[part], d2[part]))[:take]
+                        part = part[order]
                 else:
                     part = np.arange(n)
                 frames.append(pd.DataFrame({

@@ -280,7 +280,12 @@ def _exact_rerank(partial: DataFrame, base: DataFrame, queries: DataFrame,
                      F.col(vector_col).alias("_bv"))
     w_exact = Window.partitionBy("q_id").orderBy(F.col("dist").asc(),
                                                  F.col("id").asc())
-    return (shortlist.join(bv, on="id").join(F.broadcast(qv), on="q_id")
+    # the shortlist is Q*k*rerank-bounded by construction: broadcast
+    # it so the exact re-rank NEVER shuffles the base vector table
+    # (unhinted, a >10MB shortlist silently flipped this join to
+    # sort-merge over the full base — measured 5x at 10M)
+    return (shortlist.hint("broadcast").join(bv, on="id")
+            .join(F.broadcast(qv), on="q_id")
             .withColumn("dist", l2_expr("_qv", "_bv"))
             .withColumn("rank", F.row_number().over(w_exact))
             .filter(F.col("rank") <= k)

@@ -581,7 +581,12 @@ def sq8_topk(base: DataFrame, queries: DataFrame, mins: list, maxs: list,
                      F.col(vector_col).alias("_bv"))
     w_exact = Window.partitionBy("q_id").orderBy(F.col("dist").asc(),
                                                  F.col("id").asc())
-    return (shortlist.join(bv, on="id").join(F.broadcast(qv), on="q_id")
+    # the shortlist is Q*k*rerank-bounded by construction: broadcast
+    # it so the exact re-rank NEVER shuffles the base vector table
+    # (unhinted, a >10MB shortlist silently flipped this join to
+    # sort-merge over the full base — measured 5x at 10M)
+    return (shortlist.hint("broadcast").join(bv, on="id")
+            .join(F.broadcast(qv), on="q_id")
             .withColumn("dist", l2_expr("_qv", "_bv"))
             .withColumn("rank", F.row_number().over(w_exact))
             .filter(F.col("rank") <= k)
@@ -778,7 +783,12 @@ def bq_topk(base: DataFrame, queries: DataFrame, thresholds: list,
                      F.col(vector_col).alias("_bv"))
     w_exact = Window.partitionBy("q_id").orderBy(F.col("dist").asc(),
                                                  F.col("id").asc())
-    return (shortlist.join(bv, on="id").join(F.broadcast(qv), on="q_id")
+    # the shortlist is Q*k*rerank-bounded by construction: broadcast
+    # it so the exact re-rank NEVER shuffles the base vector table
+    # (unhinted, a >10MB shortlist silently flipped this join to
+    # sort-merge over the full base — measured 5x at 10M)
+    return (shortlist.hint("broadcast").join(bv, on="id")
+            .join(F.broadcast(qv), on="q_id")
             .withColumn("dist", l2_expr("_qv", "_bv"))
             .withColumn("rank", F.row_number().over(w_exact))
             .filter(F.col("rank") <= k)

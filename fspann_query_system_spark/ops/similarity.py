@@ -718,15 +718,7 @@ def bq_topk(base: DataFrame, queries: DataFrame, thresholds: list,
             [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    thr = np.array(thresholds, dtype=np.float64)
-    dim = len(thresholds)
-    n_words = (dim + 63) // 64
-    qbits = (Q > thr)                                  # (nq, dim)
-    qwords = np.zeros((len(q_ids), n_words), dtype=np.uint64)
-    for w in range(n_words):
-        chunk = qbits[:, 64 * w:64 * (w + 1)]
-        for j in range(chunk.shape[1]):                # MSB-first
-            qwords[:, w] = (qwords[:, w] << np.uint64(1)) | chunk[:, j].astype(np.uint64)
+    qwords = _pack_query_words(Q, thresholds)
     kk = k * rerank
     bc = spark.sparkContext.broadcast((q_ids, qwords, kk))
 
@@ -793,6 +785,125 @@ def bq_topk(base: DataFrame, queries: DataFrame, thresholds: list,
             .withColumn("rank", F.row_number().over(w_exact))
             .filter(F.col("rank") <= k)
             .select("q_id", "id", "dist", "rank"))
+
+
+def _pack_query_words(Q: np.ndarray, thresholds: list) -> np.ndarray:
+    """Binary-quantize query vectors into packed MSB-first uint64 words
+    (the driver-side mirror of :func:`bq_encode`'s native expression)."""
+    thr = np.array(thresholds, dtype=np.float64)
+    dim = len(thresholds)
+    n_words = (dim + 63) // 64
+    qbits = (Q > thr)
+    qwords = np.zeros((len(Q), n_words), dtype=np.uint64)
+    for w in range(n_words):
+        chunk = qbits[:, 64 * w:64 * (w + 1)]
+        for j in range(chunk.shape[1]):                # MSB-first
+            qwords[:, w] = ((qwords[:, w] << np.uint64(1))
+                            | chunk[:, j].astype(np.uint64))
+    return qwords
+
+
+def ivf_bq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
+                thresholds: list, k: int = 10, nprobe: int = 2,
+                rerank: int = 8,
+                id_col: str = "id", vector_col: str = "vector",
+                q_id_col: str = "q_id", q_vector_col: str = "vector",
+                c_id_col: str = "id", c_vector_col: str = "vector",
+                assigned: DataFrame | None = None,
+                codes: DataFrame | None = None) -> DataFrame:
+    """IVF-BQ composition: the coarse quantizer prunes each query to
+    ``nprobe`` cells, Hamming distance over packed sign bits ranks ONLY
+    rows in probed cells (XOR + popcount, 32× less scanned data), exact
+    re-rank of the top ``k·rerank`` with true vectors.
+
+    This is the composition :func:`bq_topk`'s docstring prescribes and
+    SCALE.md §9e's 10M measurement demands: standalone BQ recall
+    collapses once a code-degenerate cluster outgrows the shortlist
+    (0.51 at rerank 256 over 156k-vector clusters), because 1-bit codes
+    cannot rank WITHIN a cluster.  Routing first means Hamming only has
+    to separate the ~nprobe·(n/|C|) probed rows, and the shortlist
+    budget is spent inside the right cells — recall is restored at a
+    fraction of the scan (measured: SCALE.md §9e addendum).  At 100 TB
+    the two prunings compose multiplicatively exactly as IVF-PQ's
+    (`ivfpq_topk`), with BQ's 32× cheaper codes and integer-only
+    approximate stage as the trade against ADC's finer ranking.
+
+    Pass ``assigned`` / ``codes`` to reuse ingest-time materializations
+    (both computed once per corpus, never per query)."""
+    spark = base.sparkSession
+    if assigned is None:
+        assigned = ivf_assign(base, centroids, id_col, vector_col,
+                              c_id_col, c_vector_col)
+    if codes is None:
+        codes = bq_encode(base, thresholds, id_col=id_col,
+                          vector_col=vector_col)
+    codes = codes.join(assigned.select(F.col(id_col).alias("id"), "cell"),
+                       on="id")
+    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
+    probe_rows = _nearest_cells(
+        queries, centroids, nprobe, q_id_col, q_vector_col,
+        c_id_col, c_vector_col, keep_vector=False).collect()
+    probed: dict[int, set] = {}
+    for r in probe_rows:
+        probed.setdefault(r[q_id_col], set()).add(r["cell"])
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qwords = _pack_query_words(Q, thresholds)
+    kk = k * rerank
+    cell_lists = [np.array(sorted(probed.get(int(q), ())), dtype=np.int64)
+                  for q in q_ids]
+    bc = spark.sparkContext.broadcast((q_ids, qwords, kk, cell_lists))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, qw_, kk_, cells_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            W = np.vstack([np.asarray(ws, dtype=np.int64)
+                           for ws in pdf["words"].to_numpy()]).view(np.uint64)
+            ids = pdf["id"].to_numpy()
+            row_cell = pdf["cell"].to_numpy()
+            ids_i = np.asarray(ids)
+            packable = (np.issubdtype(ids_i.dtype, np.integer)
+                        and len(ids_i) and ids_i.min() >= 0
+                        and ids_i.max() < (1 << 48))
+            frames = []
+            for qi in range(len(q_ids_)):
+                keep = np.flatnonzero(np.isin(row_cell, cells_[qi]))
+                if len(keep) == 0:
+                    continue
+                ham = _popcount64(W[keep] ^ qw_[qi]).sum(axis=1)
+                take = min(kk_, len(keep))
+                if take < len(keep):
+                    if packable:
+                        # exact batch top-take by the global (ham, id)
+                        # order — bounded under BQ's tie plateaus (see
+                        # bq_topk)
+                        key = ((ham << np.int64(48))
+                               | ids_i[keep].astype(np.int64))
+                        part = np.argpartition(key, take - 1)[:take]
+                    else:
+                        kth = np.partition(ham, take - 1)[take - 1]
+                        part = np.flatnonzero(ham <= kth)
+                else:
+                    part = np.arange(len(keep))
+                frames.append(pd.DataFrame({
+                    "q_id": np.full(len(part), q_ids_[qi], dtype=np.int64),
+                    "id": ids[keep][part], "ham": ham[part]}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    id_type = codes.schema["id"].dataType.simpleString()
+    partial = (codes.select("id", "words", "cell")
+               .mapInPandas(run, schema=f"q_id BIGINT, id {id_type}, ham BIGINT")
+               .select("q_id", "id",
+                       F.col("ham").cast("double").alias("d2")))
+    from .pq import _exact_rerank
+    return _exact_rerank(partial, base, queries, k, kk,
+                         id_col, vector_col, q_id_col, q_vector_col)
 
 
 def embedding_dim_stats(emb: DataFrame, vector_col: str = "embedding",

@@ -3003,6 +3003,77 @@ FROM (SELECT q_id, id, dist,
 WHERE rnk <= 10""")
 
 
+def q_ivfbq_ann(spark, sf_dir):
+    """IVF-BQ composition (beyond-reference): the coarse quantizer
+    prunes each query to nprobe cells, Hamming over packed sign bits
+    ranks only probed-cell rows (32x less scanned data, integer-only),
+    exact re-rank of the top k*rerank — the cheapest compressed tier
+    composed with the routing that bounds its tie plateau (SCALE.md
+    §9e: standalone BQ recall collapses once a code-degenerate cluster
+    outgrows the shortlist)."""
+    from .ops.similarity import (sq8_stats, bq_thresholds, ivf_bq_topk)
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    mins, maxs = sq8_stats(base)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (ivf_bq_topk(base, queries, centroids, bq_thresholds(mins, maxs),
+                        k=10, nprobe=IVFPQ_NPROBE, rerank=BQ_RERANK)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def sql_ivfbq_ann(nq: int, kk: int, n_centroids: int, nprobe: int) -> str:
+    """Generated oracle: midrange thresholds + sign bits (as
+    ``SQL_BQ_ANN``) with the Hamming candidate set restricted to the
+    coarse quantizer's probed cells (as ``sql_ivfpq_ann``)."""
+    return f"""
+WITH e AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+ex AS (SELECT id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
+thr AS (SELECT pos, (min(x) + max(x)) / 2.0 AS t FROM ex GROUP BY pos),
+bits AS (SELECT id, pos, CAST(x > t AS INT) AS b FROM ex JOIN thr USING (pos)),
+cc AS (SELECT id AS cid, v AS ccv FROM e WHERE id < {n_centroids}),
+cassign AS (SELECT id, ccell FROM (
+  SELECT e.id, cc.cid AS ccell,
+         row_number() OVER (PARTITION BY e.id
+                            ORDER BY list_distance(e.v, cc.ccv), cc.cid) AS rn
+  FROM e CROSS JOIN cc) WHERE rn = 1),
+qcv AS (SELECT id AS q_id, v AS qvec FROM e WHERE id < {nq}),
+cprobes AS (SELECT q_id, ccell FROM (
+  SELECT qcv.q_id, cc.cid AS ccell,
+         row_number() OVER (PARTITION BY qcv.q_id
+                            ORDER BY list_distance(qcv.qvec, cc.ccv),
+                                     cc.cid) AS rn
+  FROM qcv CROSS JOIN cc) WHERE rn <= {nprobe}),
+qb AS (SELECT id AS q_id, pos, b FROM bits WHERE id < {nq}),
+ham AS (SELECT q.q_id, b.id,
+               sum(CASE WHEN b.b != q.b THEN 1 ELSE 0 END) AS ham
+        FROM bits b
+        JOIN cassign ca ON ca.id = b.id
+        JOIN qb q USING (pos)
+        JOIN cprobes cp ON cp.q_id = q.q_id AND cp.ccell = ca.ccell
+        GROUP BY 1, 2),
+short AS (
+  SELECT q_id, id FROM (
+    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+                                        ORDER BY ham, id) AS ar
+    FROM ham) WHERE ar <= {kk}),
+scored AS (
+  SELECT s.q_id, s.id,
+         sqrt(list_reduce(list_transform(list_zip(qe.v, be.v),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                          (acc, x) -> acc + x)) AS dist
+  FROM short s JOIN e qe ON qe.id = s.q_id JOIN e be ON be.id = s.id)
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rnk AS INT) AS rank
+FROM (SELECT q_id, id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
+      FROM scored)
+WHERE rnk <= 10
+"""
+
+
 NEAR_DUP_THRESHOLD = 0.45  # synthetic embeddings top out at cos ~0.51
 
 
@@ -3534,6 +3605,8 @@ QUERIES = {
                                         # leakage_safe_split note below)
     "bm25_topk": q_bm25_topk,           # new r6, parked from birth (see
                                         # leakage_safe_split note below)
+    "ivfbq_ann": q_ivfbq_ann,           # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
     "leakage_safe_split": q_leakage_safe_split,  # new r6, parked from birth
                                         # (no safe window slot left: every
                                         # remaining window entry carries r6
@@ -3628,6 +3701,8 @@ def oracle_sql_map() -> dict[str, str]:
         "ivfpq_residual_ann": sql_ivfpq_residual_ann(
             PQ_M_SUB, PQ_K, PQ_ITERS, N_VEC_QUERIES, 10 * PQ_RERANK,
             N_IVF_CENTROIDS, IVFPQ_NPROBE),
+        "ivfbq_ann": sql_ivfbq_ann(N_VEC_QUERIES, 10 * BQ_RERANK,
+                                   N_IVF_CENTROIDS, IVFPQ_NPROBE),
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,
         "simhash": SQL_SIMHASH,

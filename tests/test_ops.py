@@ -1682,6 +1682,72 @@ def test_ivfpq_probed_cells_only_and_full_probe_equivalence(spark, clustered):
         sorted(map(tuple, plain.collect()))
 
 
+def test_ivf_bq_probed_cells_only_and_full_probe_equivalence(spark, clustered):
+    from fspann_query_system_spark.ops.similarity import (
+        _nearest_cells, bq_thresholds, bq_topk, ivf_assign, ivf_bq_topk,
+        sq8_stats)
+    df, X = clustered
+    thr = bq_thresholds(*sq8_stats(df))
+    centroids = df.filter(F.col("id") < 16)
+    q = df.filter(F.col("id") < 10).select(F.col("id").alias("q_id"), "vector")
+    out = ivf_bq_topk(df, q, centroids, thr, k=5, nprobe=2, rerank=8).collect()
+    # results only come from probed cells
+    cells = {r.id: r.cell for r in ivf_assign(df, centroids).collect()}
+    probes = {}
+    for r in _nearest_cells(q, centroids, 2, "q_id", "vector",
+                            "id", "vector", keep_vector=False).collect():
+        probes.setdefault(r.q_id, set()).add(r.cell)
+    for r in out:
+        assert cells[r.id] in probes[r.q_id]
+    # self-hit: each query's own cell is its nearest -> always probed
+    firsts = {r.q_id: r for r in out if r.rank == 1}
+    assert all(firsts[qid].id == qid and firsts[qid].dist == 0.0
+               for qid in range(10))
+    # probing every cell degenerates to plain BQ over the full corpus
+    full = ivf_bq_topk(df, q, centroids, thr, k=5, nprobe=16, rerank=8)
+    plain = bq_topk(df, q, thr, k=5, rerank=8)
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+
+def test_ivf_bq_routing_beats_standalone_at_equal_budget(spark, clustered):
+    """The §9e story: standalone BQ's shortlist drowns in the cluster
+    tie plateau (every in-cluster code is Hamming-equal, so the pool is
+    the lowest-id plateau members, not the nearest).  A FINE coarse
+    quantizer bounds the per-cell plateau, so at the SAME rerank budget
+    the routed shortlist covers the probed cells and recall rises —
+    while scanning only nprobe/|C| of the codes.  (Routing at the
+    natural-cluster granularity would NOT help: the probed cell's
+    plateau still exceeds the pool — cells must be sized to
+    ~k·rerank/nprobe, the law SCALE.md §9e derives at 10M.)"""
+    from fspann_query_system_spark.ops.similarity import (
+        bq_thresholds, bq_topk, ivf_bq_topk, sq8_stats)
+    from fspann_query_system_spark.query.exact import knn_exact
+    df, X = clustered
+    thr = bq_thresholds(*sq8_stats(df))
+    # fine quantizer: every 25th point -> 80 cells, ~25 members each,
+    # so nprobe 3 x 25 ~ pool 75 = k*rerank
+    centroids = df.filter(F.col("id") % 25 == 0)
+    q = df.filter(F.col("id") < 15).select(F.col("id").alias("q_id"), "vector")
+    ex = {}
+    for r in knn_exact(df, q, k=5).collect():
+        ex.setdefault(r.q_id, set()).add(r.id)
+
+    def hits(rows):
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.q_id, set()).add(r.id)
+        return sum(len(ex[qid] & ids) for qid, ids in by_q.items())
+
+    # equal rerank budget: pool 75 << the 250-member standalone plateau
+    plain = hits(bq_topk(df, q, thr, k=5, rerank=15).collect())
+    routed = hits(ivf_bq_topk(df, q, centroids, thr, k=5, nprobe=3,
+                              rerank=15).collect())
+    assert routed >= plain + 5        # routing wins at equal budget
+    assert routed >= 45               # recall@5 >= 0.60 over 15 queries
+    assert plain <= 42                # the standalone collapse is real
+
+
 def test_ivfpq_residual_resolves_intra_cell_ties(spark, clustered):
     from fspann_query_system_spark.ops.pq import (pq_fit, ivfpq_topk,
                                                   residual_table)

@@ -89,6 +89,7 @@ HEADLINE = [
     "pq_ann",
     "ivfpq_ann",
     "ivfpq_residual_ann",
+    "ivfbq_ann",
     "ivf_ann",
     "version_census",
     "streaming_window_agg",

@@ -865,14 +865,24 @@ def ivf_bq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
             W = np.vstack([np.asarray(ws, dtype=np.int64)
                            for ws in pdf["words"].to_numpy()]).view(np.uint64)
             ids = pdf["id"].to_numpy()
-            row_cell = pdf["cell"].to_numpy()
+            row_cell = np.asarray(pdf["cell"].to_numpy(), dtype=np.int64)
+            # one cell-sort per batch, then each query's probed rows are
+            # searchsorted range gathers — O(kept) per query instead of
+            # an O(rows) isin sweep per query (the difference between
+            # nprobe/|C| and 1 of the batch touched per query)
+            order = np.argsort(row_cell, kind="stable")
+            sorted_cells = row_cell[order]
             ids_i = np.asarray(ids)
             packable = (np.issubdtype(ids_i.dtype, np.integer)
                         and len(ids_i) and ids_i.min() >= 0
                         and ids_i.max() < (1 << 48))
             frames = []
             for qi in range(len(q_ids_)):
-                keep = np.flatnonzero(np.isin(row_cell, cells_[qi]))
+                cs = cells_[qi]
+                lo = np.searchsorted(sorted_cells, cs, side="left")
+                hi = np.searchsorted(sorted_cells, cs, side="right")
+                keep = (np.concatenate([order[a:b] for a, b in zip(lo, hi)])
+                        if len(cs) else np.empty(0, dtype=np.int64))
                 if len(keep) == 0:
                     continue
                 ham = _popcount64(W[keep] ^ qw_[qi]).sum(axis=1)

@@ -350,3 +350,18 @@ def test_bq_topk_no_product_and_broadcast_rerank(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_bq_topk_no_product_and_broadcast_rerank(spark):
+    """IVF-BQ: coarse assign + Hamming prescreen are scan-side kernels
+    (no Q x N join anywhere); the exact re-rank broadcasts the bounded
+    shortlist and query sides."""
+    from fspann_query_system_spark.ops.similarity import ivf_bq_topk
+    base = W._emb(spark, SF)
+    cents = base.filter(F.col("id") < 8)
+    q = base.filter(F.col("id") < 5).selectExpr("id as q_id", "vector")
+    plan = _formatted(ivf_bq_topk(base, q, cents, [0.0] * 64,
+                                  k=5, nprobe=2, rerank=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

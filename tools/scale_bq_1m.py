@@ -78,6 +78,44 @@ def main():
         print(f"rerank={rr}: {out[f'bq_r{rr}_ms_q']} ms/q "
               f"recall {rec:.3f}", flush=True)
 
+    # ---- IVF-BQ: the composition that bounds the tie plateau ----
+    # cells sized so nprobe * cell ~ k * rerank can cover the probed
+    # candidates (the §9e law); |C| = n/1000 -> ~1000-member cells.
+    from fspann_query_system_spark.ops.similarity import (ivf_assign,
+                                                          ivf_bq_topk,
+                                                          kmeans_fit)
+    n_cells = max(64, n // 1000)
+    t0 = time.time()
+    cents = kmeans_fit(vec, k=n_cells, iters=1).persist()
+    cents.count()
+    out["ivf_cells"] = n_cells
+    out["kmeans_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    assigned = ivf_assign(vec, cents, c_id_col="cell",
+                          c_vector_col="vector").persist()
+    assigned.count()
+    out["assign_s"] = round(time.time() - t0, 1)
+    print(f"ivf: {n_cells} cells, kmeans {out['kmeans_s']}s, "
+          f"assign {out['assign_s']}s", flush=True)
+
+    for nprobe, rr in ((8, 16), (8, 64), (16, 64)):
+        t0 = time.time()
+        rows = ivf_bq_topk(vec, queries, cents, thr, k=K, nprobe=nprobe,
+                           rerank=rr, c_id_col="cell",
+                           c_vector_col="vector",
+                           assigned=assigned, codes=codes).collect()
+        w = time.time() - t0
+        got = {}
+        for r in rows:
+            got.setdefault(r.q_id, set()).add(r.id)
+        rec = float(np.mean([len(got.get(int(q), set()) & gt[int(q)]) / K
+                             for q in q_ids]))
+        tag = f"ivfbq_p{nprobe}_r{rr}"
+        out[f"{tag}_ms_q"] = round(w / nq * 1000, 1)
+        out[f"{tag}_recall"] = round(rec, 3)
+        print(f"ivfbq nprobe={nprobe} rerank={rr}: "
+              f"{out[f'{tag}_ms_q']} ms/q recall {rec:.3f}", flush=True)
+
     print(json.dumps(out), flush=True)
     with open("/root/repo/tools/scale_bq_1m.jsonl", "a") as f:
         f.write(json.dumps(out) + "\n")

@@ -290,6 +290,54 @@ def ivf_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
             .select(q_id_col, id_col, "dist", "rank"))
 
 
+def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
+             nprobe: int = 2,
+             id_col: str = "id", vector_col: str = "vector",
+             c_id_col: str = "id", c_vector_col: str = "vector",
+             assigned: DataFrame | None = None,
+             exclude_self: bool = True) -> DataFrame:
+    """Distributed kNN self-join (the kNN-graph builder behind
+    SemDeDup-style curation, graph-based dedup, and label propagation):
+    for EVERY row, its k nearest neighbours among rows sharing one of
+    its ``nprobe`` probed coarse cells → (q_id, id, dist, rank ≤ k).
+
+    The difference from :func:`ivf_topk` is the query side: here it is
+    the WHOLE table, so nothing is collected to the driver or
+    broadcast.  Probes (row → nprobe cells, map-side kernel) and the
+    cell assignment co-shuffle on ``cell``; candidate scoring is the
+    JVM-codegen ``l2_expr`` inside the join; one (dist, id) window
+    takes top-k per row.  Shuffle volume is n·nprobe + n rows; the
+    scored pair expansion is Σ_cell |probers|·|members| ≈ n²·nprobe/|C|
+    in the balanced case — never n².  At 100 TB, |C| scales with n
+    (cells of ~10³–10⁴ rows) so the per-cell work stays bounded, and an
+    ``ivf_save`` layout lets the member side arrive pre-partitioned.
+
+    Each base row is assigned to exactly ONE cell and a row's probed
+    cells are distinct, so a (q, neighbour) pair is scored at most once
+    — no distinct needed.  ``exclude_self`` drops the trivial
+    self-edge (rank semantics then match "k nearest OTHER rows")."""
+    from ..functions.distance import l2_expr
+    if assigned is None:
+        assigned = ivf_assign(df, centroids, id_col, vector_col,
+                              c_id_col, c_vector_col)
+    probes = _nearest_cells(df, centroids, nprobe, id_col, vector_col,
+                            c_id_col, c_vector_col, keep_vector=True)
+    if "cell_rank" in probes.columns:
+        probes = probes.drop("cell_rank")
+    qp = probes.select(F.col(id_col).alias("q_id"),
+                       F.col(vector_col).alias("_qv"), "cell")
+    bp = assigned.select(F.col(id_col).alias("id"),
+                         F.col(vector_col).alias("_bv"), "cell")
+    cand = qp.join(bp, on="cell")
+    if exclude_self:
+        cand = cand.filter(F.col("id") != F.col("q_id"))
+    w_rank = Window.partitionBy("q_id").orderBy("dist", "id")
+    return (cand.withColumn("dist", l2_expr("_qv", "_bv"))
+            .withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "id", "dist", "rank"))
+
+
 def _key_bucket_pairs(df: DataFrame, index, threshold: float,
                       id_col: str, vector_col: str,
                       max_bucket: int | None) -> DataFrame:

@@ -3321,6 +3321,55 @@ ivf AS (
 SQL_IVF = f"WITH {_SQL_IVF_CTE} SELECT * FROM ivf"
 
 
+KNN_JOIN_K = 5
+
+
+def q_knn_join(spark, sf_dir):
+    """Distributed kNN self-join (kNN-graph; beyond-reference): every
+    row's 5 nearest OTHER rows among its 2 probed coarse cells — the
+    query side is the whole table, co-shuffled on cell with the
+    assignment, never collected or broadcast (the SemDeDup/label-prop
+    graph builder at 100 TB)."""
+    from .ops.similarity import knn_join
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    return (knn_join(base, centroids, k=KNN_JOIN_K, nprobe=IVF_NPROBE)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+SQL_KNN_JOIN = f"""
+WITH e AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id < {N_IVF_CENTROIDS}),
+assign AS (
+  SELECT id, cell FROM (
+    SELECT e.id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1),
+probes AS (
+  SELECT id AS q_id, cell FROM (
+    SELECT e.id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.q_id, a.id,
+         sqrt(list_reduce(list_transform(list_zip(qe.v, be.v),
+                                         pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])),
+                          (acc, x) -> acc + x)) AS dist
+  FROM probes p JOIN assign a ON p.cell = a.cell AND a.id != p.q_id
+  JOIN e qe ON qe.id = p.q_id JOIN e be ON be.id = a.id)
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rnk AS INT) AS rank
+FROM (SELECT q_id, id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
+      FROM scored)
+WHERE rnk <= {KNN_JOIN_K}
+"""
+
+
 def q_recall_eval(spark, sf_dir):
     """J3/A6 recall join: recall@10 of the IVF path against the exact
     oracle, per query (array_intersect semi-join shape)."""
@@ -3607,6 +3656,8 @@ QUERIES = {
                                         # leakage_safe_split note below)
     "ivfbq_ann": q_ivfbq_ann,           # new r6, parked from birth (see
                                         # leakage_safe_split note below)
+    "knn_join": q_knn_join,             # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
     "leakage_safe_split": q_leakage_safe_split,  # new r6, parked from birth
                                         # (no safe window slot left: every
                                         # remaining window entry carries r6
@@ -3703,6 +3754,7 @@ def oracle_sql_map() -> dict[str, str]:
             N_IVF_CENTROIDS, IVFPQ_NPROBE),
         "ivfbq_ann": sql_ivfbq_ann(N_VEC_QUERIES, 10 * BQ_RERANK,
                                    N_IVF_CENTROIDS, IVFPQ_NPROBE),
+        "knn_join": SQL_KNN_JOIN,
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,
         "simhash": SQL_SIMHASH,

@@ -1748,6 +1748,51 @@ def test_ivf_bq_routing_beats_standalone_at_equal_budget(spark, clustered):
     assert plain <= 42                # the standalone collapse is real
 
 
+def test_knn_join_full_probe_matches_exact(spark, clustered):
+    """Probing every cell makes the kNN self-join exhaustive: it must
+    equal blocked exact KNN with the whole table as the query set
+    (modulo exact's 'distance' column name and self-row handling)."""
+    from fspann_query_system_spark.ops.similarity import knn_join
+    from fspann_query_system_spark.query.exact import knn_exact
+    df, X = clustered
+    small = df.filter(F.col("id") < 300)
+    centroids = small.filter(F.col("id") % 50 == 0)   # 6 cells
+    got = sorted(
+        (r.q_id, r.id, round(r.dist, 9), r.rank) for r in
+        knn_join(small, centroids, k=5, nprobe=6,
+                 exclude_self=False).collect())
+    q = small.select(F.col("id").alias("q_id"), "vector")
+    want = sorted(
+        (r.q_id, r.id, round(r.distance, 9), r.rank) for r in
+        knn_exact(small, q, k=5).collect())
+    assert got == want
+    # exclude_self drops exactly the rank-1 self edge per row
+    no_self = knn_join(small, centroids, k=5, nprobe=6,
+                       exclude_self=True).collect()
+    assert all(r.id != r.q_id for r in no_self)
+    assert len(no_self) == 300 * 5
+
+
+def test_knn_join_pairs_scored_once_per_probed_cell_membership(spark,
+                                                               clustered):
+    """Each base row lives in ONE cell, so (q, neighbour) pairs are
+    unique even at nprobe > 1 — the graph never needs a distinct."""
+    from fspann_query_system_spark.ops.similarity import knn_join
+    df, X = clustered
+    small = df.filter(F.col("id") < 200)
+    centroids = small.filter(F.col("id") % 40 == 0)
+    out = knn_join(small, centroids, k=200, nprobe=2,
+                   exclude_self=False).collect()
+    pairs = [(r.q_id, r.id) for r in out]
+    assert len(pairs) == len(set(pairs))
+    # rank is dense 1..n_candidates per query
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_q.values())
+
+
 def test_ivfpq_residual_resolves_intra_cell_ties(spark, clustered):
     from fspann_query_system_spark.ops.pq import (pq_fit, ivfpq_topk,
                                                   residual_table)

@@ -352,6 +352,18 @@ def test_bq_topk_no_product_and_broadcast_rerank(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_knn_join_cell_equi_join_no_product(spark):
+    """The kNN self-join must co-shuffle probes and assignment on cell
+    as an equi-join — never a nested-loop/cartesian pair expansion, and
+    never a collect of the query side (both sides are scan-fed)."""
+    from fspann_query_system_spark.ops.similarity import knn_join
+    base = W._emb(spark, SF)
+    cents = base.filter(F.col("id") < 8)
+    plan = _formatted(knn_join(base, cents, k=5, nprobe=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_bq_topk_no_product_and_broadcast_rerank(spark):
     """IVF-BQ: coarse assign + Hamming prescreen are scan-side kernels
     (no Q x N join anywhere); the exact re-rank broadcasts the bounded

@@ -63,7 +63,7 @@ def main():
     codes.count()
     out["encode_s"] = round(time.time() - t0, 1)
 
-    for rr in (16, 64, 256):
+    for rr in () if "--ivf-only" in sys.argv else (16, 64, 256):
         t0 = time.time()
         rows = bq_topk(vec, queries, thr, k=K, rerank=rr,
                        codes=codes).collect()
@@ -98,7 +98,7 @@ def main():
     print(f"ivf: {n_cells} cells, kmeans {out['kmeans_s']}s, "
           f"assign {out['assign_s']}s", flush=True)
 
-    for nprobe, rr in ((8, 16), (8, 64), (16, 64)):
+    for nprobe, rr in ((8, 16), (8, 64), (16, 64), (32, 64)):
         t0 = time.time()
         rows = ivf_bq_topk(vec, queries, cents, thr, k=K, nprobe=nprobe,
                            rerank=rr, c_id_col="cell",

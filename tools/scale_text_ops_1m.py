@@ -99,7 +99,14 @@ def main():
     qual = (gopher_filter(docs_l, min_tokens=30, min_stop_hits=0,
                           min_distinct_ratio=0.35)
             .filter(F.col("keep") == 1).select("doc_id"))
-    clean = docs_l.join(qual, "doc_id", "leftsemi")
+    # persist the stage boundary: the dedup stage consumes its input
+    # several times (banding checkpoint, candidate re-shingle, final
+    # labeling join) and the mix stage twice more — without the persist
+    # each consumer re-runs the full tokenize+rule chain (measured:
+    # 934 s vs the persisted number; any real pipeline materializes
+    # between quality gate and dedup)
+    clean = docs_l.join(qual, "doc_id", "leftsemi").persist()
+    clean.count()
     canon = (near_dup_pipeline(clean, threshold=0.5)
              .filter(F.col("keep") == 1).select("doc_id"))
     surv = clean.join(canon, "doc_id", "leftsemi")
@@ -107,6 +114,7 @@ def main():
                             strata_col="lang")
     n_out = mixed.count()
     wall = time.time() - t0
+    clean.unpersist()
     emit({"metric": "training_corpus_prep_1m", "n_docs": n,
           "wall_sec": round(wall, 1), "docs_per_sec": round(n / wall),
           "rows_out": n_out})

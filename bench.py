@@ -40,6 +40,7 @@ HEADLINE = [
     "doc_quantiles",
     "repetition_stats",
     "decontaminate",
+    "dsir_weights",
     "bm25_scores",
     "vocab_topk",
     "vocab_topk_salted",
@@ -74,6 +75,7 @@ HEADLINE = [
     "near_dup_pipeline",
     "span_dedup",
     "near_dup_embedding",
+    "semantic_decontaminate",
     "near_dup_lsh",
     "near_dup_key",
     "incremental_dedup",
@@ -82,6 +84,7 @@ HEADLINE = [
     "temperature_mix",
     "gopher_filter",
     "kmeans_centroids",
+    "cluster_sample",
     "sq8_quantize",
     "sq8_ann",
     "bq_ann",

@@ -535,3 +535,71 @@ def boilerplate_stats(docs: DataFrame, text_col: str = "text",
                  F.count("_b").alias("n_boiler"))
             .withColumn("boiler_frac",
                         F.round(F.col("n_boiler") / F.col("n_grams"), 6)))
+
+
+def dsir_weights(docs: DataFrame, target: Column,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 1024, alpha: float = 1.0) -> DataFrame:
+    """DSIR hashed n-gram importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how target-domain-like its hashed unigram+bigram
+    profile is, so a curation pipeline can resample the raw pool toward
+    a target distribution (the published recipe behind domain-matched
+    pretraining mixes).
+
+    ``target`` is a boolean Column marking the target-domain rows
+    (e.g. ``F.col("lang") == "en"``); the RAW distribution is the whole
+    pool, per the paper.  Features are unigrams and adjacent-word
+    bigrams hashed into ``n_buckets`` buckets; with add-``alpha``
+    smoothed bucket distributions p_t / p_r, the importance weight is
+
+        log w(d) = sum_{g in d} [ ln p_t(b(g)) - ln p_r(b(g)) ]
+
+    Output: (doc_id, n_grams, dsir_logw) for docs with >= 1 token.
+    Resampling = rank / Gumbel-top-k on ``dsir_logw`` downstream
+    (``quality_curriculum`` / ``sample_to_budget`` compose with it).
+
+    Scale shape (the reason DSIR is THE scalable selection method):
+    gram build is map-only array work; the bucket histogram reduces in
+    ONE agg over a key space bounded by ``n_buckets`` (map-side
+    combine; output rows = buckets, never corpus-sized); the
+    bucket->log-ratio table is <= ``n_buckets`` rows — broadcast BY
+    CONSTRUCTION, not by luck; per-doc scoring is one doc_id-keyed agg
+    with map-side combine.  Nothing all-pairs, no corpus-sized state.
+
+    The bucket hash is the md5-prefix trick shared with the KMV/CMS
+    sketches: first 15 hex digits -> 60-bit int -> mod n_buckets,
+    bit-identical in any engine, so the registry entry gets a full
+    cross-engine oracle.
+    """
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        target.cast("int").alias("is_t"),
+                        T.tokens(text_col).alias("toks"))
+            .where(F.size("toks") >= 1))
+    grams = toks.select(
+        "doc_id", "is_t",
+        F.concat(F.col("toks"),
+                 _bigrams(F.col("toks"), F.size("toks"))).alias("grams"))
+    from ..functions.plan import select_exploded
+    g = select_exploded(grams, F.col("grams"), "gram", "doc_id", "is_t")
+    g = g.select(
+        "doc_id", "is_t",
+        F.pmod(F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+                .cast("long"), F.lit(n_buckets)).alias("bucket"))
+    hist = (g.groupBy("bucket")
+            .agg(F.sum("is_t").alias("ct"),
+                 F.count(F.lit(1)).alias("cr")))
+    tot = hist.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    a = float(alpha)
+    aB = a * float(n_buckets)
+    ratio = (hist.crossJoin(F.broadcast(tot))
+             .select("bucket",
+                     ((F.log(F.col("ct").cast("double") + a)
+                       - F.log(F.col("tt").cast("double") + aB))
+                      - (F.log(F.col("cr").cast("double") + a)
+                         - F.log(F.col("tr").cast("double") + aB)))
+                     .alias("lr")))
+    return (g.join(F.broadcast(ratio), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.round(F.sum("lr"), 4).alias("dsir_logw")))

@@ -290,3 +290,38 @@ def quality_curriculum(docs: DataFrame, n_buckets: int = 4,
     return (b.filter(sample_bucket(F.col(key_col), salt)
                      < F.floor(F.col("rate") * SAMPLE_DENOM).cast("long"))
             .select(key_col, "bucket", "rate"))
+
+
+def cluster_sample(df: DataFrame, centroids: DataFrame, per_cell: int,
+                   id_col: str = "id",
+                   vector_col: str = "vector") -> DataFrame:
+    """Cluster-balanced (diversity) subsampling: assign every vector to
+    its nearest k-means cell and keep at most ``per_cell`` rows per
+    cell, chosen by a deterministic hash order — the embedding-space
+    analog of stratified sampling (the "prune redundant dense regions,
+    keep sparse-region coverage" recipe of SemDeDup-family pruning and
+    cluster-balanced fine-tuning mixes).  A head-count cap per cell
+    would bias toward low ids; the md5 order is an unbiased,
+    engine-portable shuffle of each cell.
+
+    Output: (cell, id, rk) with rk 1..per_cell.
+
+    Pass ``centroids`` from :func:`~.similarity.kmeans_fit` (fit once
+    at ingest, reused — never refit per call).
+
+    Scale shape: assignment is strictly map-side against the broadcast
+    centroid matrix (:func:`~.similarity._nearest_cells`); the per-cell
+    rank is one window keyed by the cell id over (hash, id) pairs —
+    a bounded-width exchange (16-byte rows), partitioned k ways.  Cells
+    are ~|corpus|/k rows by construction, so no single task sees more
+    than a cell; skewed cells are the quantizer's problem (grow k),
+    not the sampler's.
+    """
+    from .similarity import _nearest_cells
+    assigned = _nearest_cells(df, centroids, 1, id_col, vector_col,
+                              "cell", "vector", keep_vector=False)
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("cell").orderBy(h.asc(), F.col(id_col).asc())
+    return (assigned.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= per_cell)
+            .select("cell", F.col(id_col), "rk"))

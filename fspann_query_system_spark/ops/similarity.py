@@ -991,3 +991,57 @@ def embedding_dim_stats(emb: DataFrame, vector_col: str = "embedding",
                   .alias("mn"),
                  F.round(F.max(F.col("x").cast("double")), round_to)
                   .alias("mx")))
+
+
+def semantic_decontaminate(base: DataFrame, bench: DataFrame,
+                           threshold: float = 0.95,
+                           id_col: str = "id", vector_col: str = "vector",
+                           b_id_col: str = "id",
+                           b_vector_col: str = "vector") -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every training
+    vector whose cosine to ANY benchmark vector reaches ``threshold``
+    → (id, bench_id, cosine) pairs.  The n-gram ``decontaminate``
+    op catches verbatim leakage; this catches paraphrased/translated
+    leakage the lexical check misses (the published eval-contamination
+    recipe for embedding-indexed corpora).  The distinct ``id`` set of
+    this output is the drop list.
+
+    Scale shape: the benchmark set is small BY CONSTRUCTION (an eval
+    suite, not a corpus) — it broadcasts as a dense matrix and the
+    corpus side is ONE map-only blocked-matmul pass (same Arrow kernel
+    family as :func:`cosine_topk`), emitting only above-threshold
+    pairs.  Zero shuffles on the corpus side; at 100 TB this is a
+    straight scan, embarrassingly parallel across executors.
+    """
+    import numpy as np
+    import pandas as pd
+    spark = base.sparkSession
+    b_rows = bench.select(b_id_col, b_vector_col).collect()
+    out_schema = f"id BIGINT, bench_id BIGINT, cosine DOUBLE"
+    if not b_rows:
+        return spark.createDataFrame([], out_schema)
+    b_ids = np.array([r[0] for r in b_rows], dtype=np.int64)
+    B = np.array([list(r[1]) for r in b_rows], dtype=np.float64)
+    Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+    bc = spark.sparkContext.broadcast((b_ids, Bn, float(threshold)))
+
+    def run(batches):
+        b_ids_, Bn_, thr = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vector_col].to_numpy()])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-30)
+            ids = pdf[id_col].to_numpy()
+            sims = Xn @ Bn_.T                       # (n, |bench|)
+            ri, ci = np.nonzero(sims >= thr)
+            if len(ri) == 0:
+                continue
+            yield pd.DataFrame({"id": ids[ri].astype(np.int64),
+                                "bench_id": b_ids_[ci],
+                                "cosine": sims[ri, ci]})
+
+    pairs = base.select(id_col, vector_col).mapInPandas(run, schema=out_schema)
+    return pairs.select("id", "bench_id", F.round("cosine", 6).alias("cosine"))

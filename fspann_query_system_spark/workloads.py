@@ -3566,6 +3566,122 @@ FROM documents WHERE octet_length(encode(text)) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# round-6 data-selection family: DSIR importance weights, embedding-level
+# decontamination, cluster-balanced subsampling
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-n-gram importance weights toward the lang='en'
+    target slice — the published importance-resampling selection
+    score; bucket histogram is bounded (256 rows) and broadcast by
+    construction (ops/quality.py)."""
+    from .ops.quality import dsir_weights
+    return dsir_weights(_t(spark, sf_dir, "documents"),
+                        F.col("lang") == "en", n_buckets=DSIR_BUCKETS)
+
+
+SQL_DSIR = f"""
+WITH t AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS is_t,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x != '') AS toks
+  FROM documents),
+t2 AS (SELECT doc_id, is_t, toks FROM t WHERE len(toks) >= 1),
+g AS (
+  SELECT doc_id, is_t, unnest(toks) AS gram FROM t2
+  UNION ALL
+  SELECT doc_id, is_t,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM t2 WHERE len(toks) >= 2),
+gb AS (SELECT doc_id, is_t,
+              ('0x' || substr(md5(gram), 1, 15))::BIGINT % {DSIR_BUCKETS}
+                AS bucket FROM g),
+hist AS (SELECT bucket, sum(is_t) AS ct, count(*) AS cr
+         FROM gb GROUP BY bucket),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM hist),
+ratio AS (SELECT bucket,
+                 (ln(ct::DOUBLE + 1.0) - ln(tt::DOUBLE + {DSIR_BUCKETS}.0))
+               - (ln(cr::DOUBLE + 1.0) - ln(tr::DOUBLE + {DSIR_BUCKETS}.0))
+                 AS lr
+          FROM hist, tot)
+SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       round(sum(lr), 4) AS dsir_logw
+FROM gb JOIN ratio USING (bucket)
+GROUP BY gb.doc_id
+"""
+
+
+SEM_DECON_THRESHOLD = 0.35
+
+
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-level benchmark decontamination: vec_id < 20 stands in
+    for the eval suite; the corpus side is one map-only blocked-matmul
+    pass against the broadcast benchmark matrix (ops/similarity.py)."""
+    from .ops.similarity import semantic_decontaminate
+    base = _emb(spark, sf_dir)
+    return semantic_decontaminate(
+        base.filter(F.col("id") >= N_VEC_QUERIES),
+        base.filter(F.col("id") < N_VEC_QUERIES),
+        threshold=SEM_DECON_THRESHOLD)
+
+
+SQL_SEM_DECON = f"""
+WITH b AS (SELECT vec_id AS bench_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv
+           FROM embeddings WHERE vec_id < {N_VEC_QUERIES}),
+t AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS tv
+      FROM embeddings WHERE vec_id >= {N_VEC_QUERIES})
+SELECT t.id, b.bench_id,
+       round(list_cosine_similarity(tv, bv), 6) AS cosine
+FROM t CROSS JOIN b
+WHERE list_cosine_similarity(tv, bv) >= {SEM_DECON_THRESHOLD}
+"""
+
+
+CLUSTER_SAMPLE_PER_CELL = 20
+
+
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced diversity subsample: nearest-cell assignment is
+    map-side against the broadcast Lloyd centroids; the per-cell cap is
+    one cell-keyed window over deterministic md5 order
+    (ops/sampling.py)."""
+    from .ops.sampling import cluster_sample
+    from .ops.similarity import kmeans_fit
+    base = _emb(spark, sf_dir)
+    cent = kmeans_fit(base, k=KMEANS_K, iters=KMEANS_ITERS)
+    return cluster_sample(base, cent, CLUSTER_SAMPLE_PER_CELL)
+
+
+def sql_cluster_sample(k: int, iters: int, per_cell: int) -> str:
+    """Generated oracle: kmeans CTE chain + final assignment + per-cell
+    md5-ordered row_number cap (mirrors ops/sampling.py:cluster_sample)."""
+    parts, prev = _sql_kmeans_parts(k, iters)
+    parts.append(
+        f"df AS (SELECT ex.id, {prev}.cell, "
+        f"sum((ex.x - {prev}.cv) * (ex.x - {prev}.cv)) AS dd "
+        f"FROM ex JOIN {prev} USING (pos) GROUP BY 1, 2)")
+    parts.append(
+        "af AS (SELECT id, cell FROM ("
+        "SELECT id, cell, row_number() OVER (PARTITION BY id "
+        "ORDER BY dd, cell) AS rn FROM df) WHERE rn = 1)")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT cell, id, CAST(rk AS INT) AS rk FROM (
+  SELECT cell, id,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY md5(CAST(id AS VARCHAR)), id) AS rk
+  FROM af)
+WHERE rk <= {per_cell}
+""")
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -3645,6 +3761,13 @@ QUERIES = {
     # ---- SURVEY.md §8)
     "quality_curriculum": q_quality_curriculum,
                                         # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
+    "dsir_weights": q_dsir_weights,     # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
+    "semantic_decontaminate": q_semantic_decontaminate,
+                                        # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
+    "cluster_sample": q_cluster_sample, # new r6, parked from birth (see
                                         # leakage_safe_split note below)
     "training_corpus_prep": q_training_corpus_prep,
                                         # new r6, parked from birth (see
@@ -3798,6 +3921,10 @@ def oracle_sql_map() -> dict[str, str]:
             _ann_params(ORACLE_SF_DIR, FLAGSHIP_CFG, _FLAGSHIP_CACHE),
             NEAR_DUP_LSH_THRESHOLD),
         "kmeans_centroids": sql_kmeans(KMEANS_K, KMEANS_ITERS),
+        "dsir_weights": SQL_DSIR,
+        "semantic_decontaminate": SQL_SEM_DECON,
+        "cluster_sample": sql_cluster_sample(KMEANS_K, KMEANS_ITERS,
+                                             CLUSTER_SAMPLE_PER_CELL),
         "semantic_dedup": sql_semantic_dedup(
             KMEANS_K, KMEANS_ITERS, SEMANTIC_DEDUP_THRESHOLD),
         "doc_quantiles": SQL_DOC_QUANTILES,

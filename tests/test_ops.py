@@ -1849,3 +1849,86 @@ def test_temperature_mix_flattens_toward_tail_sources(spark):
     b = sorted(r.doc_id for r in
                temperature_mix(df, alpha=0.5, budget_frac=0.5).collect())
     assert a == b
+
+
+def test_dsir_weights_ranks_target_like_docs_higher(spark):
+    """Docs written in the target domain's vocabulary must outscore
+    docs from a disjoint vocabulary, and weights are deterministic
+    under repartitioning."""
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.ops.quality import dsir_weights
+    target_text = "the quick brown fox jumps over the lazy dog again "
+    other_text = "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp "
+    rows = ([(i, "t", target_text * 3) for i in range(30)]          # target
+            + [(100 + i, "r", target_text * 3) for i in range(10)]  # raw, target-like
+            + [(200 + i, "r", other_text * 3) for i in range(10)])  # raw, alien
+    docs = spark.createDataFrame(rows, "doc_id LONG, side STRING, text STRING")
+    out = dsir_weights(docs, F.col("side") == "t", n_buckets=64)
+    w = {r.doc_id: r.dsir_logw for r in out.collect()}
+    assert len(w) == 50
+    # every target-like raw doc beats every alien raw doc
+    assert min(w[100 + i] for i in range(10)) > max(w[200 + i]
+                                                    for i in range(10))
+    again = dsir_weights(docs.repartition(7), F.col("side") == "t",
+                         n_buckets=64)
+    assert {r.doc_id: r.dsir_logw for r in again.collect()} == w
+
+
+def test_semantic_decontaminate_flags_planted_leaks_only(spark):
+    """A near-copy of a benchmark vector is flagged against exactly
+    that benchmark row; orthogonal vectors are not flagged."""
+    from fspann_query_system_spark.ops.similarity import semantic_decontaminate
+    import math
+    dim = 8
+    def unit(axis):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        return v
+    bench = spark.createDataFrame(
+        [(i, unit(i)) for i in range(3)], "id LONG, vector ARRAY<DOUBLE>")
+    leak = [0.99] + [0.01] * (dim - 1)              # ~axis-0 copy
+    base = spark.createDataFrame(
+        [(10, leak), (11, unit(4)), (12, unit(5))],
+        "id LONG, vector ARRAY<DOUBLE>")
+    out = semantic_decontaminate(base, bench, threshold=0.9).collect()
+    assert [(r.id, r.bench_id) for r in out] == [(10, 0)]
+    assert math.isclose(out[0].cosine,
+                        0.99 / math.sqrt(0.99**2 + 7 * 0.01**2),
+                        rel_tol=1e-6)
+
+
+def test_semantic_decontaminate_is_map_only(spark):
+    """Plan shape: the corpus side never shuffles — no Exchange above
+    the scan, no join, no CartesianProduct."""
+    from fspann_query_system_spark.ops.similarity import semantic_decontaminate
+    bench = spark.createDataFrame([(0, [1.0, 0.0])],
+                                  "id LONG, vector ARRAY<DOUBLE>")
+    base = spark.createDataFrame([(1, [0.5, 0.5])],
+                                 "id LONG, vector ARRAY<DOUBLE>")
+    plan = (semantic_decontaminate(base, bench, threshold=0.1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_cluster_sample_caps_every_cell_and_is_deterministic(spark):
+    from fspann_query_system_spark.ops.sampling import cluster_sample
+    from fspann_query_system_spark.ops.similarity import kmeans_fit
+    import random
+    rng = random.Random(7)
+    # two well-separated blobs, 60 rows each
+    rows = [(i, [rng.uniform(-0.1, 0.1) + (10.0 if i % 2 else -10.0),
+                 rng.uniform(-0.1, 0.1)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>")
+    cent = kmeans_fit(df, k=2, iters=2)
+    out = cluster_sample(df, cent, per_cell=15).collect()
+    per_cell = {}
+    for r in out:
+        per_cell.setdefault(r.cell, []).append(r.rk)
+    assert set(per_cell) == {0, 1}
+    for ranks in per_cell.values():
+        assert sorted(ranks) == list(range(1, 16))
+    again = cluster_sample(df.repartition(5), cent, per_cell=15).collect()
+    assert sorted((r.cell, r.id, r.rk) for r in again) == \
+        sorted((r.cell, r.id, r.rk) for r in out)

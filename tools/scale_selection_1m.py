@@ -1,0 +1,128 @@
+"""1M-scale measurement for the round-6 data-selection family
+(SCALE.md §9f): ``dsir_weights`` (hashed-n-gram importance
+resampling), ``semantic_decontaminate`` (embedding-level benchmark
+decontamination) and ``cluster_sample`` (cluster-balanced diversity
+subsampling).
+
+Corpora reuse the established distributed generators:
+
+  * text — ``scale_dedup_1m.gen_corpus`` (32-token docs, hashed
+    vocab); DSIR target slice = ``doc_id % 20 == 0`` (the slice shares
+    the corpus distribution, so the sanity check is that weights
+    center near 0 and the histogram/ratio stages stay bounded — the
+    measurement is the throughput of the full gram→bucket→score
+    plan);
+  * embeddings — ``scale_embed_1m.gen_embeddings`` (256 natural
+    clusters, planted near-dups at cosine >= 0.999).  Benchmark for
+    decontamination = base rows id < 1000 (collected, broadcast);
+    corpus = rows id >= 1000, so the planted leaks are EXACTLY the
+    1000 dup rows whose base id < 1000 (dup bases enumerate
+    0..n_dups-1).  Recall/precision against that planted set.
+
+Usage: python3 tools/scale_selection_1m.py [n] [dup_frac]
+Appends JSON lines to tools/scale_selection_1m.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from pyspark.sql import functions as F                             # noqa: E402
+
+from fspann_query_system_spark.session import get_spark            # noqa: E402
+from scale_dedup_1m import gen_corpus                              # noqa: E402
+from scale_embed_1m import gen_embeddings                          # noqa: E402
+
+OUT = "/root/repo/tools/scale_selection_1m.jsonl"
+
+
+def emit(row: dict):
+    print(json.dumps(row), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dup_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.02
+    spark = get_spark("scale-selection",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---------------- dsir_weights over 1M docs ----------------
+    docs, n_uniq = gen_corpus(spark, n, 0.0)
+    docs = docs.persist()
+    t0 = time.time()
+    docs.count()
+    print(f"text corpus: {n} docs in {time.time()-t0:.1f}s", flush=True)
+
+    from fspann_query_system_spark.ops.quality import dsir_weights
+    t0 = time.time()
+    out = dsir_weights(docs, F.col("doc_id") % 20 == 0, n_buckets=4096)
+    agg = out.agg(F.count(F.lit(1)).alias("rows"),
+                  F.avg("dsir_logw").alias("mean_w"),
+                  F.stddev_samp("dsir_logw").alias("sd_w")).first()
+    wall = time.time() - t0
+    emit({"metric": "dsir_weights_1m", "n_docs": n, "n_buckets": 4096,
+          "wall_sec": round(wall, 1), "docs_per_sec": round(n / wall),
+          "rows_out": agg.rows, "mean_logw": round(agg.mean_w, 4),
+          "sd_logw": round(agg.sd_w, 4)})
+    docs.unpersist()
+
+    # ---------------- embedding family ----------------
+    n_uniq = int(n * (1 - dup_frac))
+    n_dups = n - n_uniq
+    t0 = time.time()
+    emb = gen_embeddings(spark, n, dup_frac)
+    emb.count()
+    print(f"embeddings: {n} ({n_dups} planted dups) in "
+          f"{time.time()-t0:.1f}s", flush=True)
+
+    # semantic_decontaminate: bench = base rows id < 1000
+    from fspann_query_system_spark.ops.similarity import (
+        kmeans_fit, semantic_decontaminate)
+    n_bench = min(1000, n_uniq)
+    bench = emb.filter(F.col("id") < n_bench)
+    corpus = emb.filter(F.col("id") >= n_bench)
+    planted = {n_uniq + b for b in range(min(n_bench, n_dups))}
+    t0 = time.time()
+    flagged = (semantic_decontaminate(corpus, bench, threshold=0.999)
+               .select("id").distinct())
+    got = {r.id for r in flagged.collect()}
+    wall = time.time() - t0
+    emit({"metric": "semantic_decontaminate_1m", "n_corpus": n - n_bench,
+          "n_bench": n_bench, "threshold": 0.999,
+          "wall_sec": round(wall, 1),
+          "docs_per_sec": round((n - n_bench) / wall),
+          "flagged": len(got),
+          "recall": round(len(got & planted) / max(len(planted), 1), 4),
+          "precision": round(len(got & planted) / max(len(got), 1), 4)})
+
+    # cluster_sample: k ~ n/64 cells (the SemDeDup geometry), cap 16
+    from fspann_query_system_spark.ops.sampling import cluster_sample
+    k_cells = max(16, n // 64)
+    t0 = time.time()
+    cents = kmeans_fit(emb, k=k_cells, iters=2).persist()
+    cents.count()
+    t_fit = time.time() - t0
+    t0 = time.time()
+    kept = cluster_sample(emb, cents, per_cell=16)
+    stats = kept.agg(F.count(F.lit(1)).alias("rows"),
+                     F.countDistinct("cell").alias("cells"),
+                     F.max("rk").alias("max_rk")).first()
+    wall = time.time() - t0
+    emit({"metric": "cluster_sample_1m", "n": n, "k_cells": k_cells,
+          "per_cell": 16, "kmeans_fit_sec": round(t_fit, 1),
+          "wall_sec": round(wall, 1), "docs_per_sec": round(n / wall),
+          "rows_kept": stats.rows, "cells_hit": stats.cells,
+          "max_rk": stats.max_rk,
+          "kept_frac": round(stats.rows / n, 4)})
+
+
+if __name__ == "__main__":
+    main()

@@ -539,7 +539,8 @@ def boilerplate_stats(docs: DataFrame, text_col: str = "text",
 
 def dsir_weights(docs: DataFrame, target: Column,
                  text_col: str = "text", id_col: str = "doc_id",
-                 n_buckets: int = 1024, alpha: float = 1.0) -> DataFrame:
+                 n_buckets: int = 1024, alpha: float = 1.0,
+                 bucket_hash: str = "md5") -> DataFrame:
     """DSIR hashed n-gram importance weights (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): score
     every document by how target-domain-like its hashed unigram+bigram
@@ -567,10 +568,13 @@ def dsir_weights(docs: DataFrame, target: Column,
     CONSTRUCTION, not by luck; per-doc scoring is one doc_id-keyed agg
     with map-side combine.  Nothing all-pairs, no corpus-sized state.
 
-    The bucket hash is the md5-prefix trick shared with the KMV/CMS
-    sketches: first 15 hex digits -> 60-bit int -> mod n_buckets,
-    bit-identical in any engine, so the registry entry gets a full
-    cross-engine oracle.
+    ``bucket_hash="md5"`` is the md5-prefix trick shared with the
+    KMV/CMS sketches: first 15 hex digits -> 60-bit int -> mod
+    n_buckets, bit-identical in any engine, so the registry entry gets
+    a full cross-engine oracle.  ``bucket_hash="xxhash64"`` is the
+    production fast path (native 64-bit hash, no hex round-trip) —
+    same statistics, different bucket assignment, so only the md5 mode
+    is oracle-comparable.
     """
     toks = (docs.select(F.col(id_col).alias("doc_id"),
                         target.cast("int").alias("is_t"),
@@ -582,10 +586,12 @@ def dsir_weights(docs: DataFrame, target: Column,
                  _bigrams(F.col("toks"), F.size("toks"))).alias("grams"))
     from ..functions.plan import select_exploded
     g = select_exploded(grams, F.col("grams"), "gram", "doc_id", "is_t")
-    g = g.select(
-        "doc_id", "is_t",
-        F.pmod(F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-                .cast("long"), F.lit(n_buckets)).alias("bucket"))
+    if bucket_hash == "xxhash64":
+        b = F.pmod(F.xxhash64("gram"), F.lit(n_buckets))
+    else:
+        b = F.pmod(F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+                    .cast("long"), F.lit(n_buckets))
+    g = g.select("doc_id", "is_t", b.alias("bucket"))
     hist = (g.groupBy("bucket")
             .agg(F.sum("is_t").alias("ct"),
                  F.count(F.lit(1)).alias("cr")))

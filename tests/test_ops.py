@@ -1872,6 +1872,13 @@ def test_dsir_weights_ranks_target_like_docs_higher(spark):
     again = dsir_weights(docs.repartition(7), F.col("side") == "t",
                          n_buckets=64)
     assert {r.doc_id: r.dsir_logw for r in again.collect()} == w
+    # fast-path hash: same doc set and gram counts, same ranking property
+    fast = dsir_weights(docs, F.col("side") == "t", n_buckets=64,
+                        bucket_hash="xxhash64")
+    wf = {r.doc_id: r.dsir_logw for r in fast.collect()}
+    assert set(wf) == set(w)
+    assert min(wf[100 + i] for i in range(10)) > max(wf[200 + i]
+                                                     for i in range(10))
 
 
 def test_semantic_decontaminate_flags_planted_leaks_only(spark):

@@ -62,16 +62,19 @@ def main():
     print(f"text corpus: {n} docs in {time.time()-t0:.1f}s", flush=True)
 
     from fspann_query_system_spark.ops.quality import dsir_weights
-    t0 = time.time()
-    out = dsir_weights(docs, F.col("doc_id") % 20 == 0, n_buckets=4096)
-    agg = out.agg(F.count(F.lit(1)).alias("rows"),
-                  F.avg("dsir_logw").alias("mean_w"),
-                  F.stddev_samp("dsir_logw").alias("sd_w")).first()
-    wall = time.time() - t0
-    emit({"metric": "dsir_weights_1m", "n_docs": n, "n_buckets": 4096,
-          "wall_sec": round(wall, 1), "docs_per_sec": round(n / wall),
-          "rows_out": agg.rows, "mean_logw": round(agg.mean_w, 4),
-          "sd_logw": round(agg.sd_w, 4)})
+    for h in ("md5", "xxhash64"):
+        t0 = time.time()
+        out = dsir_weights(docs, F.col("doc_id") % 20 == 0,
+                           n_buckets=4096, bucket_hash=h)
+        agg = out.agg(F.count(F.lit(1)).alias("rows"),
+                      F.avg("dsir_logw").alias("mean_w"),
+                      F.stddev_samp("dsir_logw").alias("sd_w")).first()
+        wall = time.time() - t0
+        emit({"metric": f"dsir_weights_1m_{h}", "n_docs": n,
+              "n_buckets": 4096, "wall_sec": round(wall, 1),
+              "docs_per_sec": round(n / wall), "rows_out": agg.rows,
+              "mean_logw": round(agg.mean_w, 4),
+              "sd_logw": round(agg.sd_w, 4)})
     docs.unpersist()
 
     # ---------------- embedding family ----------------

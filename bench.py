@@ -41,6 +41,7 @@ HEADLINE = [
     "repetition_stats",
     "decontaminate",
     "dsir_weights",
+    "bloom_decontaminate",
     "bm25_scores",
     "vocab_topk",
     "vocab_topk_salted",

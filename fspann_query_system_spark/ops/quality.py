@@ -609,3 +609,82 @@ def dsir_weights(docs: DataFrame, target: Column,
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_grams"),
                  F.round(F.sum("lr"), 4).alias("dsir_logw")))
+
+
+def bloom_decontaminate(docs: DataFrame, text_col: str = "text",
+                        n: int = 5, bench_every: int = 50,
+                        m_bits: int = 1 << 18, k_hashes: int = 4,
+                        threshold: float = 0.5) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the bounded-memory
+    variant of :func:`decontaminate` for when the benchmark gram set
+    is too large to ship raw (a full eval-suite union at 100 TB):
+    membership state is ``m_bits`` BITS (positions set by any
+    benchmark gram), a fixed budget independent of how the benchmark
+    grows, at the price of a deterministic false-positive rate
+    ≈ (set_bits/m)^k.  Same bench/corpus split convention as
+    ``decontaminate`` (``doc_id % bench_every == 0`` is the bench).
+
+    Output: (doc_id, n_grams, n_hit, hit_frac, contaminated) — same
+    shape as ``decontaminate``; ``n_hit`` counts grams whose ALL
+    ``k_hashes`` positions are set (true hits + deterministic FPs).
+
+    Position ``j`` of gram ``g`` is the md5-prefix integer of
+    ``"{j}:{g}"`` mod ``m_bits`` (the CMS row-hash trick) — plain
+    arithmetic, identical in any engine, so the FP set itself is
+    oracle-reproducible bit-for-bit.
+
+    Scale shape: the position table is ≤ ``m_bits`` rows of one long —
+    broadcast BY A FIXED BUDGET, never benchmark-sized; the corpus
+    side explodes each distinct gram k-fold (longs, not strings,
+    after the position hash), probes the broadcast set map-side, and
+    reduces with two combiner-friendly keyed aggs ((doc, gram) then
+    doc).  Nothing benchmark×corpus ever shuffles.
+    """
+    toks = (docs.select("doc_id", T.tokens(text_col).alias("toks"))
+            .where(F.size("toks") >= n))
+
+    def _grams(side: DataFrame) -> DataFrame:
+        # raw gram STRINGS (the bloom hash needs the gram text);
+        # distinct array-side like decontaminate
+        return side.select(
+            "doc_id",
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            )).alias("grams"))
+
+    def _pos(j: int, gram) -> Column:
+        h = F.md5(F.concat(F.lit(f"{j}:"), gram))
+        return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+                      F.lit(m_bits))
+
+    from ..functions.plan import select_exploded
+    bench_g = select_exploded(
+        _grams(toks.where(F.col("doc_id") % bench_every == 0)),
+        F.col("grams"), "gram")
+    bits = (bench_g.select(F.explode(F.array(
+                *[_pos(j, F.col("gram")) for j in range(1, k_hashes + 1)]))
+            .alias("p")).distinct()
+            .withColumn("hit", F.lit(1)))
+
+    corp = select_exploded(
+        _grams(toks.where(F.col("doc_id") % bench_every != 0)),
+        F.col("grams"), "gram", "doc_id")
+    # per-gram k probe positions; gram identity collapses to a 64-bit
+    # hash so the (doc, gram)-keyed agg shuffles longs, not strings
+    probes = corp.select(
+        "doc_id", F.xxhash64("gram").alias("_g"),
+        F.explode(F.array(*[_pos(j, F.col("gram"))
+                            for j in range(1, k_hashes + 1)])).alias("p"))
+    per_gram = (probes.join(F.broadcast(bits), "p", "left")
+                .groupBy("doc_id", "_g")
+                .agg((F.count("hit") == k_hashes).cast("int").alias("h")))
+    out = (per_gram.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_grams"),
+                F.sum("h").alias("n_hit")))
+    out = out.withColumn(
+        "hit_frac",
+        F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6))
+    return out.withColumn(
+        "contaminated",
+        (F.col("hit_frac") >= F.lit(threshold)).cast("int"))

@@ -3616,6 +3616,58 @@ GROUP BY gb.doc_id
 """
 
 
+BLOOM_M_BITS = 4096
+BLOOM_K = 4
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination: membership state is a fixed
+    m-bit budget independent of benchmark size (deterministic FP set,
+    oracle-reproducible); same bench split as `decontaminate`
+    (ops/quality.py)."""
+    from .ops.quality import bloom_decontaminate
+    return bloom_decontaminate(_t(spark, sf_dir, "documents"),
+                               m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K)
+
+
+SQL_BLOOM_DECON = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 5 + 2),
+                       i -> array_to_string(toks[i:i+4], ' '))) AS grams
+  FROM tok WHERE len(toks) >= 5),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+js AS (SELECT unnest(range(1, {BLOOM_K + 1})) AS j),
+bits AS (
+  SELECT DISTINCT ('0x' || substr(md5(j::VARCHAR || ':' || gram), 1, 15))
+                    ::BIGINT % {BLOOM_M_BITS} AS p
+  FROM bench CROSS JOIN js),
+corp AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 != 0),
+probes AS (
+  SELECT doc_id, gram,
+         ('0x' || substr(md5(j::VARCHAR || ':' || gram), 1, 15))
+           ::BIGINT % {BLOOM_M_BITS} AS p
+  FROM corp CROSS JOIN js),
+per_gram AS (
+  SELECT doc_id, gram, CAST(count(bits.p) = {BLOOM_K} AS INT) AS h
+  FROM probes LEFT JOIN bits ON probes.p = bits.p
+  GROUP BY doc_id, gram)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(h) AS BIGINT) AS n_hit,
+       round(sum(h)::DOUBLE / count(*), 6) AS hit_frac,
+       CAST(round(sum(h)::DOUBLE / count(*), 6) >= 0.5 AS INT)
+         AS contaminated
+FROM per_gram GROUP BY doc_id
+"""
+
+
 SEM_DECON_THRESHOLD = 0.35
 
 
@@ -3763,6 +3815,9 @@ QUERIES = {
                                         # new r6, parked from birth (see
                                         # leakage_safe_split note below)
     "dsir_weights": q_dsir_weights,     # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
+    "bloom_decontaminate": q_bloom_decontaminate,
+                                        # new r6, parked from birth (see
                                         # leakage_safe_split note below)
     "semantic_decontaminate": q_semantic_decontaminate,
                                         # new r6, parked from birth (see
@@ -3922,6 +3977,7 @@ def oracle_sql_map() -> dict[str, str]:
             NEAR_DUP_LSH_THRESHOLD),
         "kmeans_centroids": sql_kmeans(KMEANS_K, KMEANS_ITERS),
         "dsir_weights": SQL_DSIR,
+        "bloom_decontaminate": SQL_BLOOM_DECON,
         "semantic_decontaminate": SQL_SEM_DECON,
         "cluster_sample": sql_cluster_sample(KMEANS_K, KMEANS_ITERS,
                                              CLUSTER_SAMPLE_PER_CELL),

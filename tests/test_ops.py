@@ -1939,3 +1939,29 @@ def test_cluster_sample_caps_every_cell_and_is_deterministic(spark):
     again = cluster_sample(df.repartition(5), cent, per_cell=15).collect()
     assert sorted((r.cell, r.id, r.rk) for r in again) == \
         sorted((r.cell, r.id, r.rk) for r in out)
+
+
+def test_bloom_decontaminate_supersets_exact_hits(spark):
+    """Bloom membership can false-positive but NEVER false-negative:
+    per doc, bloom n_hit >= exact n_hit, and every exactly-contaminated
+    doc is bloom-contaminated."""
+    from fspann_query_system_spark.ops.quality import (bloom_decontaminate,
+                                                       decontaminate)
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, bench_text), (50, "one two three four five six seven")]
+    rows += [(i, bench_text + f" tail{i}") for i in range(1, 11)]   # leaks
+    rows += [(60 + i, f"clean{i} " + " ".join(f"w{i}x{j}" for j in range(9)))
+             for i in range(10)]                                    # clean
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    exact = {r.doc_id: r for r in decontaminate(docs).collect()}
+    bloom = {r.doc_id: r for r in
+             bloom_decontaminate(docs, m_bits=1 << 14).collect()}
+    assert set(exact) == set(bloom)
+    for d, e in exact.items():
+        assert bloom[d].n_hit >= e.n_hit
+        assert bloom[d].n_grams == e.n_grams
+        if e.contaminated:
+            assert bloom[d].contaminated
+    # the planted leaks are contaminated through the bloom path too
+    assert all(bloom[i].contaminated for i in range(1, 11))
+    assert not any(bloom[60 + i].contaminated for i in range(10))

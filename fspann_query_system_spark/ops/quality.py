@@ -2,7 +2,8 @@
 reference -- SURVEY build mandate: text quality / repetition analysis,
 benchmark decontamination, relevance scoring).
 
-All three operators are pure native-Catalyst plans (zero Python UDFs):
+Every operator here is a pure native-Catalyst plan (zero Python UDFs).
+The anchor trio:
 
 * ``repetition_stats``   -- Gopher-style repetition signals (Rae et al.
   2021, "Scaling Language Models", table A1): distinct-token ratio and
@@ -13,12 +14,19 @@ All three operators are pure native-Catalyst plans (zero Python UDFs):
   word n-grams with an eval set).  The benchmark gram set is tiny by
   construction, so the plan is explode -> broadcast left join -> one
   keyed agg: the corpus side shuffles ONCE on doc_id with map-side
-  combine, and never all-pairs.
+  combine, and never all-pairs.  ``bloom_decontaminate`` is its
+  fixed-memory-budget variant (m-bit membership, deterministic FPs);
+  ``dsir_weights`` the importance-resampling selection score over the
+  same hashed-gram machinery.
 * ``bm25``               -- Okapi BM25 scoring against a fixed term
   list.  Per-term tf is computed array-side; corpus stats (N, avgdl,
   df_t) come from ONE single-row aggregate broadcast back via
   crossJoin, so the whole plan is scan + 1-row agg + map -- no
   per-term explode, no (doc x term) shuffle.
+
+Plus the distribution reports (``unigram_logprob``, ``source_kl``,
+``vocab_overlap``, ``zipf_fit``, ``boilerplate_stats``) and the
+composite ``gopher_filter`` gate.
 
 Every operator has an exact DuckDB-SQL mirror in ``workloads.py`` for
 the correctness oracle; expressions are written in the same operation

@@ -670,20 +670,25 @@ def bloom_decontaminate(docs: DataFrame, text_col: str = "text",
     bench_g = select_exploded(
         _grams(toks.where(F.col("doc_id") % bench_every == 0)),
         F.col("grams"), "gram")
-    bits = (bench_g.select(F.explode(F.array(
-                *[_pos(j, F.col("gram")) for j in range(1, k_hashes + 1)]))
-            .alias("p")).distinct()
-            .withColumn("hit", F.lit(1)))
+    # the k-position arrays are COMPUTED (k md5s per gram): explode via
+    # select_exploded or InferFiltersFromGenerate re-evaluates them
+    # per row in a pushed-down filter (see functions/plan.py)
+    bits = (select_exploded(
+                bench_g, F.array(*[_pos(j, F.col("gram"))
+                                   for j in range(1, k_hashes + 1)]), "p")
+            .distinct().withColumn("hit", F.lit(1)))
 
     corp = select_exploded(
         _grams(toks.where(F.col("doc_id") % bench_every != 0)),
         F.col("grams"), "gram", "doc_id")
     # per-gram k probe positions; gram identity collapses to a 64-bit
     # hash so the (doc, gram)-keyed agg shuffles longs, not strings
-    probes = corp.select(
-        "doc_id", F.xxhash64("gram").alias("_g"),
-        F.explode(F.array(*[_pos(j, F.col("gram"))
-                            for j in range(1, k_hashes + 1)])).alias("p"))
+    probes = select_exploded(
+        corp.select("doc_id", F.xxhash64("gram").alias("_g"),
+                    F.array(*[_pos(j, F.col("gram"))
+                              for j in range(1, k_hashes + 1)])
+                    .alias("_ps")),
+        F.col("_ps"), "p", "doc_id", "_g")
     per_gram = (probes.join(F.broadcast(bits), "p", "left")
                 .groupBy("doc_id", "_g")
                 .agg((F.count("hit") == k_hashes).cast("int").alias("h")))

@@ -377,3 +377,44 @@ def test_ivf_bq_topk_no_product_and_broadcast_rerank(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_weights_bounded_histogram_and_broadcast_ratio(spark):
+    """DSIR: the bucket histogram key space is n_buckets (never
+    corpus-sized), the log-ratio side reaches the scoring join as a
+    broadcast, and nothing goes all-pairs."""
+    from fspann_query_system_spark.ops.quality import dsir_weights
+    plan = _plan(dsir_weights(W._t(spark, SF, "documents"),
+                              F.col("lang") == "en", n_buckets=64))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan          # ratio-table join
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_decontaminate_broadcast_bits_no_double_eval(spark):
+    """Bloom probe: the position table joins as a broadcast, nothing
+    goes all-pairs, and no Filter re-evaluates the computed gram/
+    position arrays below a Generate (double-eval class)."""
+    from fspann_query_system_spark.ops.quality import bloom_decontaminate
+    df = bloom_decontaminate(W._t(spark, SF, "documents"), m_bits=1024)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    fmt = _formatted(df)
+    for line in fmt.splitlines():
+        if line.strip().startswith("Condition") and "md5" in line:
+            raise AssertionError(f"computed array in a Filter: {line}")
+
+
+def test_cluster_sample_map_side_assign_single_cell_window(spark):
+    """cluster_sample: assignment is map-side (no join with the
+    centroid table), the only exchange above the scan feeds the
+    cell-keyed window."""
+    from fspann_query_system_spark.ops.sampling import cluster_sample
+    from fspann_query_system_spark.ops.similarity import kmeans_fit
+    emb = W._emb(spark, SF)
+    cent = kmeans_fit(emb, k=4, iters=1)
+    plan = _plan(cluster_sample(emb, cent, per_cell=3))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1

@@ -75,6 +75,21 @@ def main():
               "docs_per_sec": round(n / wall), "rows_out": agg.rows,
               "mean_logw": round(agg.mean_w, 4),
               "sd_logw": round(agg.sd_w, 4)})
+    # bloom decontamination: fixed m-bit budget; bench slice = 1/50 of
+    # the corpus, so the position table is capped at m_bits rows no
+    # matter how many benchmark grams exist
+    from fspann_query_system_spark.ops.quality import bloom_decontaminate
+    t0 = time.time()
+    out = bloom_decontaminate(docs, m_bits=1 << 22, k_hashes=4)
+    agg = out.agg(F.count(F.lit(1)).alias("rows"),
+                  F.sum("n_hit").alias("hits"),
+                  F.sum("contaminated").alias("flagged")).first()
+    wall = time.time() - t0
+    emit({"metric": "bloom_decontaminate_1m", "n_docs": n,
+          "m_bits": 1 << 22, "k_hashes": 4,
+          "wall_sec": round(wall, 1), "docs_per_sec": round(n / wall),
+          "rows_out": agg.rows, "gram_hits": int(agg.hits),
+          "flagged_docs": int(agg.flagged)})
     docs.unpersist()
 
     # ---------------- embedding family ----------------

@@ -19,7 +19,8 @@ Corpora reuse the established distributed generators:
     1000 dup rows whose base id < 1000 (dup bases enumerate
     0..n_dups-1).  Recall/precision against that planted set.
 
-Usage: python3 tools/scale_selection_1m.py [n] [dup_frac]
+Usage: python3 tools/scale_selection_1m.py [n] [dup_frac] [stages]
+``stages`` is a comma list of {dsir,bloom,decon,cluster} (default all).
 Appends JSON lines to tools/scale_selection_1m.jsonl.
 """
 
@@ -50,19 +51,22 @@ def emit(row: dict):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dup_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.02
+    stages = set((sys.argv[3] if len(sys.argv) > 3
+                  else "dsir,bloom,decon,cluster").split(","))
     spark = get_spark("scale-selection",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # ---------------- dsir_weights over 1M docs ----------------
-    docs, n_uniq = gen_corpus(spark, n, 0.0)
-    docs = docs.persist()
-    t0 = time.time()
-    docs.count()
-    print(f"text corpus: {n} docs in {time.time()-t0:.1f}s", flush=True)
+    if stages & {"dsir", "bloom"}:
+        docs, n_uniq = gen_corpus(spark, n, 0.0)
+        docs = docs.persist()
+        t0 = time.time()
+        docs.count()
+        print(f"text corpus: {n} docs in {time.time()-t0:.1f}s", flush=True)
 
     from fspann_query_system_spark.ops.quality import dsir_weights
-    for h in ("md5", "xxhash64"):
+    for h in ("md5", "xxhash64") if "dsir" in stages else ():
         t0 = time.time()
         out = dsir_weights(docs, F.col("doc_id") % 20 == 0,
                            n_buckets=4096, bucket_hash=h)
@@ -78,19 +82,23 @@ def main():
     # bloom decontamination: fixed m-bit budget; bench slice = 1/50 of
     # the corpus, so the position table is capped at m_bits rows no
     # matter how many benchmark grams exist
-    from fspann_query_system_spark.ops.quality import bloom_decontaminate
-    t0 = time.time()
-    out = bloom_decontaminate(docs, m_bits=1 << 22, k_hashes=4)
-    agg = out.agg(F.count(F.lit(1)).alias("rows"),
-                  F.sum("n_hit").alias("hits"),
-                  F.sum("contaminated").alias("flagged")).first()
-    wall = time.time() - t0
-    emit({"metric": "bloom_decontaminate_1m", "n_docs": n,
-          "m_bits": 1 << 22, "k_hashes": 4,
-          "wall_sec": round(wall, 1), "docs_per_sec": round(n / wall),
-          "rows_out": agg.rows, "gram_hits": int(agg.hits),
-          "flagged_docs": int(agg.flagged)})
-    docs.unpersist()
+    if "bloom" in stages:
+        from fspann_query_system_spark.ops.quality import bloom_decontaminate
+        t0 = time.time()
+        out = bloom_decontaminate(docs, m_bits=1 << 22, k_hashes=4)
+        agg = out.agg(F.count(F.lit(1)).alias("rows"),
+                      F.sum("n_hit").alias("hits"),
+                      F.sum("contaminated").alias("flagged")).first()
+        wall = time.time() - t0
+        emit({"metric": "bloom_decontaminate_1m", "n_docs": n,
+              "m_bits": 1 << 22, "k_hashes": 4,
+              "wall_sec": round(wall, 1), "docs_per_sec": round(n / wall),
+              "rows_out": agg.rows, "gram_hits": int(agg.hits),
+              "flagged_docs": int(agg.flagged)})
+    if stages & {"dsir", "bloom"}:
+        docs.unpersist()
+    if not (stages & {"decon", "cluster"}):
+        return
 
     # ---------------- embedding family ----------------
     n_uniq = int(n * (1 - dup_frac))
@@ -104,24 +112,28 @@ def main():
     # semantic_decontaminate: bench = base rows id < 1000
     from fspann_query_system_spark.ops.similarity import (
         kmeans_fit, semantic_decontaminate)
-    n_bench = min(1000, n_uniq)
-    bench = emb.filter(F.col("id") < n_bench)
-    corpus = emb.filter(F.col("id") >= n_bench)
-    planted = {n_uniq + b for b in range(min(n_bench, n_dups))}
-    t0 = time.time()
-    flagged = (semantic_decontaminate(corpus, bench, threshold=0.999)
-               .select("id").distinct())
-    got = {r.id for r in flagged.collect()}
-    wall = time.time() - t0
-    emit({"metric": "semantic_decontaminate_1m", "n_corpus": n - n_bench,
-          "n_bench": n_bench, "threshold": 0.999,
-          "wall_sec": round(wall, 1),
-          "docs_per_sec": round((n - n_bench) / wall),
-          "flagged": len(got),
-          "recall": round(len(got & planted) / max(len(planted), 1), 4),
-          "precision": round(len(got & planted) / max(len(got), 1), 4)})
+    if "decon" in stages:
+        n_bench = min(1000, n_uniq)
+        bench = emb.filter(F.col("id") < n_bench)
+        corpus = emb.filter(F.col("id") >= n_bench)
+        planted = {n_uniq + b for b in range(min(n_bench, n_dups))}
+        t0 = time.time()
+        flagged = (semantic_decontaminate(corpus, bench, threshold=0.999)
+                   .select("id").distinct())
+        got = {r.id for r in flagged.collect()}
+        wall = time.time() - t0
+        emit({"metric": "semantic_decontaminate_1m",
+              "n_corpus": n - n_bench,
+              "n_bench": n_bench, "threshold": 0.999,
+              "wall_sec": round(wall, 1),
+              "docs_per_sec": round((n - n_bench) / wall),
+              "flagged": len(got),
+              "recall": round(len(got & planted) / max(len(planted), 1), 4),
+              "precision": round(len(got & planted) / max(len(got), 1), 4)})
 
     # cluster_sample: k ~ n/64 cells (the SemDeDup geometry), cap 16
+    if "cluster" not in stages:
+        return
     from fspann_query_system_spark.ops.sampling import cluster_sample
     k_cells = max(16, n // 64)
     t0 = time.time()

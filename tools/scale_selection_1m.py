@@ -105,6 +105,15 @@ def main():
     n_dups = n - n_uniq
     t0 = time.time()
     emb = gen_embeddings(spark, n, dup_frac)
+    if n > 2_000_000:
+        # in-memory cache of 10M array rows OOMs the local JVM+workers;
+        # same discipline as scale_bench: scratch-parquet materialization
+        scratch = f"/tmp/scale_sel_emb_{n}_{dup_frac}"
+        import os
+        if not os.path.isdir(scratch):
+            emb.write.mode("overwrite").parquet(scratch)
+        emb.unpersist()
+        emb = spark.read.parquet(scratch)
     emb.count()
     print(f"embeddings: {n} ({n_dups} planted dups) in "
           f"{time.time()-t0:.1f}s", flush=True)

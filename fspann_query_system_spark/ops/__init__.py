@@ -7,6 +7,10 @@ from .similarity import (cosine_topk, cosine_topk_sql_shape, ivf_topk,
 from .multimodal import (make_media_table, image_features, resize_images,
                          audio_features, frame_sample, media_summary)
 from .skew import salted_agg, salted_join, explain_shuffles
+from .quality import (decontaminate, bloom_decontaminate, dsir_weights,
+                      gopher_filter, repetition_stats)
+from .sampling import (stratified_sample, cluster_sample,
+                       quality_curriculum, sample_to_budget)
 
 __all__ = [
     "exact_duplicates", "dedup_exact", "shingle_table",
@@ -18,4 +22,8 @@ __all__ = [
     "make_media_table", "image_features", "resize_images", "audio_features",
     "frame_sample", "media_summary",
     "salted_agg", "salted_join", "explain_shuffles",
+    "decontaminate", "bloom_decontaminate", "dsir_weights",
+    "gopher_filter", "repetition_stats",
+    "stratified_sample", "cluster_sample", "quality_curriculum",
+    "sample_to_budget",
 ]

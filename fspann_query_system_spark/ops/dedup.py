@@ -626,7 +626,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
-                      n_hashes: int = 8, bands: int = 8,
+                      n_hashes: int = 8, bands: int | str = 8,
                       threshold: float = 0.5,
                       checkpoint_mode: str = "local",
                       stats: dict | None = None) -> DataFrame:
@@ -644,7 +644,13 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
     labeling is a left join on the (small) component table.  This is the
     composition a 100 TB dedup actually runs — candidate generation and
     exact verification must never both be all-pairs.
+
+    ``bands="auto"`` derives the band count from ``threshold`` via
+    :func:`lsh_band_geometry`, keeping the candidate S-curve crossover
+    coupled to the verify threshold instead of hand-picked.
     """
+    if bands == "auto":
+        bands, _ = lsh_band_geometry(threshold, n_hashes)
     # Candidate pairs are consumed three times (two verify joins + the
     # id semi-join below); localCheckpoint materializes the banding pass
     # ONCE instead of re-running shingle+minhash per consumer (the same
@@ -825,3 +831,42 @@ def edit_near_dups(df: DataFrame, text_col: str = "text",
                         F.levenshtein("text_a", "text_b", max_dist))
             .filter(F.col("edit_distance") >= 0)
             .select("id_a", "id_b", "n_shared_bands", "edit_distance"))
+
+
+def lsh_band_geometry(threshold: float, n_hashes: int) -> tuple[int, int]:
+    """Derive MinHash band geometry from a target Jaccard threshold —
+    the S-curve law applied (Leskovec/Rajaraman/Ullman, "Mining of
+    Massive Datasets" §3.4.3): with ``b`` bands of ``r`` rows, a pair
+    at similarity ``s`` becomes a candidate with P = 1 − (1 − s^r)^b,
+    whose crossover sits at ``(1/b)^(1/r)``.
+
+    Returns the ``(bands, rows_per_band)`` factorization of
+    ``n_hashes`` whose crossover is closest to ``threshold`` FROM
+    BELOW — at-threshold pairs must be likelier than not to band
+    together (recall before cost); if every factorization crosses
+    above the threshold, the closest one wins.  Pinned examples:
+    ``(0.5, 8) → (4, 2)`` (crossover exactly 0.5), ``(0.8, 16) →
+    (4, 4)`` (0.707), ``(0.3, 16) → (16, 1)`` (0.0625 — anything
+    finer over-prunes a low-threshold hunt).
+
+    Hand-picked geometry silently decouples from the verify threshold
+    as pipelines evolve — band pruning then either misses at-threshold
+    pairs (b too small) or floods the verify stage (b too large); this
+    derivation re-couples them the way the ANN family's
+    ``suggest_operating_point`` couples budget to corpus size.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1): {threshold}")
+    below, anywhere = None, None
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        x = (1.0 / b) ** (1.0 / r)
+        if x <= threshold and (below is None or x > below[0]):
+            below = (x, b, r)
+        if anywhere is None or abs(x - threshold) < abs(anywhere[0]
+                                                        - threshold):
+            anywhere = (x, b, r)
+    pick = below or anywhere
+    return pick[1], pick[2]

@@ -1965,3 +1965,36 @@ def test_bloom_decontaminate_supersets_exact_hits(spark):
     # the planted leaks are contaminated through the bloom path too
     assert all(bloom[i].contaminated for i in range(1, 11))
     assert not any(bloom[60 + i].contaminated for i in range(10))
+
+
+def test_lsh_band_geometry_pins_the_s_curve_law():
+    from fspann_query_system_spark.ops.dedup import lsh_band_geometry
+    import pytest
+    # crossover (1/b)^(1/r); closest-from-below wins
+    assert lsh_band_geometry(0.5, 8) == (4, 2)     # crossover exactly 0.5
+    assert lsh_band_geometry(0.8, 16) == (4, 4)    # 0.707, vs (2,8)=0.917
+    assert lsh_band_geometry(0.5, 16) == (8, 2)    # 0.354
+    assert lsh_band_geometry(0.9, 64) == (8, 8)    # 0.771
+    # nothing below the threshold -> closest anywhere
+    assert lsh_band_geometry(0.01, 4) == (4, 1)
+    with pytest.raises(ValueError):
+        lsh_band_geometry(1.5, 8)
+
+
+def test_near_dup_pipeline_auto_bands_matches_explicit(spark):
+    from fspann_query_system_spark.ops.dedup import (near_dup_pipeline,
+                                                     lsh_band_geometry)
+    rows = [(i, f"doc {i} unique words alpha{i} beta{i} gamma{i} delta{i}")
+            for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]       # exact dups
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    b, _ = lsh_band_geometry(0.5, 8)
+    auto = sorted(tuple(r) for r in
+                  near_dup_pipeline(docs, n_hashes=8, bands="auto",
+                                    threshold=0.5).collect())
+    explicit = sorted(tuple(r) for r in
+                      near_dup_pipeline(docs, n_hashes=8, bands=b,
+                                        threshold=0.5).collect())
+    assert auto == explicit
+    dropped = {i for i, c, keep in auto if not keep}
+    assert dropped == {100 + i for i in range(5)}

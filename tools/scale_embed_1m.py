@@ -176,3 +176,40 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def gen_embeddings_native(spark, n: int, dup_frac: float,
+                          dim: int = DIM, n_centers: int = N_CENTERS):
+    """JVM-native twin of :func:`gen_embeddings` for 10M+ runs: every
+    component is Box-Muller over two xxhash64-derived uniforms — no
+    Python worker in the generation path (the per-row numpy-rng loop
+    is the harness bottleneck at 10M and can OOM-crash workers).  Same
+    planted structure: ids >= n_uniq are base + N(0, DUP_NOISE)
+    (cosine >= 0.999); clusters have center scale 4.0, member noise
+    sigma 1.4 — the §9b geometry with a different (hash) RNG."""
+    import math
+    n_uniq = int(n * (1 - dup_frac))
+
+    def unif(tag, key, d, salt):
+        h = F.xxhash64(F.concat_ws(":", F.lit(tag), key.cast("string"),
+                                   d.cast("string"), F.lit(salt)))
+        return (F.shiftrightunsigned(h, 11).cast("double") + 0.5) / (2.0 ** 53)
+
+    def gauss(tag, key, d):
+        u1, u2 = unif(tag, key, d, "a"), unif(tag, key, d, "b")
+        return (F.sqrt(-2.0 * F.log(u1))
+                * F.cos(F.lit(2.0 * math.pi) * u2))
+
+    df = (spark.range(n).repartition(64)
+          .withColumn("base",
+                      F.when(F.col("id") < n_uniq, F.col("id"))
+                      .otherwise(F.pmod(F.col("id") - n_uniq,
+                                        F.lit(n_uniq)))))
+    comp = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (4.0 * gauss("c", F.pmod(F.col("base"), F.lit(n_centers)), d)
+                   + 1.4 * gauss("m", F.col("base"), d)
+                   + F.when(F.col("id") >= n_uniq,
+                            DUP_NOISE * gauss("n", F.col("id"), d))
+                   .otherwise(F.lit(0.0))))
+    return df.select("id", comp.alias("vector"))

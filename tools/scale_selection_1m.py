@@ -104,16 +104,19 @@ def main():
     n_uniq = int(n * (1 - dup_frac))
     n_dups = n - n_uniq
     t0 = time.time()
-    emb = gen_embeddings(spark, n, dup_frac)
     if n > 2_000_000:
-        # in-memory cache of 10M array rows OOMs the local JVM+workers;
-        # same discipline as scale_bench: scratch-parquet materialization
+        # 10M+: JVM-native generator (the per-row numpy-rng path is the
+        # bottleneck and can crash workers) + scratch-parquet
+        # materialization instead of an in-memory cache of array rows
+        from scale_embed_1m import gen_embeddings_native
         scratch = f"/tmp/scale_sel_emb_{n}_{dup_frac}"
         import os
         if not os.path.isdir(scratch):
-            emb.write.mode("overwrite").parquet(scratch)
-        emb.unpersist()
+            (gen_embeddings_native(spark, n, dup_frac)
+             .write.mode("overwrite").parquet(scratch))
         emb = spark.read.parquet(scratch)
+    else:
+        emb = gen_embeddings(spark, n, dup_frac)
     emb.count()
     print(f"embeddings: {n} ({n_dups} planted dups) in "
           f"{time.time()-t0:.1f}s", flush=True)

@@ -42,6 +42,7 @@ HEADLINE = [
     "decontaminate",
     "dsir_weights",
     "bloom_decontaminate",
+    "dsir_sample",
     "bm25_scores",
     "vocab_topk",
     "vocab_topk_salted",

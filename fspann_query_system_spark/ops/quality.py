@@ -701,3 +701,41 @@ def bloom_decontaminate(docs: DataFrame, text_col: str = "text",
     return out.withColumn(
         "contaminated",
         (F.col("hit_frac") >= F.lit(threshold)).cast("int"))
+
+
+def dsir_sample(docs: DataFrame, target: Column, n_keep: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 1024, alpha: float = 1.0,
+                salt: str = "") -> DataFrame:
+    """DSIR selection step — Gumbel-top-k importance RESAMPLING over
+    :func:`dsir_weights` (Xie et al. 2023 §2: sample from
+    p(d) ∝ exp(log w(d)) without replacement).  The Gumbel-max trick
+    makes that exact with one pass: key(d) = log w(d) + Gumbel(d),
+    take the ``n_keep`` largest keys.  The Gumbel is derived from the
+    md5 hash of ``salt||doc_id`` (u in (0,1) → −ln(−ln u)) — pure row
+    arithmetic, so the SAMPLE ITSELF is deterministic, append-stable,
+    and engine-portable (the registry oracle reproduces the exact
+    selected set, not just its size).
+
+    Output: (doc_id, dsir_logw, key, rk) for the selected docs,
+    rk 1..n_keep by descending key.
+
+    Scale shape: everything up to the key is :func:`dsir_weights`'
+    bounded plan + one map; the top-k is a global rank of 16-byte
+    (key, id) rows.  The oracle-friendly form here is a single window
+    (one exchange of corpus-count skinny rows); at 100 TB replace it
+    with ``orderBy(key).limit(n_keep)`` (TakeOrderedAndProject:
+    per-partition heaps, no global sort) or the partitioner's two-pass
+    ranking — the key column is identical either way.
+    """
+    w = dsir_weights(docs, target, text_col=text_col, id_col=id_col,
+                     n_buckets=n_buckets, alpha=alpha)
+    h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    u = ((F.conv(F.substring(h, 1, 15), 16, 10).cast("double") + 0.5)
+         / F.lit(float(16 ** 15)))
+    keyed = w.select(
+        "doc_id", "dsir_logw",
+        F.round(F.col("dsir_logw") - F.log(-F.log(u)), 4).alias("key"))
+    win = Window.orderBy(F.col("key").desc(), F.col("doc_id").asc())
+    return (keyed.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= n_keep))

@@ -3616,6 +3616,39 @@ GROUP BY gb.doc_id
 """
 
 
+DSIR_KEEP = 100
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR Gumbel-top-k resampling: exact sampling-without-replacement
+    from p(d) ∝ exp(dsir_logw) via hash-derived Gumbel keys — the
+    selected SET is deterministic and oracle-reproduced
+    (ops/quality.py)."""
+    from .ops.quality import dsir_sample
+    return dsir_sample(_t(spark, sf_dir, "documents"),
+                       F.col("lang") == "en", n_keep=DSIR_KEEP,
+                       n_buckets=DSIR_BUCKETS)
+
+
+def _sql_dsir_sample() -> str:
+    hex15 = "1152921504606846976.0"          # 16^15, an exact double
+    return f"""
+WITH dsir AS (
+{SQL_DSIR}
+),
+keyed AS (
+  SELECT doc_id, dsir_logw,
+         round(dsir_logw - ln(-ln(
+             ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT)::DOUBLE + 0.5) / {hex15})), 4) AS key
+  FROM dsir)
+SELECT doc_id, dsir_logw, key, CAST(rk AS INT) AS rk FROM (
+  SELECT keyed.*, row_number() OVER (ORDER BY key DESC, doc_id) AS rk
+  FROM keyed)
+WHERE rk <= {DSIR_KEEP}
+"""
+
+
 BLOOM_M_BITS = 4096
 BLOOM_K = 4
 
@@ -3819,6 +3852,8 @@ QUERIES = {
     "bloom_decontaminate": q_bloom_decontaminate,
                                         # new r6, parked from birth (see
                                         # leakage_safe_split note below)
+    "dsir_sample": q_dsir_sample,       # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
     "semantic_decontaminate": q_semantic_decontaminate,
                                         # new r6, parked from birth (see
                                         # leakage_safe_split note below)
@@ -3978,6 +4013,7 @@ def oracle_sql_map() -> dict[str, str]:
         "kmeans_centroids": sql_kmeans(KMEANS_K, KMEANS_ITERS),
         "dsir_weights": SQL_DSIR,
         "bloom_decontaminate": SQL_BLOOM_DECON,
+        "dsir_sample": _sql_dsir_sample(),
         "semantic_decontaminate": SQL_SEM_DECON,
         "cluster_sample": sql_cluster_sample(KMEANS_K, KMEANS_ITERS,
                                              CLUSTER_SAMPLE_PER_CELL),

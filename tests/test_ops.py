@@ -1998,3 +1998,32 @@ def test_near_dup_pipeline_auto_bands_matches_explicit(spark):
     assert auto == explicit
     dropped = {i for i, c, keep in auto if not keep}
     assert dropped == {100 + i for i in range(5)}
+
+
+def test_dsir_sample_gumbel_topk_is_deterministic_and_weight_biased(spark):
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.ops.quality import dsir_sample, dsir_weights
+    target_text = "the quick brown fox jumps over the lazy dog again "
+    other_text = "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp "
+    rows = ([(i, "t", target_text * 3) for i in range(30)]
+            + [(100 + i, "r", target_text * 3) for i in range(20)]
+            + [(200 + i, "r", other_text * 3) for i in range(20)])
+    docs = spark.createDataFrame(rows, "doc_id LONG, side STRING, text STRING")
+    sel = dsir_sample(docs, F.col("side") == "t", n_keep=25, n_buckets=64)
+    got = sel.collect()
+    assert len(got) == 25 and sorted(r.rk for r in got) == list(range(1, 26))
+    # deterministic under repartitioning
+    again = dsir_sample(docs.repartition(9), F.col("side") == "t",
+                        n_keep=25, n_buckets=64).collect()
+    assert sorted((r.doc_id, r.rk) for r in again) == \
+        sorted((r.doc_id, r.rk) for r in got)
+    # resampling is weight-biased: selected mean logw > corpus mean logw
+    all_w = {r.doc_id: r.dsir_logw for r in
+             dsir_weights(docs, F.col("side") == "t",
+                          n_buckets=64).collect()}
+    sel_mean = sum(r.dsir_logw for r in got) / len(got)
+    assert sel_mean > sum(all_w.values()) / len(all_w)
+    # a different salt draws a different (still deterministic) sample
+    salted = dsir_sample(docs, F.col("side") == "t", n_keep=25,
+                         n_buckets=64, salt="s2").collect()
+    assert {r.doc_id for r in salted} != {r.doc_id for r in got}

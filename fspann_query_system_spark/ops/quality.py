@@ -545,10 +545,61 @@ def boilerplate_stats(docs: DataFrame, text_col: str = "text",
                         F.round(F.col("n_boiler") / F.col("n_grams"), 6)))
 
 
+def _dsir_grams(docs: DataFrame, target: Column, text_col: str,
+                id_col: str, n_buckets: int,
+                bucket_hash: str) -> DataFrame:
+    """Shared gram→bucket projection: (doc_id, is_t, bucket), one row
+    per unigram/bigram occurrence (map-only)."""
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        target.cast("int").alias("is_t"),
+                        T.tokens(text_col).alias("toks"))
+            .where(F.size("toks") >= 1))
+    grams = toks.select(
+        "doc_id", "is_t",
+        F.concat(F.col("toks"),
+                 _bigrams(F.col("toks"), F.size("toks"))).alias("grams"))
+    from ..functions.plan import select_exploded
+    g = select_exploded(grams, F.col("grams"), "gram", "doc_id", "is_t")
+    if bucket_hash == "xxhash64":
+        b = F.pmod(F.xxhash64("gram"), F.lit(n_buckets))
+    else:
+        b = F.pmod(F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+                    .cast("long"), F.lit(n_buckets))
+    return g.select("doc_id", "is_t", b.alias("bucket"))
+
+
+def dsir_fit(docs: DataFrame, target: Column,
+             text_col: str = "text", id_col: str = "doc_id",
+             n_buckets: int = 1024, alpha: float = 1.0,
+             bucket_hash: str = "md5") -> DataFrame:
+    """Fit the DSIR bucket→log-ratio table (<= ``n_buckets`` rows) —
+    the model half of :func:`dsir_weights`.  The production pattern at
+    100 TB: fit ONCE on the pool that defines the distributions (or a
+    sample), ``.persist()``/write the tiny ratio table, then score any
+    number of corpora/batches with ``dsir_weights(..., ratio=...)`` —
+    each scoring pass is then a SINGLE corpus scan (the one-call form
+    scans twice: once for the histogram, once to score)."""
+    g = _dsir_grams(docs, target, text_col, id_col, n_buckets, bucket_hash)
+    hist = (g.groupBy("bucket")
+            .agg(F.sum("is_t").alias("ct"),
+                 F.count(F.lit(1)).alias("cr")))
+    tot = hist.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    a = float(alpha)
+    aB = a * float(n_buckets)
+    return (hist.crossJoin(F.broadcast(tot))
+            .select("bucket",
+                    ((F.log(F.col("ct").cast("double") + a)
+                      - F.log(F.col("tt").cast("double") + aB))
+                     - (F.log(F.col("cr").cast("double") + a)
+                        - F.log(F.col("tr").cast("double") + aB)))
+                    .alias("lr")))
+
+
 def dsir_weights(docs: DataFrame, target: Column,
                  text_col: str = "text", id_col: str = "doc_id",
                  n_buckets: int = 1024, alpha: float = 1.0,
-                 bucket_hash: str = "md5") -> DataFrame:
+                 bucket_hash: str = "md5",
+                 ratio: DataFrame | None = None) -> DataFrame:
     """DSIR hashed n-gram importance weights (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): score
     every document by how target-domain-like its hashed unigram+bigram
@@ -583,36 +634,16 @@ def dsir_weights(docs: DataFrame, target: Column,
     production fast path (native 64-bit hash, no hex round-trip) —
     same statistics, different bucket assignment, so only the md5 mode
     is oracle-comparable.
+
+    Pass a pre-fitted ``ratio`` table (:func:`dsir_fit`) to score with
+    ONE corpus scan; the one-call form derives it inline (two scans —
+    fine for a one-shot report, wasteful for repeated scoring).
     """
-    toks = (docs.select(F.col(id_col).alias("doc_id"),
-                        target.cast("int").alias("is_t"),
-                        T.tokens(text_col).alias("toks"))
-            .where(F.size("toks") >= 1))
-    grams = toks.select(
-        "doc_id", "is_t",
-        F.concat(F.col("toks"),
-                 _bigrams(F.col("toks"), F.size("toks"))).alias("grams"))
-    from ..functions.plan import select_exploded
-    g = select_exploded(grams, F.col("grams"), "gram", "doc_id", "is_t")
-    if bucket_hash == "xxhash64":
-        b = F.pmod(F.xxhash64("gram"), F.lit(n_buckets))
-    else:
-        b = F.pmod(F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-                    .cast("long"), F.lit(n_buckets))
-    g = g.select("doc_id", "is_t", b.alias("bucket"))
-    hist = (g.groupBy("bucket")
-            .agg(F.sum("is_t").alias("ct"),
-                 F.count(F.lit(1)).alias("cr")))
-    tot = hist.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
-    a = float(alpha)
-    aB = a * float(n_buckets)
-    ratio = (hist.crossJoin(F.broadcast(tot))
-             .select("bucket",
-                     ((F.log(F.col("ct").cast("double") + a)
-                       - F.log(F.col("tt").cast("double") + aB))
-                      - (F.log(F.col("cr").cast("double") + a)
-                         - F.log(F.col("tr").cast("double") + aB)))
-                     .alias("lr")))
+    g = _dsir_grams(docs, target, text_col, id_col, n_buckets, bucket_hash)
+    if ratio is None:
+        ratio = dsir_fit(docs, target, text_col=text_col, id_col=id_col,
+                         n_buckets=n_buckets, alpha=alpha,
+                         bucket_hash=bucket_hash)
     return (g.join(F.broadcast(ratio), "bucket")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_grams"),

@@ -2027,3 +2027,22 @@ def test_dsir_sample_gumbel_topk_is_deterministic_and_weight_biased(spark):
     salted = dsir_sample(docs, F.col("side") == "t", n_keep=25,
                          n_buckets=64, salt="s2").collect()
     assert {r.doc_id for r in salted} != {r.doc_id for r in got}
+
+
+def test_dsir_fit_apply_equals_one_call(spark):
+    """Scoring with a pre-fitted ratio table (ONE corpus scan) is
+    bit-identical to the one-call two-scan form."""
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.ops.quality import dsir_fit, dsir_weights
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de",
+          f"some shared words plus unique tail w{i} x{i}") for i in range(60)],
+        "doc_id LONG, lang STRING, text STRING")
+    tgt = F.col("lang") == "en"
+    one_call = {r.doc_id: (r.n_grams, r.dsir_logw) for r in
+                dsir_weights(docs, tgt, n_buckets=64).collect()}
+    ratio = dsir_fit(docs, tgt, n_buckets=64).persist()
+    applied = {r.doc_id: (r.n_grams, r.dsir_logw) for r in
+               dsir_weights(docs, tgt, n_buckets=64,
+                            ratio=ratio).collect()}
+    assert applied == one_call

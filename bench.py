@@ -101,6 +101,7 @@ HEADLINE = [
     "streaming_sessionization",
     "streaming_dedup",
     "streaming_minhash",
+    "streaming_decontaminate",
 ]
 
 # below this first-run time, re-run twice and take the median of 3.

@@ -174,7 +174,8 @@ def gopher_filter(docs: DataFrame, text_col: str = "text",
 
 def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 5,
                   bench_every: int = 50,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  bench_docs: DataFrame | None = None) -> DataFrame:
     """Benchmark n-gram-overlap decontamination.
 
     Docs with ``doc_id % bench_every == 0`` stand in for the eval
@@ -184,6 +185,12 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 5,
 
     Output: (doc_id, n_grams, n_hit, hit_frac, contaminated) for every
     corpus doc with at least one n-gram.
+
+    Pass ``bench_docs`` to supply the benchmark explicitly — then EVERY
+    row of ``docs`` is scored against it (the streaming/ingest shape:
+    bench grams built once from a static table, each arriving batch
+    scored in full); without it the ``doc_id % bench_every`` split
+    applies as above.
 
     Scale shape: per-doc grams are deduped ARRAY-SIDE (map-only) before
     the explode, so the exploded edge carries at most one row per
@@ -214,8 +221,9 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 5,
     # fold fewer shuffle/broadcast bytes at identical semantics.  Only
     # gram COUNTS reach the output, so the SQL oracle needs no hash
     # mirroring; a collision (P ≈ grams²/2⁶⁴) would perturb one count.
-    toks = (docs.select("doc_id", T.tokens(text_col).alias("toks"))
-            .where(F.size("toks") >= n))
+    def _toks(side: DataFrame) -> DataFrame:
+        return (side.select("doc_id", T.tokens(text_col).alias("toks"))
+                .where(F.size("toks") >= n))
 
     def _grams(side: DataFrame) -> DataFrame:
         return side.select(
@@ -225,11 +233,19 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 5,
                 lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, n))),
             )).alias("grams"))
 
+    toks = _toks(docs)
+    if bench_docs is None:
+        bench_toks = toks.where(F.col("doc_id") % bench_every == 0)
+        corp_toks = toks.where(F.col("doc_id") % bench_every != 0)
+    else:
+        bench_toks = _toks(bench_docs)
+        corp_toks = toks
+
     from ..functions.plan import select_exploded
-    bench = (select_exploded(_grams(toks.where(F.col("doc_id") % bench_every == 0)),
+    bench = (select_exploded(_grams(bench_toks),
                              F.col("grams"), "gram").select("gram").distinct()
              .withColumn("hit", F.lit(1)))
-    corp = select_exploded(_grams(toks.where(F.col("doc_id") % bench_every != 0)),
+    corp = select_exploded(_grams(corp_toks),
                            F.col("grams"), "gram", "doc_id")
     scored = (corp.join(F.broadcast(bench), "gram", "left")
               .groupBy("doc_id")

@@ -3616,6 +3616,38 @@ GROUP BY gb.doc_id
 """
 
 
+def q_streaming_decontaminate(spark, sf_dir):
+    """Streaming benchmark decontamination — the ingest-time shape: the
+    eval-set gram table is built ONCE from the static benchmark slice
+    and broadcast; every arriving micro-batch is scored stateless
+    inside foreachBatch (scoring is per-doc map + one batch-local agg,
+    so no streaming-agg state accumulates).  Same oracle as the batch
+    `decontaminate`: draining the stream reproduces it exactly."""
+    import uuid
+    from .ops.quality import decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).localCheckpoint()
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    collected: list = []
+
+    def score(bdf, _bid):
+        corp = bdf.filter(F.col("doc_id") % 50 != 0)
+        collected.extend(decontaminate(corp, bench_docs=bench).collect())
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    q = (stream.writeStream.foreachBatch(score)
+         .queryName("stream_decon_" + uuid.uuid4().hex[:8])
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.createDataFrame(
+        collected,
+        "doc_id LONG, n_grams BIGINT, n_hit BIGINT, hit_frac DOUBLE, "
+        "contaminated INT")
+
+
 DSIR_KEEP = 100
 
 
@@ -3854,6 +3886,9 @@ QUERIES = {
                                         # leakage_safe_split note below)
     "dsir_sample": q_dsir_sample,       # new r6, parked from birth (see
                                         # leakage_safe_split note below)
+    "streaming_decontaminate": q_streaming_decontaminate,
+                                        # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
     "semantic_decontaminate": q_semantic_decontaminate,
                                         # new r6, parked from birth (see
                                         # leakage_safe_split note below)
@@ -4014,6 +4049,7 @@ def oracle_sql_map() -> dict[str, str]:
         "dsir_weights": SQL_DSIR,
         "bloom_decontaminate": SQL_BLOOM_DECON,
         "dsir_sample": _sql_dsir_sample(),
+        "streaming_decontaminate": SQL_DECONTAMINATE,
         "semantic_decontaminate": SQL_SEM_DECON,
         "cluster_sample": sql_cluster_sample(KMEANS_K, KMEANS_ITERS,
                                              CLUSTER_SAMPLE_PER_CELL),

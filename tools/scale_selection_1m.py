@@ -143,11 +143,14 @@ def main():
               "recall": round(len(got & planted) / max(len(planted), 1), 4),
               "precision": round(len(got & planted) / max(len(got), 1), 4)})
 
-    # cluster_sample: k ~ n/64 cells (the SemDeDup geometry), cap 16
+    # cluster_sample: k ~ n/64 cells (the SemDeDup geometry), capped at
+    # 20k cells for 10M+ runs (fit cost is O(n*k); past the cap the
+    # knob that grows with n is per-cell occupancy, not k — the same
+    # budget-vs-n framing as SCALE.md §8b)
     if "cluster" not in stages:
         return
     from fspann_query_system_spark.ops.sampling import cluster_sample
-    k_cells = max(16, n // 64)
+    k_cells = max(16, min(n // 64, 20_000))
     t0 = time.time()
     cents = kmeans_fit(emb, k=k_cells, iters=2).persist()
     cents.count()

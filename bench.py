@@ -44,6 +44,7 @@ HEADLINE = [
     "bloom_decontaminate",
     "dsir_sample",
     "bm25_scores",
+    "hybrid_retrieval",
     "vocab_topk",
     "vocab_topk_salted",
     "unigram_logprob",

@@ -3616,6 +3616,56 @@ GROUP BY gb.doc_id
 """
 
 
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion:
+    BM25 posting-join top-10 and cosine top-10 (embedding vec_id
+    proxies doc_id) fused by RRF — pure rank arithmetic over two
+    already-bounded lists (ops/retrieval.py)."""
+    from .ops.quality import bm25_topk
+    from .ops.similarity import cosine_topk
+    from .ops.retrieval import rrf_fuse
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(q, list(t)) for q, t in BM25_QUERIES],
+        "q_id LONG, terms ARRAY<STRING>")
+    lex = bm25_topk(docs, queries, k=10, k1=_BM25_K1, b=_BM25_B)
+    base = _emb(spark, sf_dir)
+    vq = (base.filter(F.col("id") < len(BM25_QUERIES))
+          .select(F.col("id").alias("q_id"), "vector"))
+    vec = (cosine_topk(base, vq, k=10)
+           .select("q_id", F.col("id").alias("doc_id"), "rank"))
+    return rrf_fuse(lex, vec, k=10)
+
+
+def _sql_hybrid_retrieval() -> str:
+    n_q = len(BM25_QUERIES)
+    return f"""
+WITH lex AS (
+{_sql_bm25_topk()}
+),
+e AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+q AS (SELECT id AS q_id, v AS qv FROM e WHERE id < {n_q}),
+vsim AS (SELECT q_id, id, list_cosine_similarity(qv, v) AS sim
+         FROM q CROSS JOIN e),
+vec AS (SELECT q_id, id AS doc_id, rnk AS rank FROM (
+          SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, id) AS rnk FROM vsim)
+        WHERE rnk <= 10),
+u AS (SELECT q_id, doc_id, 1.0 / (60.0 + rank) AS s FROM lex
+      UNION ALL
+      SELECT q_id, doc_id, 1.0 / (60.0 + rank) AS s FROM vec),
+agg AS (SELECT q_id, doc_id, CAST(count(*) AS INT) AS n_lists,
+               round(sum(s), 6) AS rrf
+        FROM u GROUP BY 1, 2)
+SELECT q_id, doc_id, n_lists, rrf, CAST(rnk AS INT) AS rank
+FROM (SELECT agg.*, row_number() OVER (PARTITION BY q_id
+             ORDER BY rrf DESC, doc_id) AS rnk FROM agg)
+WHERE rnk <= 10
+"""
+
+
 def q_streaming_decontaminate(spark, sf_dir):
     """Streaming benchmark decontamination — the ingest-time shape: the
     eval-set gram table is built ONCE from the static benchmark slice
@@ -3889,6 +3939,9 @@ QUERIES = {
     "streaming_decontaminate": q_streaming_decontaminate,
                                         # new r6, parked from birth (see
                                         # leakage_safe_split note below)
+    "hybrid_retrieval": q_hybrid_retrieval,
+                                        # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
     "semantic_decontaminate": q_semantic_decontaminate,
                                         # new r6, parked from birth (see
                                         # leakage_safe_split note below)
@@ -4050,6 +4103,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bloom_decontaminate": SQL_BLOOM_DECON,
         "dsir_sample": _sql_dsir_sample(),
         "streaming_decontaminate": SQL_DECONTAMINATE,
+        "hybrid_retrieval": _sql_hybrid_retrieval(),
         "semantic_decontaminate": SQL_SEM_DECON,
         "cluster_sample": sql_cluster_sample(KMEANS_K, KMEANS_ITERS,
                                              CLUSTER_SAMPLE_PER_CELL),

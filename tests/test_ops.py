@@ -2046,3 +2046,20 @@ def test_dsir_fit_apply_equals_one_call(spark):
                dsir_weights(docs, tgt, n_buckets=64,
                             ratio=ratio).collect()}
     assert applied == one_call
+
+
+def test_rrf_fuse_known_values_and_absent_list_semantics(spark):
+    from fspann_query_system_spark.ops.retrieval import rrf_fuse
+    a = spark.createDataFrame([(0, 10, 1), (0, 11, 2)],
+                              "q_id LONG, doc_id LONG, rank INT")
+    b = spark.createDataFrame([(0, 11, 1), (0, 12, 2)],
+                              "q_id LONG, doc_id LONG, rank INT")
+    out = {r.doc_id: r for r in rrf_fuse(a, b, k=10).collect()}
+    # doc 11 in both lists (rank 2 + rank 1); 10 and 12 in one each
+    assert out[11].n_lists == 2
+    assert abs(out[11].rrf - (1 / 62 + 1 / 61)) < 1e-6
+    assert out[10].n_lists == 1 and abs(out[10].rrf - 1 / 61) < 1e-6
+    assert out[12].n_lists == 1 and abs(out[12].rrf - 1 / 62) < 1e-6
+    # fused order: 11 (both lists) first, then 10 (rank1) over 12 (rank2)
+    assert [r.doc_id for r in sorted(out.values(), key=lambda r: r.rank)] \
+        == [11, 10, 12]

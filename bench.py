@@ -48,6 +48,7 @@ HEADLINE = [
     "vocab_topk",
     "vocab_topk_salted",
     "unigram_logprob",
+    "bigram_logprob",
     "source_kl",
     "chunk_docs",
     "embedding_dim_stats",

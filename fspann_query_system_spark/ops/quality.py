@@ -786,3 +786,55 @@ def dsir_sample(docs: DataFrame, target: Column, n_keep: int,
     win = Window.orderBy(F.col("key").desc(), F.col("doc_id").asc())
     return (keyed.withColumn("rk", F.row_number().over(win))
             .filter(F.col("rk") <= n_keep))
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   alpha: float = 1.0) -> DataFrame:
+    """Per-document mean NLL under a corpus bigram model with additive
+    unigram backoff — one rung up the perplexity-filter ladder from
+    :func:`unigram_logprob` (CCNet scores with a 5-gram KenLM; the
+    bigram model is its cheapest distributed analog and separates
+    word-salad from fluent text where unigram NLL cannot: both score
+    the same under a bag-of-words model).
+
+        p(t | s) = (c(s,t) + alpha * p1(t)) / (c1(s) + alpha)
+        score(d) = -(1 / (|d|-1)) * sum_i ln p(t_i | t_{i-1})
+
+    Output: (doc_id, n_bigrams, avg_nll) for docs with >= 2 tokens.
+
+    Scale shape: the bigram count table reduces in ONE keyed agg
+    (rows = observed bigrams, not corpus size); the unigram table
+    likewise; the scoring joins are bigram-/token-keyed shuffles
+    (neither table assumed broadcastable at 100 TB — AQE may still
+    broadcast when measured small); per-doc score is one doc-keyed
+    agg.  Nothing all-pairs, no corpus-sized single-task state.
+    """
+    toks = (docs.select("doc_id", T.tokens(text_col).alias("toks"))
+            .where(F.size("toks") >= 2))
+    big = toks.select(
+        "doc_id",
+        _bigrams(F.col("toks"), F.size("toks")).alias("bgs"))
+    from ..functions.plan import select_exploded
+    db = select_exploded(big, F.col("bgs"), "bg", "doc_id")
+    # leading token of each bigram = the conditioning context s
+    db = db.select("doc_id", "bg",
+                   F.substring_index("bg", " ", 1).alias("s"),
+                   F.substring_index("bg", " ", -1).alias("t"))
+    bcnt = db.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    tok = select_exploded(toks, F.col("toks"), "token", "doc_id")
+    ucnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    total = ucnt.agg(F.sum("cu").alias("tt"))
+    a = float(alpha)
+    lp = (F.log((F.col("cb").cast("double")
+                 + F.lit(a) * F.col("cu_t").cast("double")
+                 / F.col("tt").cast("double")))
+          - F.log(F.col("cu_s").cast("double") + F.lit(a)))
+    scored = (db.join(bcnt, "bg")
+              .join(ucnt.select(F.col("token").alias("s"),
+                                F.col("cu").alias("cu_s")), "s")
+              .join(ucnt.select(F.col("token").alias("t"),
+                                F.col("cu").alias("cu_t")), "t")
+              .crossJoin(F.broadcast(total)))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(-F.avg(lp), 4).alias("avg_nll")))

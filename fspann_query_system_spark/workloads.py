@@ -3616,6 +3616,45 @@ GROUP BY gb.doc_id
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM perplexity score (additive unigram backoff) — the
+    distributed KenLM-lite quality filter; all post-tokenization
+    tables are vocab-/bigram-sized keyed aggregates (ops/quality.py)."""
+    from .ops.quality import bigram_logprob
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+SQL_BIGRAM_NLL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents),
+t2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 2),
+db AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS bg
+       FROM t2),
+db2 AS (SELECT doc_id, bg,
+               string_split(bg, ' ')[1] AS s,
+               string_split(bg, ' ')[2] AS t
+        FROM db),
+bcnt AS (SELECT bg, count(*) AS cb FROM db GROUP BY 1),
+ucnt AS (SELECT token, count(*) AS cu
+         FROM (SELECT unnest(toks) AS token FROM t2) GROUP BY 1),
+tt AS (SELECT sum(cu) AS tt FROM ucnt),
+sc AS (SELECT d.doc_id,
+              ln(b.cb::DOUBLE + 1.0 * ut.cu::DOUBLE / tt.tt::DOUBLE)
+              - ln(us.cu::DOUBLE + 1.0) AS lp
+       FROM db2 d JOIN bcnt b USING (bg)
+       JOIN ucnt us ON us.token = d.s
+       JOIN ucnt ut ON ut.token = d.t, tt)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(lp), 4) AS avg_nll
+FROM sc GROUP BY doc_id
+"""
+
+
 def q_hybrid_retrieval(spark, sf_dir):
     """Hybrid lexical+vector retrieval with reciprocal-rank fusion:
     BM25 posting-join top-10 and cosine top-10 (embedding vec_id
@@ -3942,6 +3981,8 @@ QUERIES = {
     "hybrid_retrieval": q_hybrid_retrieval,
                                         # new r6, parked from birth (see
                                         # leakage_safe_split note below)
+    "bigram_logprob": q_bigram_logprob, # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
     "semantic_decontaminate": q_semantic_decontaminate,
                                         # new r6, parked from birth (see
                                         # leakage_safe_split note below)
@@ -4104,6 +4145,7 @@ def oracle_sql_map() -> dict[str, str]:
         "dsir_sample": _sql_dsir_sample(),
         "streaming_decontaminate": SQL_DECONTAMINATE,
         "hybrid_retrieval": _sql_hybrid_retrieval(),
+        "bigram_logprob": SQL_BIGRAM_NLL,
         "semantic_decontaminate": SQL_SEM_DECON,
         "cluster_sample": sql_cluster_sample(KMEANS_K, KMEANS_ITERS,
                                              CLUSTER_SAMPLE_PER_CELL),

@@ -2063,3 +2063,19 @@ def test_rrf_fuse_known_values_and_absent_list_semantics(spark):
     # fused order: 11 (both lists) first, then 10 (rank1) over 12 (rank2)
     assert [r.doc_id for r in sorted(out.values(), key=lambda r: r.rank)] \
         == [11, 10, 12]
+
+
+def test_bigram_logprob_separates_shuffled_from_fluent(spark):
+    """Unigram NLL cannot distinguish a doc from its own shuffle;
+    bigram NLL must — the property that justifies the extra model
+    order.  Corpus: many fluent copies + one token-shuffled copy."""
+    from fspann_query_system_spark.ops.quality import bigram_logprob
+    fluent = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog the over quick lazy jumps brown the fox"
+    rows = [(i, fluent) for i in range(20)] + [(99, shuffled)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert len(out) == 21
+    assert all(out[i].n_bigrams == 8 for i in range(20))
+    # every fluent doc scores strictly better (lower NLL) than the shuffle
+    assert max(out[i].avg_nll for i in range(20)) < out[99].avg_nll

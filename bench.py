@@ -73,6 +73,7 @@ HEADLINE = [
     "ann_search_selective",
     "ann_search_filtered",
     "dedup_exact",
+    "dup_census",
     "winnow_fingerprints",
     "minhash_bands",
     "dedup_clusters",

@@ -3616,6 +3616,39 @@ GROUP BY gb.doc_id
 """
 
 
+def q_dup_census(spark, sf_dir):
+    """Per-source duplication census — the corpus-health report run
+    before/after a dedup pass: docs, distinct fingerprints, dup rate,
+    and the largest duplicate cluster per source.  One fingerprint
+    agg + one source agg (both combiner-friendly keyed aggregates)."""
+    from .functions import text as T
+    d = (_t(spark, sf_dir, "documents")
+         .select("source", T.fingerprint_md5("text").alias("fp")))
+    per_fp = d.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("n"))
+    return (per_fp.groupBy("source")
+            .agg(F.sum("n").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.round((F.sum("n") - F.count(F.lit(1)))
+                         / F.sum("n"), 6).alias("dup_rate"),
+                 F.max("n").alias("max_cluster")))
+
+
+SQL_DUP_CENSUS = """
+WITH per_fp AS (
+  SELECT source,
+         md5(array_to_string(list_filter(
+             regexp_split_to_array(lower(text), '\\s+'), t -> t != ''),
+             ' ')) AS fp,
+         count(*) AS n
+  FROM documents GROUP BY 1, 2)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round((sum(n) - count(*)) / sum(n), 6) AS dup_rate,
+       CAST(max(n) AS BIGINT) AS max_cluster
+FROM per_fp GROUP BY source
+"""
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Bigram-LM perplexity score (additive unigram backoff) — the
     distributed KenLM-lite quality filter; all post-tokenization
@@ -3983,6 +4016,8 @@ QUERIES = {
                                         # leakage_safe_split note below)
     "bigram_logprob": q_bigram_logprob, # new r6, parked from birth (see
                                         # leakage_safe_split note below)
+    "dup_census": q_dup_census,         # new r6, parked from birth (see
+                                        # leakage_safe_split note below)
     "semantic_decontaminate": q_semantic_decontaminate,
                                         # new r6, parked from birth (see
                                         # leakage_safe_split note below)
@@ -4146,6 +4181,7 @@ def oracle_sql_map() -> dict[str, str]:
         "streaming_decontaminate": SQL_DECONTAMINATE,
         "hybrid_retrieval": _sql_hybrid_retrieval(),
         "bigram_logprob": SQL_BIGRAM_NLL,
+        "dup_census": SQL_DUP_CENSUS,
         "semantic_decontaminate": SQL_SEM_DECON,
         "cluster_sample": sql_cluster_sample(KMEANS_K, KMEANS_ITERS,
                                              CLUSTER_SAMPLE_PER_CELL),

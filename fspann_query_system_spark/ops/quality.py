@@ -753,7 +753,8 @@ def bloom_decontaminate(docs: DataFrame, text_col: str = "text",
 def dsir_sample(docs: DataFrame, target: Column, n_keep: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 n_buckets: int = 1024, alpha: float = 1.0,
-                salt: str = "") -> DataFrame:
+                salt: str = "",
+                ratio: DataFrame | None = None) -> DataFrame:
     """DSIR selection step — Gumbel-top-k importance RESAMPLING over
     :func:`dsir_weights` (Xie et al. 2023 §2: sample from
     p(d) ∝ exp(log w(d)) without replacement).  The Gumbel-max trick
@@ -776,7 +777,7 @@ def dsir_sample(docs: DataFrame, target: Column, n_keep: int,
     ranking — the key column is identical either way.
     """
     w = dsir_weights(docs, target, text_col=text_col, id_col=id_col,
-                     n_buckets=n_buckets, alpha=alpha)
+                     n_buckets=n_buckets, alpha=alpha, ratio=ratio)
     h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
     u = ((F.conv(F.substring(h, 1, 15), 16, 10).cast("double") + 0.5)
          / F.lit(float(16 ** 15)))

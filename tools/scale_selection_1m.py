@@ -20,7 +20,8 @@ Corpora reuse the established distributed generators:
     0..n_dups-1).  Recall/precision against that planted set.
 
 Usage: python3 tools/scale_selection_1m.py [n] [dup_frac] [stages]
-``stages`` is a comma list of {dsir,bloom,decon,cluster} (default all).
+``stages`` is a comma list of {dsir,bloom,bigram,decon,cluster}
+(default all).
 Appends JSON lines to tools/scale_selection_1m.jsonl.
 """
 
@@ -52,13 +53,13 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dup_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.02
     stages = set((sys.argv[3] if len(sys.argv) > 3
-                  else "dsir,bloom,decon,cluster").split(","))
+                  else "dsir,bloom,bigram,decon,cluster").split(","))
     spark = get_spark("scale-selection",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # ---------------- dsir_weights over 1M docs ----------------
-    if stages & {"dsir", "bloom"}:
+    if stages & {"dsir", "bloom", "bigram"}:
         docs, n_uniq = gen_corpus(spark, n, 0.0)
         docs = docs.persist()
         t0 = time.time()
@@ -95,7 +96,17 @@ def main():
               "wall_sec": round(wall, 1), "docs_per_sec": round(n / wall),
               "rows_out": agg.rows, "gram_hits": int(agg.hits),
               "flagged_docs": int(agg.flagged)})
-    if stages & {"dsir", "bloom"}:
+    if "bigram" in stages:
+        from fspann_query_system_spark.ops.quality import bigram_logprob
+        t0 = time.time()
+        out = bigram_logprob(docs)
+        agg = out.agg(F.count(F.lit(1)).alias("rows"),
+                      F.avg("avg_nll").alias("mean_nll")).first()
+        wall = time.time() - t0
+        emit({"metric": "bigram_logprob_1m", "n_docs": n,
+              "wall_sec": round(wall, 1), "docs_per_sec": round(n / wall),
+              "rows_out": agg.rows, "mean_nll": round(agg.mean_nll, 4)})
+    if stages & {"dsir", "bloom", "bigram"}:
         docs.unpersist()
     if not (stages & {"decon", "cluster"}):
         return

@@ -809,6 +809,10 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     (neither table assumed broadcastable at 100 TB — AQE may still
     broadcast when measured small); per-doc score is one doc-keyed
     agg.  Nothing all-pairs, no corpus-sized single-task state.
+    Join keys are 64-bit xxhash64 of the gram/token (the dedup
+    family's shuffle discipline: longs on the wire, never n-word
+    strings — only counts reach the output, so the SQL oracle mirrors
+    raw strings; a collision would perturb one count).
     """
     toks = (docs.select("doc_id", T.tokens(text_col).alias("toks"))
             .where(F.size("toks") >= 2))
@@ -818,23 +822,24 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     from ..functions.plan import select_exploded
     db = select_exploded(big, F.col("bgs"), "bg", "doc_id")
     # leading token of each bigram = the conditioning context s
-    db = db.select("doc_id", "bg",
-                   F.substring_index("bg", " ", 1).alias("s"),
-                   F.substring_index("bg", " ", -1).alias("t"))
-    bcnt = db.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    db = db.select("doc_id", F.xxhash64("bg").alias("_bg"),
+                   F.xxhash64(F.substring_index("bg", " ", 1)).alias("_s"),
+                   F.xxhash64(F.substring_index("bg", " ", -1)).alias("_t"))
+    bcnt = db.groupBy("_bg").agg(F.count(F.lit(1)).alias("cb"))
     tok = select_exploded(toks, F.col("toks"), "token", "doc_id")
-    ucnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    ucnt = (tok.select(F.xxhash64("token").alias("_tok"))
+            .groupBy("_tok").agg(F.count(F.lit(1)).alias("cu")))
     total = ucnt.agg(F.sum("cu").alias("tt"))
     a = float(alpha)
     lp = (F.log((F.col("cb").cast("double")
                  + F.lit(a) * F.col("cu_t").cast("double")
                  / F.col("tt").cast("double")))
           - F.log(F.col("cu_s").cast("double") + F.lit(a)))
-    scored = (db.join(bcnt, "bg")
-              .join(ucnt.select(F.col("token").alias("s"),
-                                F.col("cu").alias("cu_s")), "s")
-              .join(ucnt.select(F.col("token").alias("t"),
-                                F.col("cu").alias("cu_t")), "t")
+    scored = (db.join(bcnt, "_bg")
+              .join(ucnt.select(F.col("_tok").alias("_s"),
+                                F.col("cu").alias("cu_s")), "_s")
+              .join(ucnt.select(F.col("_tok").alias("_t"),
+                                F.col("cu").alias("cu_t")), "_t")
               .crossJoin(F.broadcast(total)))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),

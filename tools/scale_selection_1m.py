@@ -20,7 +20,7 @@ Corpora reuse the established distributed generators:
     0..n_dups-1).  Recall/precision against that planted set.
 
 Usage: python3 tools/scale_selection_1m.py [n] [dup_frac] [stages]
-``stages`` is a comma list of {dsir,bloom,bigram,decon,cluster}
+``stages`` is a comma list of {dsir,bloom,bigram,retrieval,decon,cluster}
 (default all).
 Appends JSON lines to tools/scale_selection_1m.jsonl.
 """
@@ -53,13 +53,13 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dup_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.02
     stages = set((sys.argv[3] if len(sys.argv) > 3
-                  else "dsir,bloom,bigram,decon,cluster").split(","))
+                  else "dsir,bloom,bigram,retrieval,decon,cluster").split(","))
     spark = get_spark("scale-selection",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # ---------------- dsir_weights over 1M docs ----------------
-    if stages & {"dsir", "bloom", "bigram"}:
+    if stages & {"dsir", "bloom", "bigram", "retrieval"}:
         docs, n_uniq = gen_corpus(spark, n, 0.0)
         docs = docs.persist()
         t0 = time.time()
@@ -106,7 +106,26 @@ def main():
         emit({"metric": "bigram_logprob_1m", "n_docs": n,
               "wall_sec": round(wall, 1), "docs_per_sec": round(n / wall),
               "rows_out": agg.rows, "mean_nll": round(agg.mean_nll, 4)})
-    if stages & {"dsir", "bloom", "bigram"}:
+    if "retrieval" in stages:
+        # BM25 multi-query retrieval at corpus scale: 10 queries of 3
+        # terms drawn from one sampled document (guaranteed non-empty
+        # posting lists); measures the posting-join + WindowGroupLimit
+        from fspann_query_system_spark.ops.quality import bm25_topk
+        sample_toks = (docs.limit(10)
+                       .select(F.explode(F.split(F.lower("text"), "\\s+"))
+                               .alias("t")).distinct().limit(30).collect())
+        terms = [r.t for r in sample_toks]
+        queries = spark.createDataFrame(
+            [(q, terms[3 * q:3 * q + 3]) for q in range(10)],
+            "q_id LONG, terms ARRAY<STRING>")
+        t0 = time.time()
+        out = bm25_topk(docs, queries, k=10)
+        rows = out.count()
+        wall = time.time() - t0
+        emit({"metric": "bm25_topk_1m", "n_docs": n, "n_queries": 10,
+              "wall_sec": round(wall, 1), "docs_per_sec": round(n / wall),
+              "rows_out": rows})
+    if stages & {"dsir", "bloom", "bigram", "retrieval"}:
         docs.unpersist()
     if not (stages & {"decon", "cluster"}):
         return

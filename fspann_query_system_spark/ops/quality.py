@@ -683,10 +683,12 @@ def bloom_decontaminate(docs: DataFrame, text_col: str = "text",
     shape as ``decontaminate``; ``n_hit`` counts grams whose ALL
     ``k_hashes`` positions are set (true hits + deterministic FPs).
 
-    Position ``j`` of gram ``g`` is the md5-prefix integer of
-    ``"{j}:{g}"`` mod ``m_bits`` (the CMS row-hash trick) — plain
-    arithmetic, identical in any engine, so the FP set itself is
-    oracle-reproducible bit-for-bit.
+    Positions come from ONE md5 per gram: the 60-bit md5-prefix
+    integer is mixed per probe ``j`` by the minhash family's
+    rotate-xor bijection (``ops.dedup.minhash_mix_params``) and
+    reduced mod ``m_bits`` — k× less hashing than an md5 per (j, gram)
+    at identical guarantees, and plain arithmetic identical in any
+    engine, so the FP set itself is oracle-reproducible bit-for-bit.
 
     Scale shape: the position table is ≤ ``m_bits`` rows of one long —
     broadcast BY A FIXED BUDGET, never benchmark-sized; the corpus
@@ -708,10 +710,19 @@ def bloom_decontaminate(docs: DataFrame, text_col: str = "text",
                 lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
             )).alias("grams"))
 
-    def _pos(j: int, gram) -> Column:
-        h = F.md5(F.concat(F.lit(f"{j}:"), gram))
-        return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
-                      F.lit(m_bits))
+    from .dedup import minhash_mix_params, MINHASH_BITS, _minhash_base
+    mixes = minhash_mix_params(k_hashes)
+    B = MINHASH_BITS
+
+    def _positions(gram) -> Column:
+        u = _minhash_base(gram)
+        return F.array(*[
+            F.pmod(
+                (F.shiftleft(u.bitwiseAND(F.lit((1 << (B - rot)) - 1)), rot)
+                 .bitwiseOR(F.shiftrightunsigned(u, B - rot)))
+                .bitwiseXOR(F.lit(cst)),
+                F.lit(m_bits))
+            for _, rot, cst in mixes])
 
     from ..functions.plan import select_exploded
     bench_g = select_exploded(
@@ -720,9 +731,7 @@ def bloom_decontaminate(docs: DataFrame, text_col: str = "text",
     # the k-position arrays are COMPUTED (k md5s per gram): explode via
     # select_exploded or InferFiltersFromGenerate re-evaluates them
     # per row in a pushed-down filter (see functions/plan.py)
-    bits = (select_exploded(
-                bench_g, F.array(*[_pos(j, F.col("gram"))
-                                   for j in range(1, k_hashes + 1)]), "p")
+    bits = (select_exploded(bench_g, _positions(F.col("gram")), "p")
             .distinct().withColumn("hit", F.lit(1)))
 
     corp = select_exploded(
@@ -732,9 +741,7 @@ def bloom_decontaminate(docs: DataFrame, text_col: str = "text",
     # hash so the (doc, gram)-keyed agg shuffles longs, not strings
     probes = select_exploded(
         corp.select("doc_id", F.xxhash64("gram").alias("_g"),
-                    F.array(*[_pos(j, F.col("gram"))
-                              for j in range(1, k_hashes + 1)])
-                    .alias("_ps")),
+                    _positions(F.col("gram")).alias("_ps")),
         F.col("_ps"), "p", "doc_id", "_g")
     per_gram = (probes.join(F.broadcast(bits), "p", "left")
                 .groupBy("doc_id", "_g")

@@ -3817,7 +3817,14 @@ def q_bloom_decontaminate(spark, sf_dir):
                                m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K)
 
 
-SQL_BLOOM_DECON = f"""
+def _sql_bloom_decon() -> str:
+    """Generated oracle: same ONE-md5 rotate-xor position mixing as the
+    Spark side (ops/dedup.py:minhash_mix_params formula verbatim)."""
+    from .ops.dedup import minhash_mix_params, MINHASH_BITS
+    seeds = ", ".join(f"({rot}, {cst})"
+                      for _, rot, cst in minhash_mix_params(BLOOM_K))
+    B = MINHASH_BITS
+    return f"""
 WITH tok AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -3828,20 +3835,24 @@ g AS (
          list_distinct(list_transform(range(1, len(toks) - 5 + 2),
                        i -> array_to_string(toks[i:i+4], ' '))) AS grams
   FROM tok WHERE len(toks) >= 5),
+seeds(rot, cst) AS (SELECT * FROM (VALUES {seeds})),
 bench AS (
   SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
-js AS (SELECT unnest(range(1, {BLOOM_K + 1})) AS j),
+bu AS (SELECT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS u FROM bench),
 bits AS (
-  SELECT DISTINCT ('0x' || substr(md5(j::VARCHAR || ':' || gram), 1, 15))
-                    ::BIGINT % {BLOOM_M_BITS} AS p
-  FROM bench CROSS JOIN js),
+  SELECT DISTINCT
+         xor(((u & ((1::BIGINT << ({B} - rot)) - 1)) << rot)
+             | (u >> ({B} - rot)), cst) % {BLOOM_M_BITS} AS p
+  FROM bu CROSS JOIN seeds),
 corp AS (
   SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 != 0),
+cu AS (SELECT doc_id, gram,
+              ('0x' || substr(md5(gram), 1, 15))::BIGINT AS u FROM corp),
 probes AS (
   SELECT doc_id, gram,
-         ('0x' || substr(md5(j::VARCHAR || ':' || gram), 1, 15))
-           ::BIGINT % {BLOOM_M_BITS} AS p
-  FROM corp CROSS JOIN js),
+         xor(((u & ((1::BIGINT << ({B} - rot)) - 1)) << rot)
+             | (u >> ({B} - rot)), cst) % {BLOOM_M_BITS} AS p
+  FROM cu CROSS JOIN seeds),
 per_gram AS (
   SELECT doc_id, gram, CAST(count(bits.p) = {BLOOM_K} AS INT) AS h
   FROM probes LEFT JOIN bits ON probes.p = bits.p
@@ -4176,7 +4187,7 @@ def oracle_sql_map() -> dict[str, str]:
             NEAR_DUP_LSH_THRESHOLD),
         "kmeans_centroids": sql_kmeans(KMEANS_K, KMEANS_ITERS),
         "dsir_weights": SQL_DSIR,
-        "bloom_decontaminate": SQL_BLOOM_DECON,
+        "bloom_decontaminate": _sql_bloom_decon(),
         "dsir_sample": _sql_dsir_sample(),
         "streaming_decontaminate": SQL_DECONTAMINATE,
         "hybrid_retrieval": _sql_hybrid_retrieval(),

@@ -134,9 +134,23 @@ def pq_fit(df: DataFrame, m_sub: int = 4, k: int = 8, iters: int = 2,
                     "s": np.concatenate(s_l),
                     "c": np.concatenate(c_l)})
 
+        # the per-(sub, cell, spos) partial list is <= n_batches rows;
+        # summing it in SORTED order makes the double sum independent
+        # of shuffle arrival order.  A plain F.sum merges partials in
+        # task-completion order: under load the ulp-level noise lands a
+        # component on the other side of a round(.,6) boundary ~1 run
+        # in 5, and one flipped centroid component cascades through the
+        # remaining Lloyd rounds into visibly different top-k output
+        # (observed as an intermittent ivfpq_residual_ann oracle
+        # mismatch; residual corpora amplify it because near-zero
+        # residual distances are tie-dense).
         upd_rows = (df.select(vector_col).mapInPandas(run, schema=sums_schema)
                     .groupBy("sub", "cell", "spos")
-                    .agg(F.round(F.sum("s") / F.sum("c"), 6).alias("v"))
+                    .agg(F.round(
+                        F.aggregate(
+                            F.array_sort(F.collect_list(F.struct("s", "c"))),
+                            F.lit(0.0), lambda acc, x: acc + x["s"])
+                        / F.sum("c"), 6).alias("v"))
                     .collect())
         bc.unpersist()
         # empty cells keep the previous centroid (rows simply absent)

@@ -222,10 +222,25 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
     for _ in range(iters):
         assigned = _nearest_cells(df, cent, 1, id_col, vector_col,
                                   "id", "vector", keep_vector=True)
+        # two-level mean with a SORTED final merge: level 1 reduces each
+        # input partition to one (cell, pos) partial (within-partition
+        # sum order = stable row order); level 2 sums the <=n_partitions
+        # partials in array_sort order.  A single-level F.avg merges
+        # partials in task-completion order — under load the ulp noise
+        # can flip a round(.,6) boundary and one flipped component
+        # cascades through later rounds (the pq_fit incident; same
+        # mechanism here).
         upd = (assigned
-               .select("cell", F.posexplode(vector_col).alias("pos", "x"))
+               .select("cell", F.posexplode(vector_col).alias("pos", "x"),
+                       F.spark_partition_id().alias("_pid"))
+               .groupBy("cell", "pos", "_pid")
+               .agg(F.sum("x").alias("_s"), F.count(F.lit(1)).alias("_c"))
                .groupBy("cell", "pos")
-               .agg(F.round(F.avg("x"), 6).alias("v"))
+               .agg(F.round(
+                   F.aggregate(
+                       F.array_sort(F.collect_list(F.struct("_s", "_c"))),
+                       F.lit(0.0), lambda acc, p: acc + p["_s"])
+                   / F.sum("_c"), 6).alias("v"))
                .groupBy("cell")
                .agg(F.sort_array(F.collect_list(F.struct("pos", "v")))
                     .alias("_s"))

@@ -3948,8 +3948,74 @@ WHERE rk <= {per_cell}
 #      rounds stand; they rotate back in as window budget allows.
 # SURVEY.md §8 records which entries are parked and why.
 QUERIES = {
-    # -- rotated back into the window (round 6): the 22 entries parked in
-    # -- round 5 (newest driver cert r04); re-certify on current fixtures --
+    # ======== ROUND-7 ROTATION (SURVEY.md §8) ========
+    # Window = positions 1-50.  Composition this round:
+    #   1-16: the 16 entries that have NEVER held a driver cert (added
+    #         late in round 6, parked from birth) — first certification.
+    #  17-25: the 9 events-typed entries (NEVER parked: the driver has
+    #         regenerated events.parquet with a different ts physical
+    #         type between rounds; a stale cert would rot silently).
+    #  26-50: 25 of the 34 stale r05-certified entries rotated back in.
+    # PARKED: the 41 entries freshly certified in the r06 window (none
+    # reads events.parquet) plus 9 r05-certified classic SQL entries
+    # (pricing_summary .. cube_revenue family — untouched since r04/r05,
+    # pure Catalyst SQL, lowest rot risk) that wait for round 8.
+    # -- 1-16: first driver certification --
+    "leakage_safe_split": q_leakage_safe_split,
+    "bm25_topk": q_bm25_topk,
+    "ivfbq_ann": q_ivfbq_ann,
+    "knn_join": q_knn_join,
+    "dsir_weights": q_dsir_weights,
+    "dsir_sample": q_dsir_sample,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "streaming_decontaminate": q_streaming_decontaminate,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "hybrid_retrieval": q_hybrid_retrieval,
+    "bigram_logprob": q_bigram_logprob,
+    "dup_census": q_dup_census,
+    "cluster_sample": q_cluster_sample,
+    "training_corpus_prep": q_training_corpus_prep,
+    "quality_curriculum": q_quality_curriculum,
+    # -- 17-25: events-typed entries, never parked --
+    "event_setops": q_event_setops,
+    "candidate_min_merge": q_candidate_min_merge,
+    "sessionization": q_sessionization,
+    "streaming_sessionization": q_streaming_sessionization,
+    "event_window_agg": q_event_window_agg,
+    "json_extract": q_json_extract,
+    "streaming_window_agg": q_streaming_window_agg,
+    "asof_enrich": q_asof_enrich,
+    "session_attribution": q_session_attribution,
+    # -- 26-50: stale r05-certified entries rotated back in --
+    "edit_near_dups": q_edit_near_dups,
+    "vocab_topk": q_vocab_topk,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "fingerprints": q_fingerprints,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "vocab_topk_salted": q_vocab_topk_salted,
+    "unigram_logprob": q_unigram_logprob,
+    "source_kl": q_source_kl,
+    "chunk_docs": q_chunk_docs,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "vocab_overlap": q_vocab_overlap,
+    "zipf_fit": q_zipf_fit,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "corpus_mix": q_corpus_mix,
+    "sequence_pack": q_sequence_pack,
+    "shard_assign": q_shard_assign,
+    "token_budget_mix": q_token_budget_mix,
+    "streaming_dedup": q_streaming_dedup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "decontaminate": q_decontaminate,
+    "streaming_minhash": q_streaming_minhash,
+    "minhash_bands": q_minhash_bands,
+    "dedup_clusters": q_dedup_clusters,
+    "near_dup_lsh": q_near_dup_lsh,
+    # ---- position 50 ends here; entries below are PARKED ----
+    # -- 41 entries freshly certified in the r06 gate window (rows in
+    # -- CORRECTNESS_r06.json, all on current fixtures, none events-typed)
     "doc_quantiles": q_doc_quantiles,
     "repetition_stats": q_repetition_stats,
     "bm25_scores": q_bm25_scores,
@@ -3972,112 +4038,29 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "kmeans_centroids": q_kmeans_centroids,
     "semantic_dedup": q_semantic_dedup,
-    # -- events-typed entries: NEVER parked (the driver has regenerated
-    # -- events.parquet with a different ts physical type before; a stale
-    # -- cert would rot silently) --
-    "event_setops": q_event_setops,
-    "candidate_min_merge": q_candidate_min_merge,
-    "sessionization": q_sessionization,
-    "streaming_sessionization": q_streaming_sessionization,
-    "event_window_agg": q_event_window_agg,
-    "json_extract": q_json_extract,
-    "streaming_window_agg": q_streaming_window_agg,
-    "asof_enrich": q_asof_enrich,
-    "session_attribution": q_session_attribution,
-    # -- flagship ANN / dedup / crypto / LLM-pipeline family (touched
-    # -- this round or certified every round) --
-    "pq_codebook": q_pq_codebook,   # new r6: first certification
-    "pq_ann": q_pq_ann,             # new r6: first certification
-    "incremental_dedup": q_incremental_dedup,   # new r6: first certification
-    "reservoir_sample": q_reservoir_sample,     # new r6: first certification
-    "boilerplate_stats": q_boilerplate_stats,   # new r6: first certification
-    "temperature_mix": q_temperature_mix,       # new r6: first certification
+    "pq_codebook": q_pq_codebook,
+    "pq_ann": q_pq_ann,
+    "incremental_dedup": q_incremental_dedup,
+    "reservoir_sample": q_reservoir_sample,
+    "boilerplate_stats": q_boilerplate_stats,
+    "temperature_mix": q_temperature_mix,
     "near_dup_pipeline": q_near_dup_pipeline,
     "cardinality_kmv": q_cardinality_kmv,
     "sq8_ann": q_sq8_ann,
-    "ivfpq_ann": q_ivfpq_ann,           # new r6: first certification
-    "ivfpq_residual_ann": q_ivfpq_residual_ann,   # new r6: first certification
-    "gopher_filter": q_gopher_filter,   # new r6: first certification
+    "ivfpq_ann": q_ivfpq_ann,
+    "ivfpq_residual_ann": q_ivfpq_residual_ann,
+    "gopher_filter": q_gopher_filter,
     "ann_search": q_ann_search,
     "ann_search_selective": q_ann_search_selective,
     "ann_search_filtered": q_ann_search_filtered,
-    "bq_ann": q_bq_ann,                 # new r6: first certification
+    "bq_ann": q_bq_ann,
     "near_dup_embedding": q_near_dup_embedding,
-    "span_dedup": q_span_dedup,         # new r6: first certification
-    "near_dup_key": q_near_dup_key,     # new r6: first certification
-    # ---- position 50 ends here; entries below are PARKED (all freshly
-    # ---- certified in the r05 gate window on current fixtures; none reads
-    # ---- events.parquet; they rotate back in as window budget allows —
-    # ---- SURVEY.md §8)
-    "quality_curriculum": q_quality_curriculum,
-                                        # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "dsir_weights": q_dsir_weights,     # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "bloom_decontaminate": q_bloom_decontaminate,
-                                        # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "dsir_sample": q_dsir_sample,       # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "streaming_decontaminate": q_streaming_decontaminate,
-                                        # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "hybrid_retrieval": q_hybrid_retrieval,
-                                        # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "bigram_logprob": q_bigram_logprob, # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "dup_census": q_dup_census,         # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "semantic_decontaminate": q_semantic_decontaminate,
-                                        # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "cluster_sample": q_cluster_sample, # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "training_corpus_prep": q_training_corpus_prep,
-                                        # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "streaming_incremental_dedup": q_streaming_incremental_dedup,
-                                        # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "bm25_topk": q_bm25_topk,           # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "ivfbq_ann": q_ivfbq_ann,           # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "knn_join": q_knn_join,             # new r6, parked from birth (see
-                                        # leakage_safe_split note below)
-    "leakage_safe_split": q_leakage_safe_split,  # new r6, parked from birth
-                                        # (no safe window slot left: every
-                                        # remaining window entry carries r6
-                                        # code changes needing driver certs);
-                                        # verified by the local full oracle
-                                        # run; first window cert in r7
-    "near_dup_lsh": q_near_dup_lsh,     # parked r6: r05-certified; its
-                                        # block-mode path is untouched this
-                                        # round (r6 changes hit exact-mode
-                                        # guard and key-bucket mode only)
-    "dedup_clusters": q_dedup_clusters, # parked r6: r05-certified, CC code
-                                        # untouched this round
-    "minhash_bands": q_minhash_bands,   # parked r6: r05-certified (banding
-                                        # refactor covered by incremental_dedup
-                                        # cert + local full oracle run)
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "corpus_mix": q_corpus_mix,         # parked r6: r05-certified
-    "sequence_pack": q_sequence_pack,   # parked r6: r05-certified
-    "shard_assign": q_shard_assign,     # parked r6: r05-certified
-    "token_budget_mix": q_token_budget_mix,   # parked r6: r05-certified
-    "streaming_dedup": q_streaming_dedup,     # parked r6: r05-certified
-    "jaccard_pairs": q_jaccard_pairs,         # parked r6: r05-certified, untouched
-    "decontaminate": q_decontaminate,         # parked r6: r05-certified, untouched
-    "streaming_minhash": q_streaming_minhash, # parked r6: r05-certified
-    "edit_near_dups": q_edit_near_dups,
-    "vocab_topk": q_vocab_topk,
-    "simhash": q_simhash,
-    "cosine_topk": q_cosine_topk,
+    "span_dedup": q_span_dedup,
+    "near_dup_key": q_near_dup_key,
+    # -- 9 r05-certified classic SQL entries (pure Catalyst plans over
+    # -- TPC-H-ish tables, untouched since certification; rotate in r8)
     "doc_stats": q_doc_stats,
     "lang_id": q_lang_id,
-    "fingerprints": q_fingerprints,
-    "winnow_fingerprints": q_winnow_fingerprints,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "region_revenue": q_region_revenue,
@@ -4085,13 +4068,6 @@ QUERIES = {
     "order_priority_census": q_order_priority_census,
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
-    "vocab_topk_salted": q_vocab_topk_salted,
-    "unigram_logprob": q_unigram_logprob,
-    "source_kl": q_source_kl,
-    "chunk_docs": q_chunk_docs,
-    "embedding_dim_stats": q_embedding_dim_stats,
-    "vocab_overlap": q_vocab_overlap,
-    "zipf_fit": q_zipf_fit,
 }
 
 

@@ -41,6 +41,17 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 
 
+def _det_sum(c: Column, scale: float = 1e9) -> Column:
+    """Order-independent double sum: quantize each term to 1/scale and
+    sum exact 64-bit integers (associative AND commutative, so the
+    task-completion-order float-merge pathology documented in SCALE.md
+    cannot flip a round(., 4) boundary), then unscale.  1e-9 quanta on
+    O(1..30)-magnitude log terms keep >= 5 guard digits below the
+    4-decimal output rounding; 1e6 terms of |scaled| <= 3e10 stay far
+    inside int64.  The DuckDB oracles mirror the same expression."""
+    return F.sum(F.round(c * scale).cast("long")) / F.lit(scale)
+
+
 def _bigrams(toks: Column, n_tokens: Column) -> Column:
     """Adjacent word pairs, [] for docs with <2 tokens (array-side)."""
     return F.when(
@@ -594,12 +605,26 @@ def dsir_fit(docs: DataFrame, target: Column,
     sample), ``.persist()``/write the tiny ratio table, then score any
     number of corpora/batches with ``dsir_weights(..., ratio=...)`` —
     each scoring pass is then a SINGLE corpus scan (the one-call form
-    scans twice: once for the histogram, once to score)."""
+    scans twice: once for the histogram, once to score).
+
+    The table has EXACTLY ``n_buckets`` rows: buckets unseen in the
+    fit pool are framed in with ct=0, cr=0, so their log-ratio is the
+    add-alpha smoothed floor ln(tr+aB)-ln(tt+aB).  Without the frame,
+    scoring an out-of-fit-distribution corpus against a pre-fitted
+    ratio would silently DROP its novel grams from both n_grams and
+    the weight sum — biasing scores exactly for the docs DSIR exists
+    to down-weight."""
     g = _dsir_grams(docs, target, text_col, id_col, n_buckets, bucket_hash)
     hist = (g.groupBy("bucket")
             .agg(F.sum("is_t").alias("ct"),
                  F.count(F.lit(1)).alias("cr")))
     tot = hist.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    frame = (docs.sparkSession.range(int(n_buckets))
+             .select(F.col("id").alias("bucket")))
+    hist = (frame.join(hist, "bucket", "left")
+            .select("bucket",
+                    F.coalesce("ct", F.lit(0)).alias("ct"),
+                    F.coalesce("cr", F.lit(0)).alias("cr")))
     a = float(alpha)
     aB = a * float(n_buckets)
     return (hist.crossJoin(F.broadcast(tot))
@@ -653,7 +678,19 @@ def dsir_weights(docs: DataFrame, target: Column,
 
     Pass a pre-fitted ``ratio`` table (:func:`dsir_fit`) to score with
     ONE corpus scan; the one-call form derives it inline (two scans —
-    fine for a one-shot report, wasteful for repeated scoring).
+    fine for a one-shot report, wasteful for repeated scoring).  The
+    fitted table frames in ALL ``n_buckets`` buckets (unseen buckets
+    carry the smoothed floor ratio), so the inner join below is
+    lossless even when the score corpus is out-of-fit-distribution.
+    A pre-fitted ``ratio`` must use the same ``bucket_hash`` mode it
+    is scored with — both key spaces are 0..n_buckets-1, so a
+    mismatch joins cleanly but pairs grams with the wrong buckets'
+    ratios; :func:`dsir_sample` forwards its ``bucket_hash`` for this
+    reason.
+
+    The per-doc sum uses :func:`_det_sum` (scaled-int64 merge) so
+    ``dsir_logw`` is bit-identical across run orders/engines — the
+    round(., 4) boundary cannot flip with task completion order.
     """
     g = _dsir_grams(docs, target, text_col, id_col, n_buckets, bucket_hash)
     if ratio is None:
@@ -663,7 +700,7 @@ def dsir_weights(docs: DataFrame, target: Column,
     return (g.join(F.broadcast(ratio), "bucket")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_grams"),
-                 F.round(F.sum("lr"), 4).alias("dsir_logw")))
+                 F.round(_det_sum(F.col("lr")), 4).alias("dsir_logw")))
 
 
 def bloom_decontaminate(docs: DataFrame, text_col: str = "text",
@@ -743,9 +780,17 @@ def bloom_decontaminate(docs: DataFrame, text_col: str = "text",
         corp.select("doc_id", F.xxhash64("gram").alias("_g"),
                     _positions(F.col("gram")).alias("_ps")),
         F.col("_ps"), "p", "doc_id", "_g")
+    # hit iff EVERY probe row in the (doc, gram-hash) group matched —
+    # compared against the GROUP SIZE, not the constant k_hashes: if
+    # two distinct grams of one doc collide on the 64-bit gram hash,
+    # the group holds 2k probe rows and the constant compare would
+    # declare a FALSE NEGATIVE (violating the bloom superset
+    # guarantee); group-size compare degrades a collision to at worst
+    # one extra FP, preserving no-false-negative semantics.
     per_gram = (probes.join(F.broadcast(bits), "p", "left")
                 .groupBy("doc_id", "_g")
-                .agg((F.count("hit") == k_hashes).cast("int").alias("h")))
+                .agg((F.count("hit") == F.count(F.lit(1)))
+                     .cast("int").alias("h")))
     out = (per_gram.groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("n_grams"),
                 F.sum("h").alias("n_hit")))
@@ -760,7 +805,7 @@ def bloom_decontaminate(docs: DataFrame, text_col: str = "text",
 def dsir_sample(docs: DataFrame, target: Column, n_keep: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 n_buckets: int = 1024, alpha: float = 1.0,
-                salt: str = "",
+                bucket_hash: str = "md5", salt: str = "",
                 ratio: DataFrame | None = None) -> DataFrame:
     """DSIR selection step — Gumbel-top-k importance RESAMPLING over
     :func:`dsir_weights` (Xie et al. 2023 §2: sample from
@@ -784,7 +829,8 @@ def dsir_sample(docs: DataFrame, target: Column, n_keep: int,
     ranking — the key column is identical either way.
     """
     w = dsir_weights(docs, target, text_col=text_col, id_col=id_col,
-                     n_buckets=n_buckets, alpha=alpha, ratio=ratio)
+                     n_buckets=n_buckets, alpha=alpha,
+                     bucket_hash=bucket_hash, ratio=ratio)
     h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
     u = ((F.conv(F.substring(h, 1, 15), 16, 10).cast("double") + 0.5)
          / F.lit(float(16 ** 15)))
@@ -848,6 +894,10 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
               .join(ucnt.select(F.col("_tok").alias("_t"),
                                 F.col("cu").alias("cu_t")), "_t")
               .crossJoin(F.broadcast(total)))
+    # _det_sum: order-independent merge so the round(., 4) boundary
+    # cannot flip with task completion order (same pathology class as
+    # the pq_fit/kmeans_fit fix documented in SCALE.md)
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                 F.round(-F.avg(lp), 4).alias("avg_nll")))
+                 F.round(-(_det_sum(lp) / F.count(F.lit(1))), 4)
+                 .alias("avg_nll")))

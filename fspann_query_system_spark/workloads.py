@@ -3610,7 +3610,8 @@ ratio AS (SELECT bucket,
                  AS lr
           FROM hist, tot)
 SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-       round(sum(lr), 4) AS dsir_logw
+       round(sum(CAST(round(lr * 1000000000.0) AS BIGINT))
+             / 1000000000.0, 4) AS dsir_logw
 FROM gb JOIN ratio USING (bucket)
 GROUP BY gb.doc_id
 """
@@ -3683,7 +3684,8 @@ sc AS (SELECT d.doc_id,
        JOIN ucnt us ON us.token = d.s
        JOIN ucnt ut ON ut.token = d.t, tt)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(-avg(lp), 4) AS avg_nll
+       round(-(sum(CAST(round(lp * 1000000000.0) AS BIGINT))
+               / 1000000000.0 / count(*)), 4) AS avg_nll
 FROM sc GROUP BY doc_id
 """
 

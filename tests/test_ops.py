@@ -2048,6 +2048,59 @@ def test_dsir_fit_apply_equals_one_call(spark):
     assert applied == one_call
 
 
+def test_dsir_prefit_scores_out_of_fit_grams_at_smoothed_floor(spark):
+    """A pre-fitted ratio table must score docs whose grams hash to
+    buckets UNSEEN in the fit pool (the frame fix): n_grams counts
+    every gram, and each unseen bucket contributes the add-alpha floor
+    ln(tr+aB)-ln(tt+aB) instead of being silently dropped."""
+    import math
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.ops.quality import dsir_fit, dsir_weights
+    fit_docs = spark.createDataFrame(
+        [(0, "t", "aa bb"), (1, "r", "aa cc")],
+        "doc_id LONG, side STRING, text STRING")
+    # one out-of-distribution doc: 3 tokens + 2 bigrams = 5 grams, all novel
+    ood = spark.createDataFrame(
+        [(9, "r", "zz yy xx")], "doc_id LONG, side STRING, text STRING")
+    nb, a = 64, 1.0
+    ratio = dsir_fit(fit_docs, F.col("side") == "t", n_buckets=nb,
+                     alpha=a).persist()
+    assert ratio.count() == nb  # framed to exactly n_buckets rows
+    out = dsir_weights(ood, F.col("side") == "t", n_buckets=nb,
+                       ratio=ratio).collect()
+    assert len(out) == 1 and out[0].n_grams == 5
+    # fit pool: 6 grams total, 3 of them target → tt=3, tr=6
+    floor = ((math.log(0 + a) - math.log(3 + a * nb))
+             - (math.log(0 + a) - math.log(6 + a * nb)))
+    # allow for hash collisions with fit-pool buckets: only assert if
+    # the ood grams landed clear of the 6 fit grams' buckets; with 64
+    # buckets and disjoint vocab that is the overwhelmingly likely
+    # deterministic outcome for this fixed fixture — check exactly.
+    assert abs(out[0].dsir_logw - round(5 * floor, 4)) < 1e-6
+
+
+def test_dsir_sample_forwards_bucket_hash_to_prefit_ratio(spark):
+    """dsir_sample(bucket_hash=...) pairs grams with the SAME bucket
+    space the ratio was fitted in — xxhash64 fit + xxhash64 sample
+    equals the inline xxhash64 one-call sample."""
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.ops.quality import dsir_fit, dsir_sample
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de",
+          f"some shared words plus unique tail w{i} x{i}") for i in range(60)],
+        "doc_id LONG, lang STRING, text STRING")
+    tgt = F.col("lang") == "en"
+    inline = {(r.doc_id, r.key, r.rk) for r in
+              dsir_sample(docs, tgt, n_keep=20, n_buckets=64,
+                          bucket_hash="xxhash64").collect()}
+    ratio = dsir_fit(docs, tgt, n_buckets=64,
+                     bucket_hash="xxhash64").persist()
+    applied = {(r.doc_id, r.key, r.rk) for r in
+               dsir_sample(docs, tgt, n_keep=20, n_buckets=64,
+                           bucket_hash="xxhash64", ratio=ratio).collect()}
+    assert applied == inline
+
+
 def test_rrf_fuse_known_values_and_absent_list_semantics(spark):
     from fspann_query_system_spark.ops.retrieval import rrf_fuse
     a = spark.createDataFrame([(0, 10, 1), (0, 11, 2)],

@@ -310,7 +310,7 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
              id_col: str = "id", vector_col: str = "vector",
              c_id_col: str = "id", c_vector_col: str = "vector",
              assigned: DataFrame | None = None,
-             exclude_self: bool = True) -> DataFrame:
+             exclude_self: bool = True, method: str = "gemm") -> DataFrame:
     """Distributed kNN self-join (the kNN-graph builder behind
     SemDeDup-style curation, graph-based dedup, and label propagation):
     for EVERY row, its k nearest neighbours among rows sharing one of
@@ -330,7 +330,25 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
     Each base row is assigned to exactly ONE cell and a row's probed
     cells are distinct, so a (q, neighbour) pair is scored at most once
     — no distinct needed.  ``exclude_self`` drops the trivial
-    self-edge (rank semantics then match "k nearest OTHER rows")."""
+    self-edge (rank semantics then match "k nearest OTHER rows").
+
+    ``method`` picks the in-cell scoring kernel:
+
+    * ``"gemm"`` (default, the scale path): per-cell Arrow cogroup —
+      one BLAS d2 matrix per (probers × members) cell, shortlist by
+      GEMM distance with a +8 safety margin, EXACT recompute of the
+      shortlist (``sqrt(Σ(a-b)²)``, the ``l2_udf`` formulation), emit
+      only per-(prober, cell) top-k.  The final window then ranks
+      ≤ k·nprobe rows per prober instead of cell_size·nprobe.
+      Measured ~40× over the expr path at 1M (SCALE.md §9g).  Ties:
+      a cohort of >8 candidates at BIT-IDENTICAL distance straddling
+      the k-th rank may resolve differently than the strict (dist,
+      id) order — impossible for continuous embeddings, use
+      ``"expr"`` for tie-dense integer corpora.
+    * ``"expr"``: the declarative twin — plain cell equi-join with
+      JVM-codegen ``l2_expr`` per pair and one window; strict
+      (dist, id) semantics at any tie density.
+    """
     from ..functions.distance import l2_expr
     if assigned is None:
         assigned = ivf_assign(df, centroids, id_col, vector_col,
@@ -343,12 +361,63 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
                        F.col(vector_col).alias("_qv"), "cell")
     bp = assigned.select(F.col(id_col).alias("id"),
                          F.col(vector_col).alias("_bv"), "cell")
-    cand = qp.join(bp, on="cell")
-    if exclude_self:
-        cand = cand.filter(F.col("id") != F.col("q_id"))
     w_rank = Window.partitionBy("q_id").orderBy("dist", "id")
-    return (cand.withColumn("dist", l2_expr("_qv", "_bv"))
-            .withColumn("rank", F.row_number().over(w_rank))
+
+    if method == "expr":
+        cand = qp.join(bp, on="cell")
+        if exclude_self:
+            cand = cand.filter(F.col("id") != F.col("q_id"))
+        scored = cand.withColumn("dist", l2_expr("_qv", "_bv"))
+    elif method == "gemm":
+        excl = bool(exclude_self)
+
+        def cell_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(right) == 0 or k <= 0:
+                return pd.DataFrame({"q_id": [], "id": [], "dist": []})
+            qids = left["q_id"].to_numpy()
+            Q = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in left["_qv"].to_numpy()])
+            ids = right["id"].to_numpy()
+            B = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in right["_bv"].to_numpy()])
+            order = np.argsort(ids, kind="stable")
+            ids, B = ids[order], B[order]
+            sqb = (B * B).sum(axis=1)
+            kk = min(k + 8 + (1 if excl else 0), len(ids))
+            oq, oi, od = [], [], []
+            for lo in range(0, len(qids), 512):
+                Qb, qb = Q[lo:lo + 512], qids[lo:lo + 512]
+                # |q|² is row-constant: cannot move the per-row cut
+                d2 = sqb[None, :] - 2.0 * (Qb @ B.T)
+                if kk < len(ids):
+                    sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                else:
+                    sel = np.tile(np.arange(len(ids)), (len(Qb), 1))
+                # exact shortlist recompute — same formulation as
+                # l2_udf, so emitted values match the expr path
+                diff = Qb[:, None, :] - B[sel]
+                ex = np.sqrt(np.square(diff).sum(axis=2))
+                for r in range(len(Qb)):
+                    cids, dr = ids[sel[r]], ex[r]
+                    if excl:
+                        keep = cids != qb[r]
+                        cids, dr = cids[keep], dr[keep]
+                    top = np.lexsort((cids, dr))[:k]
+                    oq.append(np.full(len(top), qb[r], dtype=qids.dtype))
+                    oi.append(cids[top])
+                    od.append(dr[top])
+            return pd.DataFrame({"q_id": np.concatenate(oq),
+                                 "id": np.concatenate(oi),
+                                 "dist": np.concatenate(od)})
+
+        id_t = df.schema[id_col].dataType.simpleString()
+        scored = (qp.groupBy("cell").cogroup(bp.groupBy("cell"))
+                  .applyInPandas(cell_topk,
+                                 schema=f"q_id {id_t}, id {id_t}, "
+                                        f"dist DOUBLE"))
+    else:
+        raise ValueError(f"method must be 'gemm' or 'expr', got {method!r}")
+    return (scored.withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= k)
             .select("q_id", "id", "dist", "rank"))
 
@@ -893,6 +962,32 @@ def ivf_bq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
 
     Pass ``assigned`` / ``codes`` to reuse ingest-time materializations
     (both computed once per corpus, never per query)."""
+    kk = k * rerank
+    partial = _ivf_bq_partial(base, queries, centroids, thresholds, kk,
+                              nprobe, id_col, vector_col, q_id_col,
+                              q_vector_col, c_id_col, c_vector_col,
+                              assigned, codes)
+    if partial is None:
+        return base.sparkSession.createDataFrame(
+            [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
+    partial = partial.select("q_id", "id",
+                             F.col("ham").cast("double").alias("d2"))
+    from .pq import _exact_rerank
+    return _exact_rerank(partial, base, queries, k, kk,
+                         id_col, vector_col, q_id_col, q_vector_col)
+
+
+def _ivf_bq_partial(base: DataFrame, queries: DataFrame,
+                    centroids: DataFrame, thresholds: list, kk: int,
+                    nprobe: int, id_col: str, vector_col: str,
+                    q_id_col: str, q_vector_col: str,
+                    c_id_col: str, c_vector_col: str,
+                    assigned: DataFrame | None,
+                    codes: DataFrame | None) -> DataFrame | None:
+    """IVF-routed BQ Hamming pre-screen shared by :func:`ivf_bq_topk`
+    and :func:`ivf_bq_sq8_topk`: (q_id, id, ham) batch partials, at
+    most ``kk`` rows per (query, batch), probed cells only.  ``None``
+    when the query set is empty."""
     spark = base.sparkSession
     if assigned is None:
         assigned = ivf_assign(base, centroids, id_col, vector_col,
@@ -904,8 +999,7 @@ def ivf_bq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
                        on="id")
     q_rows = queries.select(q_id_col, q_vector_col).collect()
     if not q_rows:
-        return spark.createDataFrame(
-            [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
+        return None
     probe_rows = _nearest_cells(
         queries, centroids, nprobe, q_id_col, q_vector_col,
         c_id_col, c_vector_col, keep_vector=False).collect()
@@ -915,7 +1009,6 @@ def ivf_bq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     qwords = _pack_query_words(Q, thresholds)
-    kk = k * rerank
     cell_lists = [np.array(sorted(probed.get(int(q), ())), dtype=np.int64)
                   for q in q_ids]
     bc = spark.sparkContext.broadcast((q_ids, qwords, kk, cell_lists))
@@ -970,12 +1063,92 @@ def ivf_bq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
                 yield pd.concat(frames, ignore_index=True)
 
     id_type = codes.schema["id"].dataType.simpleString()
-    partial = (codes.select("id", "words", "cell")
-               .mapInPandas(run, schema=f"q_id BIGINT, id {id_type}, ham BIGINT")
-               .select("q_id", "id",
-                       F.col("ham").cast("double").alias("d2")))
+    return (codes.select("id", "words", "cell")
+            .mapInPandas(run,
+                         schema=f"q_id BIGINT, id {id_type}, ham BIGINT"))
+
+
+def ivf_bq_sq8_topk(base: DataFrame, queries: DataFrame,
+                    centroids: DataFrame, thresholds: list,
+                    mins: list, maxs: list,
+                    k: int = 10, nprobe: int = 2, bq_keep: int = 32,
+                    rerank: int = 4,
+                    id_col: str = "id", vector_col: str = "vector",
+                    q_id_col: str = "q_id", q_vector_col: str = "vector",
+                    c_id_col: str = "id", c_vector_col: str = "vector",
+                    assigned: DataFrame | None = None,
+                    codes: DataFrame | None = None,
+                    sq8_codes: DataFrame | None = None) -> DataFrame:
+    """Three-tier compressed ANN: IVF probe → BQ Hamming pre-screen to
+    ``k·bq_keep`` → SQ8 rank to ``k·rerank`` → exact re-rank → top-k.
+
+    This is the missing tier SCALE.md §9e names: 1-bit codes cannot
+    rank WITHIN a code-degenerate cluster (standalone-BQ recall caps
+    ~0.31 at 10M geometry), so re-ranking straight from Hamming either
+    wastes shortlist budget (small ``rerank``) or decrypt/IO budget
+    (huge ``rerank``).  Putting SQ8 between them restores ranking
+    power at 1/4 the bytes of the float column: the 32×-cheaper BQ
+    scan cuts probed cells to a ``k·bq_keep`` shortlist, the 4×-cheaper
+    SQ8 reconstruction orders THAT shortlist well enough that only
+    ``k·rerank`` true vectors are ever touched.
+
+    Scale shape: tier-1 is :func:`ivf_bq_topk`'s map-side kernel
+    (probed cells only, batch partials bounded by ``k·bq_keep``);
+    tier-2 joins the broadcast-hinted shortlist to the SQ8 code table
+    (Q·k·bq_keep rows of 1-byte/dim codes — never the corpus) and
+    ranks in one Arrow kernel against the broadcast query matrix;
+    tier-3 is the shared :func:`~.pq._exact_rerank` broadcast tail.
+    Nothing corpus-sized shuffles in any tier.
+
+    SQ8 distances are the elementwise-IEEE reconstruction of
+    :func:`sq8_topk`, so the whole three-tier result is
+    oracle-checkable cross-engine."""
+    kk1 = k * bq_keep
+    partial = _ivf_bq_partial(base, queries, centroids, thresholds, kk1,
+                              nprobe, id_col, vector_col, q_id_col,
+                              q_vector_col, c_id_col, c_vector_col,
+                              assigned, codes)
+    spark = base.sparkSession
+    if partial is None:
+        return spark.createDataFrame(
+            [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
+    w_bq = Window.partitionBy("q_id").orderBy(F.col("ham").asc(),
+                                              F.col("id").asc())
+    short1 = (partial.withColumn("_ar", F.row_number().over(w_bq))
+              .filter(F.col("_ar") <= kk1).select("q_id", "id"))
+
+    if sq8_codes is None:
+        sq8_codes = sq8_quantize(base, mins, maxs, id_col=id_col,
+                                 vector_col=vector_col).select("id", "codes")
+    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    mn = np.array(mins, dtype=np.float64)
+    rg = np.array(maxs, dtype=np.float64) - mn
+    qidx = {int(q): i for i, q in enumerate(q_ids)}
+    bc = spark.sparkContext.broadcast((qidx, Q, mn, rg))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qidx_, Q_, mn_, rg_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.vstack([np.asarray(c, dtype=np.float64)
+                           for c in pdf["codes"].to_numpy()])
+            R = mn_ + C / 255.0 * rg_              # sq8_topk reconstruction
+            rows = np.array([qidx_[int(q)] for q in pdf["q_id"].to_numpy()])
+            d2 = np.square(R - Q_[rows]).sum(axis=1)
+            yield pd.DataFrame({"q_id": pdf["q_id"].to_numpy(),
+                                "id": pdf["id"].to_numpy(), "d2": d2})
+
+    id_type = sq8_codes.schema["id"].dataType.simpleString()
+    # shortlist is Q·k·bq_keep-bounded: broadcast it so tier-2 reads
+    # the code table map-side (same discipline as _exact_rerank)
+    pairs = short1.hint("broadcast").join(sq8_codes, on="id")
+    partial2 = pairs.mapInPandas(
+        score, schema=f"q_id BIGINT, id {id_type}, d2 DOUBLE")
     from .pq import _exact_rerank
-    return _exact_rerank(partial, base, queries, k, kk,
+    return _exact_rerank(partial2, base, queries, k, k * rerank,
                          id_col, vector_col, q_id_col, q_vector_col)
 
 

@@ -3074,6 +3074,105 @@ WHERE rnk <= 10
 """
 
 
+IVFBQSQ8_BQ_KEEP = 16
+IVFBQSQ8_RERANK = 4
+
+
+def q_ivfbq_sq8_ann(spark, sf_dir):
+    """Three-tier compressed ANN (beyond-reference): IVF probe → BQ
+    Hamming pre-screen to k·16 → SQ8 rank to k·4 → exact re-rank.
+    The tier SCALE.md §9e names as BQ's plateau fix: 1-bit codes
+    cannot rank within a code-degenerate cluster, SQ8 can — at 1/4
+    the bytes of the float column; only k·4 true vectors are touched
+    per query (ops/similarity.py:ivf_bq_sq8_topk)."""
+    from .ops.similarity import (sq8_stats, bq_thresholds, ivf_bq_sq8_topk)
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    mins, maxs = sq8_stats(base)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (ivf_bq_sq8_topk(base, queries, centroids,
+                            bq_thresholds(mins, maxs), mins, maxs,
+                            k=10, nprobe=IVFPQ_NPROBE,
+                            bq_keep=IVFBQSQ8_BQ_KEEP,
+                            rerank=IVFBQSQ8_RERANK)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def sql_ivfbq_sq8_ann(nq: int, kk1: int, kk2: int,
+                      n_centroids: int, nprobe: int) -> str:
+    """Generated oracle: the ``sql_ivfbq_ann`` CTE chain (midrange
+    thresholds, sign bits, coarse probes, Hamming shortlist at kk1)
+    with ``SQL_SQ8_ANN``'s reconstruction tier ranking the shortlist
+    down to kk2 before the exact re-rank."""
+    return f"""
+WITH e AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+ex AS (SELECT id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
+st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+thr AS (SELECT pos, (mn + mx) / 2.0 AS t FROM st),
+bits AS (SELECT id, pos, CAST(x > t AS INT) AS b FROM ex JOIN thr USING (pos)),
+cc AS (SELECT id AS cid, v AS ccv FROM e WHERE id < {n_centroids}),
+cassign AS (SELECT id, ccell FROM (
+  SELECT e.id, cc.cid AS ccell,
+         row_number() OVER (PARTITION BY e.id
+                            ORDER BY list_distance(e.v, cc.ccv), cc.cid) AS rn
+  FROM e CROSS JOIN cc) WHERE rn = 1),
+qcv AS (SELECT id AS q_id, v AS qvec FROM e WHERE id < {nq}),
+cprobes AS (SELECT q_id, ccell FROM (
+  SELECT qcv.q_id, cc.cid AS ccell,
+         row_number() OVER (PARTITION BY qcv.q_id
+                            ORDER BY list_distance(qcv.qvec, cc.ccv),
+                                     cc.cid) AS rn
+  FROM qcv CROSS JOIN cc) WHERE rn <= {nprobe}),
+qb AS (SELECT id AS q_id, pos, b FROM bits WHERE id < {nq}),
+ham AS (SELECT q.q_id, b.id,
+               sum(CASE WHEN b.b != q.b THEN 1 ELSE 0 END) AS ham
+        FROM bits b
+        JOIN cassign ca ON ca.id = b.id
+        JOIN qb q USING (pos)
+        JOIN cprobes cp ON cp.q_id = q.q_id AND cp.ccell = ca.ccell
+        GROUP BY 1, 2),
+short1 AS (
+  SELECT q_id, id FROM (
+    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+                                        ORDER BY ham, id) AS ar
+    FROM ham) WHERE ar <= {kk1}),
+recon AS (
+  SELECT ex.id, ex.pos,
+         mn + (CASE WHEN mx > mn
+                    THEN CAST(round((x - mn) / (mx - mn) * 255) AS INT)
+                    ELSE 0 END) / 255.0 * (mx - mn) AS r
+  FROM ex JOIN st USING (pos)
+  JOIN (SELECT DISTINCT id FROM short1) sid ON sid.id = ex.id),
+qx AS (SELECT id AS q_id, unnest(v) AS qx, unnest(range(1, len(v) + 1)) AS pos
+       FROM e WHERE id < {nq}),
+ad AS (SELECT s.q_id, s.id, sum((r.r - q.qx) * (r.r - q.qx)) AS d2
+       FROM short1 s
+       JOIN recon r ON r.id = s.id
+       JOIN qx q ON q.q_id = s.q_id AND q.pos = r.pos
+       GROUP BY 1, 2),
+short2 AS (
+  SELECT q_id, id FROM (
+    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+                                        ORDER BY d2, id) AS ar
+    FROM ad) WHERE ar <= {kk2}),
+scored AS (
+  SELECT s.q_id, s.id,
+         sqrt(list_reduce(list_transform(list_zip(qe.v, be.v),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                          (acc, x) -> acc + x)) AS dist
+  FROM short2 s JOIN e qe ON qe.id = s.q_id JOIN e be ON be.id = s.id)
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rnk AS INT) AS rank
+FROM (SELECT q_id, id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
+      FROM scored)
+WHERE rnk <= 10
+"""
+
+
 NEAR_DUP_THRESHOLD = 0.45  # synthetic embeddings top out at cos ~0.51
 
 
@@ -3966,6 +4065,10 @@ QUERIES = {
     "leakage_safe_split": q_leakage_safe_split,
     "bm25_topk": q_bm25_topk,
     "ivfbq_ann": q_ivfbq_ann,
+    "ivfbq_sq8_ann": q_ivfbq_sq8_ann,   # new r7: first certification (the
+                                        # §9e three-tier plateau fix; takes
+                                        # near_dup_lsh's slot — r05-certified,
+                                        # block-mode path untouched, parks)
     "knn_join": q_knn_join,
     "dsir_weights": q_dsir_weights,
     "dsir_sample": q_dsir_sample,
@@ -4014,8 +4117,10 @@ QUERIES = {
     "streaming_minhash": q_streaming_minhash,
     "minhash_bands": q_minhash_bands,
     "dedup_clusters": q_dedup_clusters,
-    "near_dup_lsh": q_near_dup_lsh,
     # ---- position 50 ends here; entries below are PARKED ----
+    "near_dup_lsh": q_near_dup_lsh,     # displaced by ivfbq_sq8_ann's
+                                        # first cert; r05-certified,
+                                        # block-mode path untouched r6/r7
     # -- 41 entries freshly certified in the r06 gate window (rows in
     # -- CORRECTNESS_r06.json, all on current fixtures, none events-typed)
     "doc_quantiles": q_doc_quantiles,
@@ -4120,6 +4225,9 @@ def oracle_sql_map() -> dict[str, str]:
             N_IVF_CENTROIDS, IVFPQ_NPROBE),
         "ivfbq_ann": sql_ivfbq_ann(N_VEC_QUERIES, 10 * BQ_RERANK,
                                    N_IVF_CENTROIDS, IVFPQ_NPROBE),
+        "ivfbq_sq8_ann": sql_ivfbq_sq8_ann(
+            N_VEC_QUERIES, 10 * IVFBQSQ8_BQ_KEEP, 10 * IVFBQSQ8_RERANK,
+            N_IVF_CENTROIDS, IVFPQ_NPROBE),
         "knn_join": SQL_KNN_JOIN,
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,

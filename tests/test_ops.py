@@ -1773,6 +1773,72 @@ def test_knn_join_full_probe_matches_exact(spark, clustered):
     assert len(no_self) == 300 * 5
 
 
+def test_ivf_bq_sq8_full_budget_matches_exact(spark, clustered):
+    """With every cell probed and saturating shortlist budgets the
+    three-tier plan degenerates to exhaustive exact search — results
+    must equal blocked exact KNN bit-for-bit."""
+    from fspann_query_system_spark.ops.similarity import (
+        sq8_stats, bq_thresholds, ivf_bq_sq8_topk)
+    from fspann_query_system_spark.query.exact import knn_exact
+    df, X = clustered
+    small = df.filter(F.col("id") < 300)
+    centroids = small.filter(F.col("id") % 50 == 0)   # 6 cells
+    mins, maxs = sq8_stats(small)
+    q = small.filter(F.col("id") < 5) \
+        .select(F.col("id").alias("q_id"), "vector")
+    got = sorted(
+        (r.q_id, r.id, round(r.dist, 9), r.rank) for r in
+        ivf_bq_sq8_topk(small, q, centroids, bq_thresholds(mins, maxs),
+                        mins, maxs, k=5, nprobe=6, bq_keep=100,
+                        rerank=100).collect())
+    want = sorted(
+        (r.q_id, r.id, round(r.distance, 9), r.rank) for r in
+        knn_exact(small, q, k=5).collect())
+    assert got == want
+
+
+def test_ivf_bq_sq8_tight_budget_recall_and_plateau_coverage(spark,
+                                                             clustered):
+    """Production-shaped budgets on the adversarial 16-bit fixture:
+    the 250-row clusters are BQ tie plateaus (every member shares one
+    16-bit code), so bq_keep must cover the plateau for the SQ8 tier
+    to see the true neighbours — the exact failure mode §9e documents
+    for re-ranking straight from Hamming.  Pinned (deterministic
+    fixture): bq_keep 16 → 80-row shortlist < plateau, recall ~0.47;
+    bq_keep 64 → 640-row shortlist > plateau, recall 1.0 with every
+    query self-matched at rank 1."""
+    from fspann_query_system_spark.ops.similarity import (
+        sq8_stats, bq_thresholds, ivf_bq_sq8_topk)
+    from fspann_query_system_spark.query.exact import knn_exact
+    df, X = clustered
+    centroids = df.filter(F.col("id") % 250 == 0)     # 8 cells
+    mins, maxs = sq8_stats(df)
+    q = df.filter(F.col("id").isin([0, 700, 1500])) \
+        .select(F.col("id").alias("q_id"), "vector")
+    gt = {}
+    for r in knn_exact(df, q, k=5).collect():
+        gt.setdefault(r.q_id, set()).add(r.id)
+
+    def run(bq_keep):
+        res = ivf_bq_sq8_topk(df, q, centroids, bq_thresholds(mins, maxs),
+                              mins, maxs, k=5, nprobe=2, bq_keep=bq_keep,
+                              rerank=4).collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r.q_id, []).append(r)
+        assert set(by_q) == {0, 700, 1500}
+        assert all(len(v) == 5 for v in by_q.values())
+        return by_q, sum(len({r.id for r in by_q[k_]} & gt[k_]) / 5
+                         for k_ in gt) / len(gt)
+
+    _, rec_small = run(16)
+    by_q, rec_large = run(64)
+    assert rec_small < 0.6 < 1.0 == rec_large
+    for qid, rows in by_q.items():
+        top = min(rows, key=lambda r: r.rank)
+        assert top.id == qid and top.dist == 0.0
+
+
 def test_knn_join_pairs_scored_once_per_probed_cell_membership(spark,
                                                                clustered):
     """Each base row lives in ONE cell, so (q, neighbour) pairs are

@@ -364,6 +364,22 @@ def test_knn_join_cell_equi_join_no_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_bq_sq8_topk_no_product_and_broadcast_tiers(spark):
+    """Three-tier ANN: every tier must stay shortlist-bounded — no
+    Q x N product anywhere, and both the SQ8-rank join and the exact
+    re-rank broadcast the bounded side."""
+    from fspann_query_system_spark.ops.similarity import ivf_bq_sq8_topk
+    base = W._emb(spark, SF)
+    cents = base.filter(F.col("id") < 8)
+    q = base.filter(F.col("id") < 5).selectExpr("id as q_id", "vector")
+    plan = _formatted(ivf_bq_sq8_topk(base, q, cents, [0.0] * 64,
+                                      [-1.0] * 64, [1.0] * 64,
+                                      k=5, nprobe=2, bq_keep=8, rerank=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ivf_bq_topk_no_product_and_broadcast_rerank(spark):
     """IVF-BQ: coarse assign + Hamming prescreen are scan-side kernels
     (no Q x N join anywhere); the exact re-rank broadcasts the bounded

@@ -1,0 +1,160 @@
+"""kNN self-join (kNN-graph builder) scale measurement — SCALE.md §9g.
+
+Round-6 verdict Missing #3: `knn_join` (ops/similarity.py) — the
+SemDeDup/label-propagation graph primitive — had plan-shape arguments
+(cell co-partitioned equi-join, nothing broadcast/collected, no
+CartesianProduct) but no published scale point.  This script measures
+at 1M and 10M embeddings:
+
+  * wall + edges/s for the full n-row kNN graph (k, nprobe knobs);
+  * the PAIR-EXPANSION FACTOR: scored candidate pairs vs the balanced
+    prediction n²·nprobe/|C| — the number that decides whether the
+    plan survives 100×;
+  * graph recall vs an exact numpy oracle on a row sample (does
+    nprobe-cell blocking find the true neighbours?).
+
+Corpus: §9b's deterministic map-only generator (256 natural clusters,
+vector = f(id), no driver materialization).  The quantizer is
+`kmeans_fit` at |C| = n/target_cell cells — |C| grows WITH n (the §9b
+discipline), so per-cell work stays bounded at any corpus size.
+
+Usage: python3 tools/scale_knn_join.py [n] [k] [nprobe]
+(10M needs SPARK_GRAFT_DRIVER_MEM=96g.)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F                               # noqa: E402
+
+from fspann_query_system_spark.session import get_spark              # noqa: E402
+
+DIM = 64
+N_CENTERS = 256
+TARGET_CELL = 1000           # rows per coarse cell: |C| = max(64, n/1000)
+# per-row work = nprobe × TARGET_CELL GEMM distances; |C| grows with n
+# so this stays constant at any corpus size (the §9b discipline)
+
+
+def gen_embeddings(spark, n: int):
+    """§9b generator, dup-free: (id, vector), vector = f(id) map-side."""
+    centers = np.random.default_rng(42).normal(0, 4.0, (N_CENTERS, DIM))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            V = np.empty((len(ids), DIM))
+            for i, b in enumerate(ids):
+                V[i] = centers[b % N_CENTERS] + \
+                    np.random.default_rng(int(b)).normal(0, 1.4, DIM)
+            yield pd.DataFrame({"id": ids, "vector": list(V)})
+
+    return (spark.range(n).repartition(64)
+            .mapInPandas(run, schema="id LONG, vector ARRAY<DOUBLE>")
+            .persist())
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    n_cells = max(64, n // TARGET_CELL)
+    spark = get_spark("scale-knn-join",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from fspann_query_system_spark.ops.similarity import (
+        kmeans_fit, ivf_assign, knn_join)
+
+    t0 = time.time()
+    emb = gen_embeddings(spark, n)
+    emb.count()
+    print(f"materialize {n} embeddings: {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    cent = kmeans_fit(emb, k=n_cells, iters=2).persist()
+    cent.count()
+    print(f"kmeans_fit |C|={n_cells} (iters=2): {time.time()-t0:.1f}s "
+          f"(one-off quantizer train, shared with the whole IVF family)",
+          flush=True)
+
+    # cell balance + the predicted pair expansion Σ|cell|² ≈ n²/|C|
+    assigned = ivf_assign(emb, cent, c_id_col="cell").persist()
+    sizes = (assigned.groupBy("cell").count()
+             .agg(F.count("*").alias("cells"),
+                  F.max("count").alias("max"),
+                  F.expr("percentile(count, 0.5)").alias("p50"),
+                  F.expr("percentile(count, 0.99)").alias("p99"),
+                  F.sum(F.col("count") * F.col("count")).alias("sum_sq"))
+             .collect()[0])
+    pred_pairs = nprobe * n * n / n_cells
+    print(f"cells hit {sizes.cells}/{n_cells}, size p50 {sizes.p50:.0f} "
+          f"p99 {sizes.p99:.0f} max {sizes['max']}; Σ|cell|² = "
+          f"{sizes.sum_sq:.3g} (balanced n²/|C| = {n*n/n_cells:.3g})",
+          flush=True)
+
+    t0 = time.time()
+    graph = knn_join(emb, cent, k=k, nprobe=nprobe,
+                     c_id_col="cell", assigned=assigned)
+    edges = graph.count()
+    wall = time.time() - t0
+    print(f"knn_join k={k} nprobe={nprobe}: {wall:.1f}s -> {edges} edges "
+          f"= {edges/wall:,.0f} edges/s ({n/wall:,.0f} rows/s)", flush=True)
+
+    # actual candidate expansion: per-cell probers × members
+    from fspann_query_system_spark.ops.similarity import _nearest_cells
+    pc = (_nearest_cells(emb, cent, nprobe, "id", "vector", "cell", "vector",
+                         keep_vector=False)
+          .groupBy("cell").agg(F.count("*").alias("np_")))
+    mc = assigned.groupBy("cell").agg(F.count("*").alias("nm"))
+    actual = (pc.join(mc, "cell")
+              .agg(F.sum(F.col("np_").cast("double") * F.col("nm")))
+              .collect()[0][0])
+    print(f"scored pairs {actual:.3g} vs balanced prediction "
+          f"{pred_pairs:.3g} -> expansion factor x{actual/pred_pairs:.2f} "
+          f"of prediction, {actual/(n*n):.2e} of n²", flush=True)
+
+    # graph recall vs exact: sample rows, exact kNN by blocked BLAS over
+    # the deterministic generator (no corpus collect)
+    sample = np.random.default_rng(9).choice(n, 200, replace=False)
+    rows = (graph.join(
+        emb.sparkSession.createDataFrame([(int(s),) for s in sample],
+                                         "q_id LONG"), "q_id")
+        .collect())
+    got = {}
+    for r in rows:
+        got.setdefault(r.q_id, set()).add(r.id)
+    # exact oracle: materialize X once, driver-side (10M x 64 f32 = 2.4GB)
+    t0 = time.time()
+    X = np.empty((n, DIM), dtype=np.float32)
+    centers = np.random.default_rng(42).normal(0, 4.0, (N_CENTERS, DIM))
+    step = 1_000_000
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        for i in range(lo, hi):
+            X[i] = centers[i % N_CENTERS] + \
+                np.random.default_rng(i).normal(0, 1.4, DIM)
+    Xd = X.astype(np.float64)
+    sq = (Xd * Xd).sum(1)
+    rec = []
+    for s in sample:
+        d2 = sq - 2.0 * (Xd @ Xd[s])
+        d2[s] = np.inf                     # exclude_self semantics
+        top = np.argpartition(d2, k)[:k]
+        gt = set(top[np.argsort(d2[top], kind="stable")].tolist())
+        rec.append(len(got.get(int(s), set()) & gt) / k)
+    print(f"graph recall@{k} vs exact (200-row sample): "
+          f"{float(np.mean(rec)):.4f} (oracle build {time.time()-t0:.0f}s)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

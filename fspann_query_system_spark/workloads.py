@@ -520,9 +520,18 @@ def q_streaming_dedup(spark, sf_dir):
     """Streaming exact-dedup: the St1 micro-batch path composed with the
     dedup fingerprint — canonical-id assignment as a running streaming
     aggregate (complete mode), byte-identical to the batch group-by, so
-    the stream gets a full oracle.  This is the shape a training-data
-    ingest pipeline runs: dedup state accumulates as document files
-    arrive."""
+    the stream gets a full oracle.
+
+    STATE STORY: complete-mode running aggregates keep state
+    proportional to DISTINCT FINGERPRINTS — corpus-sized on a
+    dedup-heavy stream.  That is fine for this entry's purpose (a
+    batch-equivalence twin with a full oracle on a finite source), but
+    it is NOT the ingest-time production shape: at 100 TB use the
+    bounded foreachBatch pattern ``q_streaming_incremental_dedup``
+    (each arriving batch banded against the static corpus index, state
+    = the corpus index on disk, nothing grows in executor memory) or
+    ``q_streaming_decontaminate`` (static broadcast bench set,
+    stateless per-batch scoring)."""
     import uuid
     import os
     from .functions import text as T
@@ -1728,7 +1737,14 @@ def q_streaming_minhash(spark, sf_dir):
     complete-mode aggregate — per-document signature state accumulates
     as files arrive, byte-identical to the batch plan on a finite
     source, so it shares SQL_MINHASH (full gate for streaming
-    signature maintenance)."""
+    signature maintenance).
+
+    STATE STORY: complete-mode state here is per-document signatures —
+    corpus-sized by design.  Batch-equivalence twin only; the
+    ingest-time production shape is ``q_streaming_incremental_dedup``
+    (foreachBatch: signatures/bands for the ARRIVING batch only,
+    joined against the static corpus band index — state bounded by
+    the batch, the index lives on disk).  See SURVEY.md §8."""
     import os
     import uuid
     from .ops.dedup import _minhash_rows

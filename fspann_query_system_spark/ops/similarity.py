@@ -224,28 +224,40 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
                                   "id", "vector", keep_vector=True)
         # two-level mean with a SORTED final merge: level 1 reduces each
         # input partition to one (cell, pos) partial (within-partition
-        # sum order = stable row order); level 2 sums the <=n_partitions
-        # partials in array_sort order.  A single-level F.avg merges
+        # sum order = stable row order); level 2 sums the partials in
+        # (pos, _pid) array_sort order.  A single-level F.avg merges
         # partials in task-completion order — under load the ulp noise
         # can flip a round(.,6) boundary and one flipped component
         # cascades through later rounds (the pq_fit incident; same
-        # mechanism here).
+        # mechanism here).  Levels 2+3 are FUSED into ONE groupBy(cell)
+        # (round 7: one exchange fewer per Lloyd round): after the sort
+        # the partials of pos d are the contiguous slice [d·m+1, m] —
+        # every (cell, partition) partial covers ALL pos (a partition
+        # holding rows of the cell sums every dimension), so each pos
+        # has exactly m = |partials|/dim entries and slice-sums stay
+        # O(|partials|) per cell at any k.
+        def _mean_vec(p):
+            dim_c = F.element_at(p, F.size(p))["pos"] + 1
+            m = (F.size(p) / dim_c).cast("int")
+            n_cell = F.aggregate(F.slice(p, 1, m), F.lit(0.0),
+                                 lambda a, q: a + q["_c"])
+            return F.transform(
+                F.sequence(F.lit(0), dim_c - 1),
+                lambda d: F.round(
+                    F.aggregate(F.slice(p, d * m + 1, m), F.lit(0.0),
+                                lambda a, q: a + q["_s"]) / n_cell, 6))
+
         upd = (assigned
                .select("cell", F.posexplode(vector_col).alias("pos", "x"),
                        F.spark_partition_id().alias("_pid"))
                .groupBy("cell", "pos", "_pid")
                .agg(F.sum("x").alias("_s"), F.count(F.lit(1)).alias("_c"))
-               .groupBy("cell", "pos")
-               .agg(F.round(
-                   F.aggregate(
-                       F.array_sort(F.collect_list(F.struct("_s", "_c"))),
-                       F.lit(0.0), lambda acc, p: acc + p["_s"])
-                   / F.sum("_c"), 6).alias("v"))
                .groupBy("cell")
-               .agg(F.sort_array(F.collect_list(F.struct("pos", "v")))
-                    .alias("_s"))
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("pos", "_pid", "_s", "_c")))
+                   .alias("_p"))
                .select(F.col("cell").alias("id"),
-                       F.transform("_s", lambda s: s["v"]).alias("vector")))
+                       _mean_vec(F.col("_p")).alias("vector")))
         cent = (cent.alias("old")
                 .join(upd.alias("new"), on="id", how="left")
                 .select("id", F.coalesce(F.col("new.vector"),

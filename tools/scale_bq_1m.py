@@ -98,7 +98,9 @@ def main():
     print(f"ivf: {n_cells} cells, kmeans {out['kmeans_s']}s, "
           f"assign {out['assign_s']}s", flush=True)
 
-    for nprobe, rr in ((8, 16), (8, 64), (16, 64), (32, 64)):
+    ivfbq_sweep = () if "--sq8-only" in sys.argv else \
+        ((8, 16), (8, 64), (16, 64), (32, 64))
+    for nprobe, rr in ivfbq_sweep:
         t0 = time.time()
         rows = ivf_bq_topk(vec, queries, cents, thr, k=K, nprobe=nprobe,
                            rerank=rr, c_id_col="cell",
@@ -114,6 +116,37 @@ def main():
         out[f"{tag}_ms_q"] = round(w / nq * 1000, 1)
         out[f"{tag}_recall"] = round(rec, 3)
         print(f"ivfbq nprobe={nprobe} rerank={rr}: "
+              f"{out[f'{tag}_ms_q']} ms/q recall {rec:.3f}", flush=True)
+
+    # ---- IVF-BQ-SQ8 three-tier: BQ pre-screens, SQ8 ranks (§9e's
+    # plateau fix — 1-bit codes cap ~0.31 at 10M because they cannot
+    # rank within a cell; SQ8 can, at 1/4 the float bytes, and only
+    # k*rerank true vectors are touched) ----
+    from fspann_query_system_spark.ops.similarity import (ivf_bq_sq8_topk,
+                                                          sq8_quantize)
+    t0 = time.time()
+    sq8c = sq8_quantize(vec, mins, maxs).select("id", "codes").persist()
+    sq8c.count()
+    out["sq8_encode_s"] = round(time.time() - t0, 1)
+    print(f"sq8 shadow encode: {out['sq8_encode_s']}s", flush=True)
+    for nprobe, keep, rr in ((16, 16, 4), (16, 64, 4), (16, 256, 4),
+                             (32, 256, 4)):
+        t0 = time.time()
+        rows = ivf_bq_sq8_topk(vec, queries, cents, thr, mins, maxs,
+                               k=K, nprobe=nprobe, bq_keep=keep, rerank=rr,
+                               c_id_col="cell", c_vector_col="vector",
+                               assigned=assigned, codes=codes,
+                               sq8_codes=sq8c).collect()
+        w = time.time() - t0
+        got = {}
+        for r in rows:
+            got.setdefault(r.q_id, set()).add(r.id)
+        rec = float(np.mean([len(got.get(int(q), set()) & gt[int(q)]) / K
+                             for q in q_ids]))
+        tag = f"ivfbqsq8_p{nprobe}_k{keep}_r{rr}"
+        out[f"{tag}_ms_q"] = round(w / nq * 1000, 1)
+        out[f"{tag}_recall"] = round(rec, 3)
+        print(f"ivfbq-sq8 nprobe={nprobe} bq_keep={keep} rerank={rr}: "
               f"{out[f'{tag}_ms_q']} ms/q recall {rec:.3f}", flush=True)
 
     print(json.dumps(out), flush=True)

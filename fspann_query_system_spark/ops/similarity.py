@@ -155,9 +155,45 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                 out["cell"] = cid_[best_j]
                 yield pd.DataFrame(out)
                 continue
-            d2 = np.empty((len(B), len(cid_)), dtype=np.float64)
-            for j in range(len(cid_)):
-                d2[:, j] = np.square(B - C_[j]).sum(axis=1)
+            if nc_req > 1 and len(cid_) > 256:
+                # large codebook, top-nc probes (the IVF query path at
+                # SemDeDup-scale |C|): same tiled GEMM as the nc==1
+                # branch, with a per-tile top-(nc+8) candidate cut and
+                # one final per-row (d, cid) merge — O(|C|) GEMM work
+                # per row instead of |C| python sweeps per batch
+                # (measured: |C|=10k probes at 10M went from hours to
+                # minutes).  The +8 margin absorbs within-tile float
+                # ties at the cut; a >8-deep cohort of bit-identical
+                # GEMM distances straddling the boundary (duplicate
+                # centroids) could still resolve differently than the
+                # exact path's lowest-cid order — small-|C| oracle
+                # fixtures keep the exact sweep below.
+                cn = np.square(C_).sum(axis=1)
+                RB, CB = 2048, 4096
+                kk = min(nc + 8, len(cid_))
+                near = np.empty((len(B), nc), dtype=np.int64)
+                for r0 in range(0, len(B), RB):
+                    Br = B[r0:r0 + RB]
+                    cd, cj = [], []
+                    for c0 in range(0, len(cid_), CB):
+                        Ct = C_[c0:c0 + CB]
+                        t = Br @ Ct.T
+                        t *= -2.0
+                        t += cn[c0:c0 + CB]
+                        w = min(kk, t.shape[1])
+                        part = np.argpartition(t, w - 1, axis=1)[:, :w]
+                        cd.append(np.take_along_axis(t, part, 1))
+                        cj.append(part + c0)
+                    md = np.concatenate(cd, axis=1)
+                    mj = np.concatenate(cj, axis=1)
+                    for r in range(len(Br)):
+                        order = np.lexsort((mj[r], md[r]))[:nc]
+                        near[r0 + r] = mj[r][order]
+            else:
+                d2 = np.empty((len(B), len(cid_)), dtype=np.float64)
+                for j in range(len(cid_)):
+                    d2[:, j] = np.square(B - C_[j]).sum(axis=1)
+                near = None
             out = {id_col: np.repeat(pdf[id_col].to_numpy(), nc)}
             if keep_vector:
                 out[vector_col] = np.repeat(pdf[vector_col].to_numpy(), nc)
@@ -165,7 +201,8 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                 # argmin returns the first (= lowest-cid) minimum
                 out["cell"] = cid_[np.argmin(d2, axis=1)]
             else:
-                near = np.argsort(d2, axis=1, kind="stable")[:, :nc]
+                if near is None:
+                    near = np.argsort(d2, axis=1, kind="stable")[:, :nc]
                 out["cell"] = cid_[near].ravel()
                 out["cell_rank"] = np.tile(np.arange(1, nc + 1), len(B))
             yield pd.DataFrame(out)

@@ -58,6 +58,20 @@ def _codebook_tensor(codebook: DataFrame) -> np.ndarray:
     return T
 
 
+def _q9(a: np.ndarray) -> np.ndarray:
+    """Element quantization to 1e-9 as int64, HALF_UP like Spark/DuckDB
+    round().  Summing quantized elements is associative AND commutative,
+    so every distance in the PQ chain (training assign, encode assign,
+    LUT entries, ADC sums) is bit-identical under ANY merge order in
+    ANY engine — the fix for the measured DuckDB parallel-aggregation
+    flip (SCALE.md pathology #3 addendum).  1e-9 quanta on O(10³)
+    squared-diff elements keep d_sub·1e-9 precision, far below any
+    meaningful distance gap; int64 magnitudes stay < 6e13 per LUT
+    entry at |x| <= 30."""
+    b = a * 1e9
+    return (np.sign(b) * np.floor(np.abs(b) + 0.5)).astype(np.int64)
+
+
 def pq_fit(df: DataFrame, m_sub: int = 4, k: int = 8, iters: int = 2,
            id_col: str = "id", vector_col: str = "vector",
            init_offset: int = 0) -> DataFrame:
@@ -94,7 +108,7 @@ def pq_fit(df: DataFrame, m_sub: int = 4, k: int = 8, iters: int = 2,
     T = (np.array([list(r[vector_col]) for r in head], dtype=np.float64)
          .reshape(k, m_sub, d_sub).transpose(1, 0, 2).copy())
 
-    sums_schema = ("sub INT, cell INT, spos INT, s DOUBLE, c LONG")
+    sums_schema = ("sub INT, cell INT, spos INT, s LONG, c LONG")
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(T)
 
@@ -110,16 +124,23 @@ def pq_fit(df: DataFrame, m_sub: int = 4, k: int = 8, iters: int = 2,
                 sub_l, cell_l, spos_l, s_l, c_l = [], [], [], [], []
                 for s in range(m_):
                     Bs = B[:, s, :]                      # (n, d_sub)
-                    d2 = np.empty((len(Bs), k_))
+                    d2 = np.empty((len(Bs), k_), dtype=np.int64)
                     for j in range(k_):
-                        d2[:, j] = np.square(Bs - T_[s, j]).sum(axis=1)
+                        d2[:, j] = _q9(np.square(Bs - T_[s, j])).sum(axis=1)
                     a = np.argmin(d2, axis=1)            # ties -> lowest cell
                     for j in range(k_):
                         mask = a == j
                         n_j = int(mask.sum())
                         if n_j == 0:
                             continue
-                        ssum = Bs[mask].sum(axis=0)
+                        # element-quantized int64 partial: the merge
+                        # is then order-independent in ANY engine (see
+                        # kmeans_fit — the duckdb-parallel-avg flip).
+                        # HALF_UP like Spark/DuckDB round(), not
+                        # np.round's half-even
+                        q = Bs[mask] * 1e9
+                        ssum = (np.sign(q) * np.floor(np.abs(q) + 0.5)
+                                ).astype(np.int64).sum(axis=0)
                         sub_l.append(np.full(d_, s, dtype=np.int32))
                         cell_l.append(np.full(d_, j, dtype=np.int32))
                         spos_l.append(np.arange(d_, dtype=np.int32))
@@ -134,23 +155,18 @@ def pq_fit(df: DataFrame, m_sub: int = 4, k: int = 8, iters: int = 2,
                     "s": np.concatenate(s_l),
                     "c": np.concatenate(c_l)})
 
-        # the per-(sub, cell, spos) partial list is <= n_batches rows;
-        # summing it in SORTED order makes the double sum independent
-        # of shuffle arrival order.  A plain F.sum merges partials in
-        # task-completion order: under load the ulp-level noise lands a
-        # component on the other side of a round(.,6) boundary ~1 run
-        # in 5, and one flipped centroid component cascades through the
-        # remaining Lloyd rounds into visibly different top-k output
-        # (observed as an intermittent ivfpq_residual_ann oracle
-        # mismatch; residual corpora amplify it because near-zero
-        # residual distances are tie-dense).
+        # partials are element-quantized int64 sums, so a plain F.sum
+        # merges them EXACTLY in any order.  The round-6 sorted-partial
+        # merge protected only the Spark side; the DuckDB oracle's
+        # parallel avg() still merged double partials in thread order
+        # and measurably flipped between two states under load (17/3
+        # in 20 runs of the same SQL — SCALE.md pathology #3 addendum).
+        # Both engines now sum identical integers, so the round(.,6)
+        # boundary cannot flip anywhere.
         upd_rows = (df.select(vector_col).mapInPandas(run, schema=sums_schema)
                     .groupBy("sub", "cell", "spos")
-                    .agg(F.round(
-                        F.aggregate(
-                            F.array_sort(F.collect_list(F.struct("s", "c"))),
-                            F.lit(0.0), lambda acc, x: acc + x["s"])
-                        / F.sum("c"), 6).alias("v"))
+                    .agg(F.round(F.sum("s") / F.lit(1e9) / F.sum("c"), 6)
+                         .alias("v"))
                     .collect())
         bc.unpersist()
         # empty cells keep the previous centroid (rows simply absent)
@@ -183,9 +199,9 @@ def pq_encode(df: DataFrame, codebook: DataFrame,
                           ).reshape(-1, m_, d_)
             codes = np.empty((len(B), m_), dtype=np.int32)
             for s in range(m_):
-                d2 = np.empty((len(B), k_))
+                d2 = np.empty((len(B), k_), dtype=np.int64)
                 for j in range(k_):
-                    d2[:, j] = np.square(B[:, s, :] - T_[s, j]).sum(axis=1)
+                    d2[:, j] = _q9(np.square(B[:, s, :] - T_[s, j])).sum(axis=1)
                 codes[:, s] = np.argmin(d2, axis=1)
             yield pd.DataFrame({"id": pdf[id_col].to_numpy(),
                                 "codes": list(codes)})
@@ -232,8 +248,9 @@ def pq_topk(base: DataFrame, queries: DataFrame, codebook: DataFrame,
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = (np.array([list(r[1]) for r in q_rows], dtype=np.float64)
          .reshape(len(q_rows), m, d_sub))
-    # LUT[q, sub, cell] = squared L2 between q's subvector and the cell
-    lut = np.square(Q[:, :, None, :] - T[None]).sum(axis=3)
+    # LUT[q, sub, cell] = squared L2 between q's subvector and the cell,
+    # element-quantized to int64 so ADC sums are merge-order-exact
+    lut = _q9(np.square(Q[:, :, None, :] - T[None])).sum(axis=3)
     kk = k * rerank
     bc = spark.sparkContext.broadcast((q_ids, lut, kk))
 
@@ -400,13 +417,13 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
         coarse = {int(r[0]): np.asarray(list(r[1]), dtype=np.float64)
                   for r in c_rows}
         # per-(query, probed cell) LUT over the residual query
-        luts = [{int(c): np.square(
+        luts = [{int(c): _q9(np.square(
                     (Q[qi].reshape(-1) - coarse[int(c)])
-                    .reshape(m, 1, d_sub) - T).sum(axis=2)
+                    .reshape(m, 1, d_sub) - T)).sum(axis=2)
                  for c in cell_lists[qi]}
                 for qi in range(len(q_ids))]
     else:
-        lut_all = np.square(Q[:, :, None, :] - T[None]).sum(axis=3)
+        lut_all = _q9(np.square(Q[:, :, None, :] - T[None])).sum(axis=3)
         luts = [{int(c): lut_all[qi] for c in cell_lists[qi]}
                 for qi in range(len(q_ids))]
     bc = spark.sparkContext.broadcast((q_ids, luts, kk, cell_lists, m))

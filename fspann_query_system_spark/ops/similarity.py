@@ -242,13 +242,15 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
                groupBy(cell, pos) avg: the shuffle carries k·dim rows,
                never data rows.
 
-    Determinism across engines: init = the k lowest-id vectors; updated
-    centroid components are rounded to 6 decimals at each round boundary
-    (a quantized update — documented, mirrored in the SQL oracle) so
-    float-summation-order drift cannot butterfly into different
-    assignments next round; argmin ties break toward the lowest cell id
-    on both sides.  Cells left empty by a round keep their previous
-    centroid (mirrored in SQL via left join + coalesce)."""
+    Determinism across engines: init = the k lowest-id vectors; the
+    centroid mean is an ELEMENT-QUANTIZED integer sum (components
+    quantized to 1e-9, summed as int64 — order-independent under any
+    parallel merge in any engine, mirrored exactly in the SQL oracle)
+    rounded to 6 decimals at each round boundary, so float-summation-
+    order drift cannot butterfly into different assignments next
+    round; argmin ties break toward the lowest cell id on both sides.
+    Cells left empty by a round keep their previous centroid (mirrored
+    in SQL via left join + coalesce)."""
     # orderBy+limit is a distributed partial top-k (no global window);
     # the single-task row_number then runs over k rows only
     head = df.select(id_col, vector_col).orderBy(id_col).limit(k)
@@ -259,42 +261,35 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
     for _ in range(iters):
         assigned = _nearest_cells(df, cent, 1, id_col, vector_col,
                                   "id", "vector", keep_vector=True)
-        # two-level mean with a SORTED final merge: level 1 reduces each
-        # input partition to one (cell, pos) partial (within-partition
-        # sum order = stable row order); level 2 sums the partials in
-        # (pos, _pid) array_sort order.  A single-level F.avg merges
-        # partials in task-completion order — under load the ulp noise
-        # can flip a round(.,6) boundary and one flipped component
-        # cascades through later rounds (the pq_fit incident; same
-        # mechanism here).  Levels 2+3 are FUSED into ONE groupBy(cell)
-        # (round 7: one exchange fewer per Lloyd round): after the sort
-        # the partials of pos d are the contiguous slice [d·m+1, m] —
-        # every (cell, partition) partial covers ALL pos (a partition
-        # holding rows of the cell sums every dimension), so each pos
-        # has exactly m = |partials|/dim entries and slice-sums stay
-        # O(|partials|) per cell at any k.
-        def _mean_vec(p):
-            dim_c = F.element_at(p, F.size(p))["pos"] + 1
-            m = (F.size(p) / dim_c).cast("int")
-            n_cell = F.aggregate(F.slice(p, 1, m), F.lit(0.0),
-                                 lambda a, q: a + q["_c"])
-            return F.transform(
-                F.sequence(F.lit(0), dim_c - 1),
-                lambda d: F.round(
-                    F.aggregate(F.slice(p, d * m + 1, m), F.lit(0.0),
-                                lambda a, q: a + q["_s"]) / n_cell, 6))
-
+        # ELEMENT-QUANTIZED integer mean (round 7): each component is
+        # quantized to 1e-9 and summed as int64 — an associative AND
+        # commutative reduction, so the mean is bit-identical under ANY
+        # merge order, in ANY engine.  This replaces the round-6
+        # sorted-partial merge, which made the SPARK side
+        # order-independent but left the DUCKDB oracle exposed: duckdb
+        # parallelizes sum()/avg() over doubles and merges partials in
+        # thread-completion order, and under machine load the
+        # ivfpq_residual_ann oracle measurably flipped between two
+        # states (17/3 in 20 runs of the SAME SQL — SCALE.md pathology
+        # #3 addendum).  With both engines summing identical integers,
+        # the round(.,6) boundary cannot flip anywhere.  1e-9 quanta on
+        # O(10)-magnitude components keep the mean within 5e-10 of the
+        # true value (vs the 1e-6 output rounding); int64 holds up to
+        # ~3e8 rows per cell at |x| <= 30 before overflow.
         upd = (assigned
-               .select("cell", F.posexplode(vector_col).alias("pos", "x"),
-                       F.spark_partition_id().alias("_pid"))
-               .groupBy("cell", "pos", "_pid")
-               .agg(F.sum("x").alias("_s"), F.count(F.lit(1)).alias("_c"))
+               .select("cell", F.posexplode(vector_col).alias("pos", "x"))
+               .groupBy("cell", "pos")
+               .agg(F.sum(F.round(F.col("x") * 1e9).cast("long"))
+                    .alias("_s"),
+                    F.count(F.lit(1)).alias("_c"))
+               .select("cell", "pos",
+                       F.round(F.col("_s") / F.lit(1e9) / F.col("_c"), 6)
+                       .alias("v"))
                .groupBy("cell")
-               .agg(F.sort_array(
-                   F.collect_list(F.struct("pos", "_pid", "_s", "_c")))
-                   .alias("_p"))
+               .agg(F.sort_array(F.collect_list(F.struct("pos", "v")))
+                    .alias("_p"))
                .select(F.col("cell").alias("id"),
-                       _mean_vec(F.col("_p")).alias("vector")))
+                       F.transform("_p", lambda s: s["v"]).alias("vector")))
         cent = (cent.alias("old")
                 .join(upd.alias("new"), on="id", how="left")
                 .select("id", F.coalesce(F.col("new.vector"),

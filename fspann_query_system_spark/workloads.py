@@ -2768,7 +2768,8 @@ def _sql_pq_parts(m_sub: int, k: int, iters: int,
     for i in range(1, iters + 1):
         parts.append(
             f"d{i} AS (SELECT {src}.id, {src}.sub, p.cell, "
-            f"sum(({src}.x - p.cv) * ({src}.x - p.cv)) AS dd "
+            f"sum(CAST(round(({src}.x - p.cv) * ({src}.x - p.cv) "
+            f"* 1000000000.0) AS BIGINT)) AS dd "
             f"FROM {src} JOIN {prev} p ON p.sub = {src}.sub "
             f"AND p.spos = {src}.spos "
             f"GROUP BY 1, 2, 3)")
@@ -2776,9 +2777,11 @@ def _sql_pq_parts(m_sub: int, k: int, iters: int,
             f"a{i} AS (SELECT id, sub, cell FROM ("
             f"SELECT id, sub, cell, row_number() OVER (PARTITION BY id, sub "
             f"ORDER BY dd, cell) AS rn FROM d{i}) WHERE rn = 1)")
+        # element-quantized integer mean — see _sql_kmeans_parts u{i}
         parts.append(
             f"u{i} AS (SELECT a.sub, a.cell, {src}.spos, "
-            f"round(avg({src}.x), 6) AS cv "
+            f"round(sum(CAST(round({src}.x * 1000000000.0) AS BIGINT)) "
+            f"/ 1000000000.0 / count(*), 6) AS cv "
             f"FROM a{i} a JOIN {src} ON {src}.id = a.id AND {src}.sub = a.sub "
             f"GROUP BY 1, 2, 3)")
         parts.append(
@@ -2805,7 +2808,8 @@ def sql_pq_ann(m_sub: int, k: int, iters: int, nq: int, kk: int) -> str:
     parts, prev = _sql_pq_parts(m_sub, k, iters)
     parts.append(
         f"df AS (SELECT sx.id, sx.sub, p.cell, "
-        f"sum((sx.x - p.cv) * (sx.x - p.cv)) AS dd "
+        f"sum(CAST(round((sx.x - p.cv) * (sx.x - p.cv) "
+        f"* 1000000000.0) AS BIGINT)) AS dd "
         f"FROM sx JOIN {prev} p ON p.sub = sx.sub AND p.spos = sx.spos "
         f"GROUP BY 1, 2, 3)")
     parts.append(
@@ -2814,7 +2818,8 @@ def sql_pq_ann(m_sub: int, k: int, iters: int, nq: int, kk: int) -> str:
         "ORDER BY dd, cell) AS rn FROM df) WHERE rn = 1)")
     parts.append(
         f"lut AS (SELECT sx.id AS q_id, p.sub, p.cell, "
-        f"sum((sx.x - p.cv) * (sx.x - p.cv)) AS pd2 "
+        f"sum(CAST(round((sx.x - p.cv) * (sx.x - p.cv) "
+        f"* 1000000000.0) AS BIGINT)) AS pd2 "
         f"FROM sx JOIN {prev} p ON p.sub = sx.sub AND p.spos = sx.spos "
         f"WHERE sx.id < {nq} GROUP BY 1, 2, 3)")
     parts.append(
@@ -2883,7 +2888,8 @@ def sql_ivfpq_ann(m_sub: int, k: int, iters: int, nq: int, kk: int,
         f"FROM qcv CROSS JOIN cc) WHERE rn <= {nprobe})")
     parts.append(
         f"df AS (SELECT sx.id, sx.sub, p.cell, "
-        f"sum((sx.x - p.cv) * (sx.x - p.cv)) AS dd "
+        f"sum(CAST(round((sx.x - p.cv) * (sx.x - p.cv) "
+        f"* 1000000000.0) AS BIGINT)) AS dd "
         f"FROM sx JOIN {prev} p ON p.sub = sx.sub AND p.spos = sx.spos "
         f"GROUP BY 1, 2, 3)")
     parts.append(
@@ -2892,7 +2898,8 @@ def sql_ivfpq_ann(m_sub: int, k: int, iters: int, nq: int, kk: int,
         "ORDER BY dd, cell) AS rn FROM df) WHERE rn = 1)")
     parts.append(
         f"lut AS (SELECT sx.id AS q_id, p.sub, p.cell, "
-        f"sum((sx.x - p.cv) * (sx.x - p.cv)) AS pd2 "
+        f"sum(CAST(round((sx.x - p.cv) * (sx.x - p.cv) "
+        f"* 1000000000.0) AS BIGINT)) AS pd2 "
         f"FROM sx JOIN {prev} p ON p.sub = sx.sub AND p.spos = sx.spos "
         f"WHERE sx.id < {nq} GROUP BY 1, 2, 3)")
     parts.append(
@@ -2977,7 +2984,8 @@ def sql_ivfpq_residual_ann(m_sub: int, k: int, iters: int, nq: int,
         f"FROM qcv CROSS JOIN cc) WHERE rn <= {nprobe})")
     parts.append(
         f"dfr AS (SELECT rsx.id, rsx.sub, p.cell, "
-        f"sum((rsx.x - p.cv) * (rsx.x - p.cv)) AS dd "
+        f"sum(CAST(round((rsx.x - p.cv) * (rsx.x - p.cv) "
+        f"* 1000000000.0) AS BIGINT)) AS dd "
         f"FROM rsx JOIN {prev} p ON p.sub = rsx.sub AND p.spos = rsx.spos "
         f"GROUP BY 1, 2, 3)")
     parts.append(
@@ -2993,7 +3001,8 @@ def sql_ivfpq_residual_ann(m_sub: int, k: int, iters: int, nq: int,
         f"WHERE sx.id < {nq})")
     parts.append(
         f"lut AS (SELECT q.q_id, q.ccell, p.sub, p.cell, "
-        f"sum((q.x - p.cv) * (q.x - p.cv)) AS pd2 "
+        f"sum(CAST(round((q.x - p.cv) * (q.x - p.cv) "
+        f"* 1000000000.0) AS BIGINT)) AS pd2 "
         f"FROM qrs q JOIN {prev} p ON p.sub = q.sub AND p.spos = q.spos "
         f"GROUP BY 1, 2, 3, 4)")
     parts.append(
@@ -3333,8 +3342,15 @@ def _sql_kmeans_parts(k: int, iters: int) -> tuple:
             f"a{i} AS (SELECT id, cell FROM ("
             f"SELECT id, cell, row_number() OVER (PARTITION BY id "
             f"ORDER BY dd, cell) AS rn FROM d{i}) WHERE rn = 1)")
+        # element-quantized integer mean (mirrors kmeans_fit): int64
+        # sums are order-independent under duckdb's PARALLEL
+        # aggregation, where a double avg() merges partials in
+        # thread-completion order and can flip the round(.,6) boundary
+        # under load (measured 17/3-state flip, SCALE.md pathology #3)
         parts.append(
-            f"u{i} AS (SELECT a{i}.cell, ex.pos, round(avg(ex.x), 6) AS cv "
+            f"u{i} AS (SELECT a{i}.cell, ex.pos, "
+            f"round(sum(CAST(round(ex.x * 1000000000.0) AS BIGINT)) "
+            f"/ 1000000000.0 / count(*), 6) AS cv "
             f"FROM a{i} JOIN ex USING (id) GROUP BY 1, 2)")
         parts.append(
             f"c{i} AS (SELECT {prev}.cell, {prev}.pos, "

@@ -218,6 +218,39 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
     return df.select(id_col, vector_col).mapInPandas(run, schema=schema)
 
 
+def _argmin_cells(B: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Row-wise nearest-centroid INDEX (ties → lowest index): the exact
+    per-centroid sweep for small codebooks, the tiled-GEMM form past
+    256 centroids (same crossover and tie semantics as
+    :func:`_nearest_cells`'s nc==1 branch)."""
+    if len(C) > 256:
+        cn = np.square(C).sum(axis=1)
+        RB, CB = 2048, 4096
+        best_d = np.empty(len(B), dtype=np.float64)
+        best_j = np.empty(len(B), dtype=np.int64)
+        for r0 in range(0, len(B), RB):
+            Br = B[r0:r0 + RB]
+            bd = np.full(len(Br), np.inf)
+            bj = np.zeros(len(Br), dtype=np.int64)
+            for c0 in range(0, len(C), CB):
+                Ct = C[c0:c0 + CB]
+                t = Br @ Ct.T
+                t *= -2.0
+                t += cn[c0:c0 + CB]
+                j = t.argmin(axis=1)
+                d = t[np.arange(len(Br)), j]
+                upd = d < bd          # strict: ties keep lower index
+                bd[upd] = d[upd]
+                bj[upd] = j[upd] + c0
+            best_d[r0:r0 + RB] = bd
+            best_j[r0:r0 + RB] = bj
+        return best_j
+    d2 = np.empty((len(B), len(C)), dtype=np.float64)
+    for j in range(len(C)):
+        d2[:, j] = np.square(B - C[j]).sum(axis=1)
+    return np.argmin(d2, axis=1)
+
+
 def ivf_assign(base: DataFrame, centroids: DataFrame,
                id_col: str = "id", vector_col: str = "vector",
                c_id_col: str = "id", c_vector_col: str = "vector") -> DataFrame:
@@ -235,12 +268,12 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
     """Distributed Lloyd k-means for the IVF coarse quantizer →
     (cell, vector) centroids after ``iters`` rounds.
 
-    Per round, the 100TB shape:
-      assign — map-side numpy against the broadcast centroid matrix
-               (:func:`_nearest_cells`: no crossJoin, no shuffle);
-      update — posexplode to (cell, pos, x) and ONE partial-aggregated
-               groupBy(cell, pos) avg: the shuffle carries k·dim rows,
-               never data rows.
+    Per round, the 100TB shape: ONE fused Arrow kernel argmins each
+    batch against the broadcast centroid matrix (tiled GEMM past 256
+    cells, no crossJoin) and emits element-quantized int64 partial
+    sums per (cell, pos) — the only shuffle carries
+    O(n_batches·k·dim) partial rows, never data rows, and no vector
+    ever crosses back to the JVM.
 
     Determinism across engines: init = the k lowest-id vectors; the
     centroid mean is an ELEMENT-QUANTIZED integer sum (components
@@ -259,29 +292,59 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
             .select((F.col("_rn") - 1).cast("long").alias("id"),
                     F.col(vector_col).alias("vector")))
     for _ in range(iters):
-        assigned = _nearest_cells(df, cent, 1, id_col, vector_col,
-                                  "id", "vector", keep_vector=True)
-        # ELEMENT-QUANTIZED integer mean (round 7): each component is
-        # quantized to 1e-9 and summed as int64 — an associative AND
-        # commutative reduction, so the mean is bit-identical under ANY
-        # merge order, in ANY engine.  This replaces the round-6
-        # sorted-partial merge, which made the SPARK side
-        # order-independent but left the DUCKDB oracle exposed: duckdb
-        # parallelizes sum()/avg() over doubles and merges partials in
-        # thread-completion order, and under machine load the
-        # ivfpq_residual_ann oracle measurably flipped between two
-        # states (17/3 in 20 runs of the SAME SQL — SCALE.md pathology
-        # #3 addendum).  With both engines summing identical integers,
-        # the round(.,6) boundary cannot flip anywhere.  1e-9 quanta on
-        # O(10)-magnitude components keep the mean within 5e-10 of the
-        # true value (vs the 1e-6 output rounding); int64 holds up to
-        # ~3e8 rows per cell at |x| <= 30 before overflow.
-        upd = (assigned
-               .select("cell", F.posexplode(vector_col).alias("pos", "x"))
+        # Fused assign+partial-sum kernel (round 7, the pq_fit shape):
+        # one Arrow pass argmins each batch against the broadcast
+        # centroid matrix and emits ELEMENT-QUANTIZED int64 partial
+        # sums per (cell, pos) — k·dim rows per batch, so the update
+        # shuffle carries O(n_batches·k·dim) tiny rows and the n·dim
+        # posexplode + Arrow round-trip of the assigned table are gone
+        # entirely.  Quantized-int sums are associative AND
+        # commutative, so the mean is bit-identical under ANY merge
+        # order in ANY engine — the round-6 sorted-partial merge
+        # protected only Spark, while the DUCKDB oracle's parallel
+        # avg() measurably flipped between two states under load (17/3
+        # in 20 runs of the same SQL — SCALE.md pathology #3 addendum).
+        # 1e-9 quanta keep the mean within 5e-10 of true (vs the 1e-6
+        # output rounding); int64 holds ~3e8 rows/cell at |x| <= 30.
+        c_rows = cent.orderBy("id").collect()
+        C_mat = np.array([list(r["vector"]) for r in c_rows],
+                         dtype=np.float64)
+        bcC = df.sparkSession.sparkContext.broadcast(C_mat)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C_ = bcC.value
+            dim_ = C_.shape[1]
+            pos = np.arange(dim_, dtype=np.int32)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                B = np.vstack([np.asarray(v, dtype=np.float64)
+                               for v in pdf[vector_col].to_numpy()])
+                a = _argmin_cells(B, C_)
+                cell_l, pos_l, s_l, c_l = [], [], [], []
+                for j in np.unique(a):
+                    mask = a == j
+                    q = B[mask] * 1e9
+                    ssum = (np.sign(q) * np.floor(np.abs(q) + 0.5)
+                            ).astype(np.int64).sum(axis=0)
+                    cell_l.append(np.full(dim_, j, dtype=np.int64))
+                    pos_l.append(pos)
+                    s_l.append(ssum)
+                    c_l.append(np.full(dim_, int(mask.sum()),
+                                       dtype=np.int64))
+                if not cell_l:
+                    continue
+                yield pd.DataFrame({
+                    "cell": np.concatenate(cell_l),
+                    "pos": np.concatenate(pos_l),
+                    "_s": np.concatenate(s_l),
+                    "_c": np.concatenate(c_l)})
+
+        upd = (df.select(vector_col)
+               .mapInPandas(run, schema="cell LONG, pos INT, _s LONG, "
+                                        "_c LONG")
                .groupBy("cell", "pos")
-               .agg(F.sum(F.round(F.col("x") * 1e9).cast("long"))
-                    .alias("_s"),
-                    F.count(F.lit(1)).alias("_c"))
+               .agg(F.sum("_s").alias("_s"), F.sum("_c").alias("_c"))
                .select("cell", "pos",
                        F.round(F.col("_s") / F.lit(1e9) / F.col("_c"), 6)
                        .alias("v"))

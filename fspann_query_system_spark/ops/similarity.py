@@ -783,7 +783,11 @@ def sq8_topk(base: DataFrame, queries: DataFrame, mins: list, maxs: list,
             take = min(kk_, n)
             frames = []
             for qi in range(len(q_ids_)):
-                d2 = np.square(R - Q_[qi]).sum(axis=1)
+                # element-quantized int64 sum: order-exact in any
+                # engine (SCALE.md pathology #3 addendum — the duckdb
+                # parallel-agg flip); mirrored in SQL_SQ8_ANN's ad CTE
+                from fspann_query_system_spark.ops.pq import _q9
+                d2 = _q9(np.square(R - Q_[qi])).sum(axis=1)
                 if take < n:
                     # tie-inclusive cut first (duplicated vectors yield
                     # equal codes AND equal distances, so an arbitrary
@@ -1244,7 +1248,9 @@ def ivf_bq_sq8_topk(base: DataFrame, queries: DataFrame,
                            for c in pdf["codes"].to_numpy()])
             R = mn_ + C / 255.0 * rg_              # sq8_topk reconstruction
             rows = np.array([qidx_[int(q)] for q in pdf["q_id"].to_numpy()])
-            d2 = np.square(R - Q_[rows]).sum(axis=1)
+            # element-quantized like sq8_topk (mirrors the oracle's ad)
+            from fspann_query_system_spark.ops.pq import _q9
+            d2 = _q9(np.square(R - Q_[rows])).sum(axis=1)
             yield pd.DataFrame({"q_id": pdf["q_id"].to_numpy(),
                                 "id": pdf["id"].to_numpy(), "d2": d2})
 

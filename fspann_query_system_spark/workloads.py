@@ -2633,7 +2633,9 @@ recon AS (
   FROM ex JOIN st USING (pos)),
 qx AS (SELECT id AS q_id, unnest(v) AS qx, unnest(range(1, len(v) + 1)) AS pos
        FROM e WHERE id < {N_VEC_QUERIES}),
-ad AS (SELECT q.q_id, r.id, sum((r.r - q.qx) * (r.r - q.qx)) AS d2
+ad AS (SELECT q.q_id, r.id,
+             sum(CAST(round((r.r - q.qx) * (r.r - q.qx)
+                            * 1000000000.0) AS BIGINT)) AS d2
        FROM recon r JOIN qx q USING (pos) GROUP BY 1, 2),
 short AS (
   SELECT q_id, id FROM (
@@ -3174,7 +3176,9 @@ recon AS (
   JOIN (SELECT DISTINCT id FROM short1) sid ON sid.id = ex.id),
 qx AS (SELECT id AS q_id, unnest(v) AS qx, unnest(range(1, len(v) + 1)) AS pos
        FROM e WHERE id < {nq}),
-ad AS (SELECT s.q_id, s.id, sum((r.r - q.qx) * (r.r - q.qx)) AS d2
+ad AS (SELECT s.q_id, s.id,
+           sum(CAST(round((r.r - q.qx) * (r.r - q.qx)
+                          * 1000000000.0) AS BIGINT)) AS d2
        FROM short1 s
        JOIN recon r ON r.id = s.id
        JOIN qx q ON q.q_id = s.q_id AND q.pos = r.pos

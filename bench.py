@@ -98,6 +98,8 @@ HEADLINE = [
     "ivfpq_ann",
     "ivfpq_residual_ann",
     "ivfbq_ann",
+    "ivfbq_sq8_ann",
+    "knn_join",
     "ivf_ann",
     "version_census",
     "streaming_window_agg",

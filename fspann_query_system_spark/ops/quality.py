@@ -729,10 +729,12 @@ def bloom_decontaminate(docs: DataFrame, text_col: str = "text",
 
     Scale shape: the position table is ≤ ``m_bits`` rows of one long —
     broadcast BY A FIXED BUDGET, never benchmark-sized; the corpus
-    side explodes each distinct gram k-fold (longs, not strings,
-    after the position hash), probes the broadcast set map-side, and
-    reduces with two combiner-friendly keyed aggs ((doc, gram) then
-    doc).  Nothing benchmark×corpus ever shuffles.
+    side explodes each distinct gram k-fold, probes the broadcast set
+    map-side, and reduces with two combiner-friendly keyed aggs
+    ((doc, gram) then doc) — the first keyed by the gram STRING, the
+    exact no-false-negative form (a 64-bit gram-hash key admits a
+    collision false negative and diverges from the oracle).  Nothing
+    benchmark×corpus ever shuffles.
     """
     toks = (docs.select("doc_id", T.tokens(text_col).alias("toks"))
             .where(F.size("toks") >= n))
@@ -774,22 +776,27 @@ def bloom_decontaminate(docs: DataFrame, text_col: str = "text",
     corp = select_exploded(
         _grams(toks.where(F.col("doc_id") % bench_every != 0)),
         F.col("grams"), "gram", "doc_id")
-    # per-gram k probe positions; gram identity collapses to a 64-bit
-    # hash so the (doc, gram)-keyed agg shuffles longs, not strings
+    # per-gram k probe positions, keyed by the GRAM STRING itself: a
+    # 64-bit gram-hash key (the earlier design) admits a residual
+    # false negative when two distinct grams of one doc collide and
+    # only one is in the bench bloom — the merged 2k-probe group
+    # fails any all-match test — and it diverges from the oracle's
+    # group-by-gram.  The string key is exact (true bloom superset
+    # guarantee, matches the SQL oracle bit-for-bit); the agg shuffle
+    # carries n-token gram strings instead of longs — bounded by the
+    # already-exploded probe rows, same order of bytes as the gram
+    # explode that feeds it.
     probes = select_exploded(
-        corp.select("doc_id", F.xxhash64("gram").alias("_g"),
+        corp.select("doc_id", "gram",
                     _positions(F.col("gram")).alias("_ps")),
-        F.col("_ps"), "p", "doc_id", "_g")
-    # hit iff EVERY probe row in the (doc, gram-hash) group matched —
-    # compared against the GROUP SIZE, not the constant k_hashes: if
-    # two distinct grams of one doc collide on the 64-bit gram hash,
-    # the group holds 2k probe rows and the constant compare would
-    # declare a FALSE NEGATIVE (violating the bloom superset
-    # guarantee); group-size compare degrades a collision to at worst
-    # one extra FP, preserving no-false-negative semantics.
+        F.col("_ps"), "p", "doc_id", "gram")
+    # hit iff ALL k probe positions of the gram are set (a gram's
+    # position array always has exactly k entries, duplicates kept by
+    # the explode, so count == k_hashes ≡ the oracle's
+    # count(bits.p) = BLOOM_K)
     per_gram = (probes.join(F.broadcast(bits), "p", "left")
-                .groupBy("doc_id", "_g")
-                .agg((F.count("hit") == F.count(F.lit(1)))
+                .groupBy("doc_id", "gram")
+                .agg((F.count("hit") == F.lit(k_hashes))
                      .cast("int").alias("h")))
     out = (per_gram.groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("n_grams"),

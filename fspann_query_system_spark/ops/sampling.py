@@ -318,8 +318,11 @@ def cluster_sample(df: DataFrame, centroids: DataFrame, per_cell: int,
     not the sampler's.
     """
     from .similarity import _nearest_cells
+    # quantize: the assign decides oracle-compared cell membership, so
+    # a float near-tie must not flip between engines (ADVICE r07)
     assigned = _nearest_cells(df, centroids, 1, id_col, vector_col,
-                              "cell", "vector", keep_vector=False)
+                              "cell", "vector", keep_vector=False,
+                              quantize=True)
     h = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy("cell").orderBy(h.asc(), F.col(id_col).asc())
     return (assigned.withColumn("rk", F.row_number().over(w))

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.distance import cosine_expr
+from .pq import _q9
 
 
 def cosine_topk(base: DataFrame, queries: DataFrame, k: int = 10,
@@ -89,7 +90,7 @@ def cosine_topk_sql_shape(base: DataFrame, queries: DataFrame, k: int = 10,
 def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                    id_col: str, vector_col: str,
                    c_id_col: str, c_vector_col: str,
-                   keep_vector: bool) -> DataFrame:
+                   keep_vector: bool, quantize: bool = False) -> DataFrame:
     """Shared coarse-quantizer kernel: for each row, the ``n_cells``
     nearest centroids by L2, ties broken by lowest centroid id →
     (id[, vector], cell[, cell_rank]).
@@ -97,7 +98,15 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
     Arrow-batched numpy against the broadcast centroid matrix — strictly
     map-side: no crossJoin, no shuffle, no window.  Per batch it is |C|
     vectorized row-sweeps (``(B - C_j)² @ 1``), so memory is O(batch×|C|)
-    distances, never a batch×|C|×dim cube."""
+    distances, never a batch×|C|×dim cube.
+
+    ``quantize=True`` sums ELEMENT-QUANTIZED (``_q9``) squared diffs in
+    the exact sweep — for assigns that chain into a cross-engine oracle
+    comparison (semantic_dedup / cluster_sample's final kmeans assign),
+    where a float near-tie could resolve differently under DuckDB's
+    parallel aggregation.  Ignored by the tiled-GEMM branches (they
+    serve SemDeDup-scale |C|, past any oracle fixture — see
+    :func:`_argmin_cells`)."""
     spark = df.sparkSession
     c_rows = centroids.select(c_id_col, c_vector_col).collect()
     cid = np.array([r[0] for r in c_rows], dtype=np.int64)
@@ -189,6 +198,11 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                     for r in range(len(Br)):
                         order = np.lexsort((mj[r], md[r]))[:nc]
                         near[r0 + r] = mj[r][order]
+            elif quantize:
+                d2 = np.empty((len(B), len(cid_)), dtype=np.int64)
+                for j in range(len(cid_)):
+                    d2[:, j] = _q9(np.square(B - C_[j])).sum(axis=1)
+                near = None
             else:
                 d2 = np.empty((len(B), len(cid_)), dtype=np.float64)
                 for j in range(len(cid_)):
@@ -222,7 +236,16 @@ def _argmin_cells(B: np.ndarray, C: np.ndarray) -> np.ndarray:
     """Row-wise nearest-centroid INDEX (ties → lowest index): the exact
     per-centroid sweep for small codebooks, the tiled-GEMM form past
     256 centroids (same crossover and tie semantics as
-    :func:`_nearest_cells`'s nc==1 branch)."""
+    :func:`_nearest_cells`'s nc==1 branch).
+
+    The exact sweep sums ELEMENT-QUANTIZED (``_q9``) squared diffs —
+    order-free int64, mirrored by ``_sql_kmeans_parts``'s ``d{i}``
+    CTEs, so a kmeans assign near-tie cannot flip between Spark's
+    batch summation and DuckDB's parallel aggregation (the SCALE.md
+    pathology-#3 class).  The GEMM branch stays float: it serves only
+    SemDeDup-scale codebooks (|C| ~ n/64), far past any oracle-gated
+    fixture, where a -2b·c+|c|² form has no per-element squared diff
+    to quantize."""
     if len(C) > 256:
         cn = np.square(C).sum(axis=1)
         RB, CB = 2048, 4096
@@ -245,9 +268,9 @@ def _argmin_cells(B: np.ndarray, C: np.ndarray) -> np.ndarray:
             best_d[r0:r0 + RB] = bd
             best_j[r0:r0 + RB] = bj
         return best_j
-    d2 = np.empty((len(B), len(C)), dtype=np.float64)
+    d2 = np.empty((len(B), len(C)), dtype=np.int64)
     for j in range(len(C)):
-        d2[:, j] = np.square(B - C[j]).sum(axis=1)
+        d2[:, j] = _q9(np.square(B - C[j])).sum(axis=1)
     return np.argmin(d2, axis=1)
 
 
@@ -365,6 +388,11 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
         # so the persist is centroid-sized, never data-sized.
         cent = cent.persist()
         cent.count()
+        # the kernel has run (count() materialized the persisted round):
+        # free this round's centroid broadcast blocks on the executors —
+        # leaked per-iteration broadcasts accumulate at SemDeDup-scale
+        # |C| (mirrors pq_fit's per-round bc.unpersist)
+        bcC.unpersist()
     return cent.select(F.col("id").alias("cell"), "vector")
 
 
@@ -453,10 +481,19 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
       id) order — impossible for continuous embeddings, use
       ``"expr"`` for tie-dense integer corpora.
     * ``"expr"``: the declarative twin — plain cell equi-join with
-      JVM-codegen ``l2_expr`` per pair and one window; strict
+      JVM-codegen ``l2q_expr`` per pair and one window; strict
       (dist, id) semantics at any tie density.
+
+    Both methods emit the ELEMENT-QUANTIZED distance (``_q9``: each
+    squared diff quantized to 1e-9 as int64 before the sum) — the
+    int sum is order-independent, so the gemm kernel's numpy
+    pairwise summation, the expr path's Catalyst fold, and a SQL
+    oracle's sequential ``list_reduce`` all emit the SAME value and
+    the SAME near-tie rank order.  An unquantized float sum differs
+    across those three at ulp level, which can flip a ``round(.,6)``
+    boundary or a near-tie rank between engines.
     """
-    from ..functions.distance import l2_expr
+    from ..functions.distance import l2q_expr
     if assigned is None:
         assigned = ivf_assign(df, centroids, id_col, vector_col,
                               c_id_col, c_vector_col)
@@ -474,7 +511,7 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
         cand = qp.join(bp, on="cell")
         if exclude_self:
             cand = cand.filter(F.col("id") != F.col("q_id"))
-        scored = cand.withColumn("dist", l2_expr("_qv", "_bv"))
+        scored = cand.withColumn("dist", l2q_expr("_qv", "_bv"))
     elif method == "gemm":
         excl = bool(exclude_self)
 
@@ -500,10 +537,13 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
                     sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
                 else:
                     sel = np.tile(np.arange(len(ids)), (len(Qb), 1))
-                # exact shortlist recompute — same formulation as
-                # l2_udf, so emitted values match the expr path
+                # exact shortlist recompute, element-quantized (_q9):
+                # int64 sums are merge-order-free, so this matches the
+                # expr path's l2q_expr fold AND the oracle's sequential
+                # list_reduce bit-for-bit (an unquantized numpy pairwise
+                # sum differs from both at ulp level)
                 diff = Qb[:, None, :] - B[sel]
-                ex = np.sqrt(np.square(diff).sum(axis=2))
+                ex = np.sqrt(_q9(np.square(diff)).sum(axis=2) / 1e9)
                 for r in range(len(Qb)):
                     cids, dr = ids[sel[r]], ex[r]
                     if excl:
@@ -715,8 +755,11 @@ def semantic_dedup(df: DataFrame, centroids: DataFrame,
     materializes.  With k sized so clusters are ~|corpus|/k documents,
     work is O(n²/k) spread over k independent tasks — the published
     SemDeDup recipe's exact cost model."""
+    # quantize: the assign chains into the oracle-compared pair set, so
+    # a float near-tie must not flip between engines (ADVICE r07)
     assigned = _nearest_cells(df, centroids, 1, id_col, vector_col,
-                              "cell", "vector", keep_vector=True)
+                              "cell", "vector", keep_vector=True,
+                              quantize=True)
     a = assigned.select("cell", F.col(id_col).alias("id_a"),
                         F.col(vector_col).alias("_va"))
     b = assigned.select("cell", F.col(id_col).alias("id_b"),
@@ -786,7 +829,6 @@ def sq8_topk(base: DataFrame, queries: DataFrame, mins: list, maxs: list,
                 # element-quantized int64 sum: order-exact in any
                 # engine (SCALE.md pathology #3 addendum — the duckdb
                 # parallel-agg flip); mirrored in SQL_SQ8_ANN's ad CTE
-                from fspann_query_system_spark.ops.pq import _q9
                 d2 = _q9(np.square(R - Q_[qi])).sum(axis=1)
                 if take < n:
                     # tie-inclusive cut first (duplicated vectors yield
@@ -1249,7 +1291,6 @@ def ivf_bq_sq8_topk(base: DataFrame, queries: DataFrame,
             R = mn_ + C / 255.0 * rg_              # sq8_topk reconstruction
             rows = np.array([qidx_[int(q)] for q in pdf["q_id"].to_numpy()])
             # element-quantized like sq8_topk (mirrors the oracle's ad)
-            from fspann_query_system_spark.ops.pq import _q9
             d2 = _q9(np.square(R - Q_[rows])).sum(axis=1)
             yield pd.DataFrame({"q_id": pdf["q_id"].to_numpy(),
                                 "id": pdf["id"].to_numpy(), "d2": d2})

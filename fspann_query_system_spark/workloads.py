@@ -3338,9 +3338,14 @@ def _sql_kmeans_parts(k: int, iters: int) -> tuple:
     ]
     prev = "c0"
     for i in range(1, iters + 1):
+        # assign distance is ELEMENT-QUANTIZED (the _q9 treatment, like
+        # the PQ chain's d{i}): int64 sums are order-free under duckdb's
+        # parallel aggregation, so an assign near-tie cannot flip vs
+        # Spark's _argmin_cells quantized sweep (ADVICE r07)
         parts.append(
             f"d{i} AS (SELECT ex.id, {prev}.cell, "
-            f"sum((ex.x - {prev}.cv) * (ex.x - {prev}.cv)) AS dd "
+            f"sum(CAST(round((ex.x - {prev}.cv) * (ex.x - {prev}.cv) "
+            f"* 1000000000.0) AS BIGINT)) AS dd "
             f"FROM ex JOIN {prev} USING (pos) GROUP BY 1, 2)")
         parts.append(
             f"a{i} AS (SELECT id, cell FROM ("
@@ -3394,7 +3399,8 @@ def sql_semantic_dedup(k: int, iters: int, threshold: float) -> str:
     parts, prev = _sql_kmeans_parts(k, iters)
     parts.append(
         f"df AS (SELECT ex.id, {prev}.cell, "
-        f"sum((ex.x - {prev}.cv) * (ex.x - {prev}.cv)) AS dd "
+        f"sum(CAST(round((ex.x - {prev}.cv) * (ex.x - {prev}.cv) "
+        f"* 1000000000.0) AS BIGINT)) AS dd "
         f"FROM ex JOIN {prev} USING (pos) GROUP BY 1, 2)")
     parts.append(
         "af AS (SELECT id, cell FROM ("
@@ -3491,10 +3497,15 @@ probes AS (
                               ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
     FROM e CROSS JOIN c) WHERE rn <= {IVF_NPROBE}),
 scored AS (
+  -- element-quantized distance (the _q9 treatment): each squared diff
+  -- is rounded to 1e-9 as BIGINT before the fold, so this sequential
+  -- list_reduce, Spark's l2q_expr fold, and the gemm kernel's numpy
+  -- sum all land on the same integer — no ulp-level cross-engine drift
   SELECT p.q_id, a.id,
          sqrt(list_reduce(list_transform(list_zip(qe.v, be.v),
-                                         pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])),
-                          (acc, x) -> acc + x)) AS dist
+                          pr -> CAST(round((pr[1] - pr[2]) * (pr[1] - pr[2])
+                                           * 1000000000.0) AS BIGINT)),
+                          (acc, x) -> acc + x) / 1000000000.0) AS dist
   FROM probes p JOIN assign a ON p.cell = a.cell AND a.id != p.q_id
   JOIN e qe ON qe.id = p.q_id JOIN e be ON be.id = a.id)
 SELECT q_id, id, round(dist, 6) AS dist, CAST(rnk AS INT) AS rank
@@ -4053,7 +4064,8 @@ def sql_cluster_sample(k: int, iters: int, per_cell: int) -> str:
     parts, prev = _sql_kmeans_parts(k, iters)
     parts.append(
         f"df AS (SELECT ex.id, {prev}.cell, "
-        f"sum((ex.x - {prev}.cv) * (ex.x - {prev}.cv)) AS dd "
+        f"sum(CAST(round((ex.x - {prev}.cv) * (ex.x - {prev}.cv) "
+        f"* 1000000000.0) AS BIGINT)) AS dd "
         f"FROM ex JOIN {prev} USING (pos) GROUP BY 1, 2)")
     parts.append(
         "af AS (SELECT id, cell FROM ("

@@ -1751,26 +1751,54 @@ def test_ivf_bq_routing_beats_standalone_at_equal_budget(spark, clustered):
 def test_knn_join_full_probe_matches_exact(spark, clustered):
     """Probing every cell makes the kNN self-join exhaustive: it must
     equal blocked exact KNN with the whole table as the query set
-    (modulo exact's 'distance' column name and self-row handling)."""
+    (modulo exact's 'distance' column name and self-row handling).
+    The edge set and ranks match EXACTLY; distances compare with a
+    1e-7 tolerance: knn_join emits the ELEMENT-QUANTIZED distance
+    (_q9 at 1e-9, for cross-engine merge-order exactness) while
+    knn_exact emits plain double — a rounded-equality compare would
+    flip on any value sitting on a rounding boundary."""
     from fspann_query_system_spark.ops.similarity import knn_join
     from fspann_query_system_spark.query.exact import knn_exact
     df, X = clustered
     small = df.filter(F.col("id") < 300)
     centroids = small.filter(F.col("id") % 50 == 0)   # 6 cells
     got = sorted(
-        (r.q_id, r.id, round(r.dist, 9), r.rank) for r in
+        (r.q_id, r.id, r.dist, r.rank) for r in
         knn_join(small, centroids, k=5, nprobe=6,
                  exclude_self=False).collect())
     q = small.select(F.col("id").alias("q_id"), "vector")
     want = sorted(
-        (r.q_id, r.id, round(r.distance, 9), r.rank) for r in
+        (r.q_id, r.id, r.distance, r.rank) for r in
         knn_exact(small, q, k=5).collect())
-    assert got == want
+    assert [(g[0], g[1], g[3]) for g in got] == \
+           [(w[0], w[1], w[3]) for w in want]
+    assert all(abs(g[2] - w[2]) < 1e-7 for g, w in zip(got, want))
     # exclude_self drops exactly the rank-1 self edge per row
     no_self = knn_join(small, centroids, k=5, nprobe=6,
                        exclude_self=True).collect()
     assert all(r.id != r.q_id for r in no_self)
     assert len(no_self) == 300 * 5
+
+
+def test_knn_join_gemm_and_expr_emit_identical_values(spark, clustered):
+    """The gemm kernel and the declarative expr twin both emit the
+    ELEMENT-QUANTIZED (_q9) distance, so dist values and near-tie rank
+    order match BIT-FOR-BIT — not merely to a rounding tolerance
+    (ADVICE r07: an unquantized numpy pairwise sum vs the Catalyst
+    fold differed at ulp level)."""
+    from fspann_query_system_spark.ops.similarity import knn_join
+    df, X = clustered
+    small = df.filter(F.col("id") < 250)
+    centroids = small.filter(F.col("id") % 50 == 0)
+    gemm = sorted(
+        (r.q_id, r.id, r.dist, r.rank) for r in
+        knn_join(small, centroids, k=5, nprobe=2,
+                 method="gemm").collect())
+    expr = sorted(
+        (r.q_id, r.id, r.dist, r.rank) for r in
+        knn_join(small, centroids, k=5, nprobe=2,
+                 method="expr").collect())
+    assert gemm == expr
 
 
 def test_nearest_cells_gemm_topn_matches_exact_sweep(spark):

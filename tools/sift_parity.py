@@ -28,6 +28,16 @@ labeled SYNTHETIC and are NOT the parity claim):
 
 Reference baseline context: its best SIFT1M point is SIFT_P10_HIGH,
 Recall@100 = 0.771 at ART 4185.6 ms/query (10k queries, single node).
+
+Budget asymmetry caveat (ADVICE r07): the geometry mapping covers
+(m, lambda, tables, divisions, probes, refinement_limit) but NOT the
+reference profiles' additional candidate caps — config_sift1m.json's
+`maxGlobalCandidates`, `maxCandidateFactor`, `maxRelaxationDepth` —
+which bound the reference's shortlist growth beyond refinementLimit
+and hence shape its recall/ART.  Our engine has no equivalent knobs
+(its candidate pool is exactly the refinement budget), so the
+side-by-side table is matched on coding geometry and refinement
+budget, not on every shortlist-bounding cap; see SCALE.md §8c.
 """
 
 from __future__ import annotations

@@ -4097,40 +4097,37 @@ WHERE rk <= {per_cell}
 #      rounds stand; they rotate back in as window budget allows.
 # SURVEY.md §8 records which entries are parked and why.
 QUERIES = {
-    # ======== ROUND-7 ROTATION (SURVEY.md §8) ========
+    # ======== ROUND-8 ROTATION (SURVEY.md §8) ========
     # Window = positions 1-50.  Composition this round:
-    #   1-16: the 16 entries that have NEVER held a driver cert (added
-    #         late in round 6, parked from birth) — first certification.
-    #  17-25: the 9 events-typed entries (NEVER parked: the driver has
+    #   1-10: the 10 entries whose newest driver cert is r05 — the last
+    #         stale tranche (verdict r07 Next #1); after this round no
+    #         entry's newest green row is older than 2 rounds.
+    #  11-19: the 9 events-typed entries (NEVER parked: the driver has
     #         regenerated events.parquet with a different ts physical
     #         type between rounds; a stale cert would rot silently).
-    #  26-50: 25 of the 34 stale r05-certified entries rotated back in.
-    # PARKED: the 41 entries freshly certified in the r06 window (none
-    # reads events.parquet) plus 9 r05-certified classic SQL entries
-    # (pricing_summary .. cube_revenue family — untouched since r04/r05,
-    # pure Catalyst SQL, lowest rot risk) that wait for round 8.
-    # -- 1-16: first driver certification --
-    "leakage_safe_split": q_leakage_safe_split,
-    "bm25_topk": q_bm25_topk,
-    "ivfbq_ann": q_ivfbq_ann,
-    "ivfbq_sq8_ann": q_ivfbq_sq8_ann,   # new r7: first certification (the
-                                        # §9e three-tier plateau fix; takes
-                                        # near_dup_lsh's slot — r05-certified,
-                                        # block-mode path untouched, parks)
-    "knn_join": q_knn_join,
-    "dsir_weights": q_dsir_weights,
-    "dsir_sample": q_dsir_sample,
-    "bloom_decontaminate": q_bloom_decontaminate,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "streaming_decontaminate": q_streaming_decontaminate,
-    "streaming_incremental_dedup": q_streaming_incremental_dedup,
-    "hybrid_retrieval": q_hybrid_retrieval,
-    "bigram_logprob": q_bigram_logprob,
-    "dup_census": q_dup_census,
-    "cluster_sample": q_cluster_sample,
-    "training_corpus_prep": q_training_corpus_prep,
-    "quality_curriculum": q_quality_curriculum,
-    # -- 17-25: events-typed entries, never parked --
+    #  20-24: entries whose ORACLE OR SEMANTICS changed this round
+    #         (r07-ADVICE quantization fixes: knn_join's emitted dist,
+    #         the kmeans assign chain, bloom's group-by-gram) — their
+    #         old certs no longer describe current code, so they
+    #         re-certify regardless of age.
+    #  25-50: 26 of the 41 r06-certified entries rotated back in
+    #         (flagship ANN/dedup family + the r07 sub-second-uptick
+    #         entries get priority; the remaining 13 rotate in r9).
+    # PARKED: 38 entries freshly certified in the r07 window and 13
+    # r06-certified entries (doc_quantiles .. gopher_filter tranche);
+    # all verified by this round's full local oracle_check run.
+    # -- 1-10: the r05-stale tranche --
+    "doc_stats": q_doc_stats,
+    "lang_id": q_lang_id,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "region_revenue": q_region_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "order_priority_census": q_order_priority_census,
+    "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
+    "near_dup_lsh": q_near_dup_lsh,
+    # -- 11-19: events-typed entries, never parked --
     "event_setops": q_event_setops,
     "candidate_min_merge": q_candidate_min_merge,
     "sessionization": q_sessionization,
@@ -4140,7 +4137,71 @@ QUERIES = {
     "streaming_window_agg": q_streaming_window_agg,
     "asof_enrich": q_asof_enrich,
     "session_attribution": q_session_attribution,
-    # -- 26-50: stale r05-certified entries rotated back in --
+    # -- 20-24: oracle/semantics changed this round (r07 ADVICE) --
+    "knn_join": q_knn_join,
+    "kmeans_centroids": q_kmeans_centroids,
+    "semantic_dedup": q_semantic_dedup,
+    "cluster_sample": q_cluster_sample,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    # -- 25-50: r06-certified entries rotated back in --
+    "version_census": q_version_census,
+    "ann_search_filtered": q_ann_search_filtered,
+    "dedup_exact": q_dedup_exact,
+    "span_dedup": q_span_dedup,
+    "ann_search": q_ann_search,
+    "ann_search_selective": q_ann_search_selective,
+    "sq8_ann": q_sq8_ann,
+    "sq8_quantize": q_sq8_quantize,
+    "bq_ann": q_bq_ann,
+    "ivf_ann": q_ivf_ann,
+    "recall_eval": q_recall_eval,
+    "ratio_eval": q_ratio_eval,
+    "knn_exact": q_knn_exact,
+    "lsh_codes": q_lsh_codes,
+    "lsh_partition_bounds": q_lsh_partition_bounds,
+    "hamming_pairs": q_hamming_pairs,
+    "pq_codebook": q_pq_codebook,
+    "pq_ann": q_pq_ann,
+    "ivfpq_ann": q_ivfpq_ann,
+    "ivfpq_residual_ann": q_ivfpq_residual_ann,
+    "near_dup_embedding": q_near_dup_embedding,
+    "near_dup_key": q_near_dup_key,
+    "near_dup_pipeline": q_near_dup_pipeline,
+    "incremental_dedup": q_incremental_dedup,
+    "minhash": q_minhash,
+    "cardinality_kmv": q_cardinality_kmv,
+    # ---- position 50 ends here; entries below are PARKED ----
+    # -- 13 r06-certified entries waiting for the r9 window --
+    "doc_quantiles": q_doc_quantiles,
+    "repetition_stats": q_repetition_stats,
+    "bm25_scores": q_bm25_scores,
+    "tfidf_topk": q_tfidf_topk,
+    "tombstone_anti_join": q_tombstone_anti_join,
+    "drift_audit": q_drift_audit,
+    "media_features": q_media_features,
+    "corpus_filter": q_corpus_filter,
+    "promo_revenue": q_promo_revenue,
+    "reservoir_sample": q_reservoir_sample,
+    "boilerplate_stats": q_boilerplate_stats,
+    "temperature_mix": q_temperature_mix,
+    "gopher_filter": q_gopher_filter,
+    # -- 38 entries freshly certified in the r07 gate window (rows in
+    # -- CORRECTNESS_r07.json, current fixtures, none events-typed,
+    # -- none touched by this round's changes)
+    "leakage_safe_split": q_leakage_safe_split,
+    "bm25_topk": q_bm25_topk,
+    "ivfbq_ann": q_ivfbq_ann,
+    "ivfbq_sq8_ann": q_ivfbq_sq8_ann,
+    "dsir_weights": q_dsir_weights,
+    "dsir_sample": q_dsir_sample,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "streaming_decontaminate": q_streaming_decontaminate,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "hybrid_retrieval": q_hybrid_retrieval,
+    "bigram_logprob": q_bigram_logprob,
+    "dup_census": q_dup_census,
+    "training_corpus_prep": q_training_corpus_prep,
+    "quality_curriculum": q_quality_curriculum,
     "edit_near_dups": q_edit_near_dups,
     "vocab_topk": q_vocab_topk,
     "simhash": q_simhash,
@@ -4165,64 +4226,6 @@ QUERIES = {
     "streaming_minhash": q_streaming_minhash,
     "minhash_bands": q_minhash_bands,
     "dedup_clusters": q_dedup_clusters,
-    # ---- position 50 ends here; entries below are PARKED ----
-    "near_dup_lsh": q_near_dup_lsh,     # displaced by ivfbq_sq8_ann's
-                                        # first cert; r05-certified,
-                                        # block-mode path untouched r6/r7
-    # -- 41 entries freshly certified in the r06 gate window (rows in
-    # -- CORRECTNESS_r06.json, all on current fixtures, none events-typed)
-    "doc_quantiles": q_doc_quantiles,
-    "repetition_stats": q_repetition_stats,
-    "bm25_scores": q_bm25_scores,
-    "tfidf_topk": q_tfidf_topk,
-    "tombstone_anti_join": q_tombstone_anti_join,
-    "drift_audit": q_drift_audit,
-    "ivf_ann": q_ivf_ann,
-    "recall_eval": q_recall_eval,
-    "version_census": q_version_census,
-    "media_features": q_media_features,
-    "ratio_eval": q_ratio_eval,
-    "corpus_filter": q_corpus_filter,
-    "promo_revenue": q_promo_revenue,
-    "sq8_quantize": q_sq8_quantize,
-    "minhash": q_minhash,
-    "knn_exact": q_knn_exact,
-    "lsh_codes": q_lsh_codes,
-    "lsh_partition_bounds": q_lsh_partition_bounds,
-    "hamming_pairs": q_hamming_pairs,
-    "dedup_exact": q_dedup_exact,
-    "kmeans_centroids": q_kmeans_centroids,
-    "semantic_dedup": q_semantic_dedup,
-    "pq_codebook": q_pq_codebook,
-    "pq_ann": q_pq_ann,
-    "incremental_dedup": q_incremental_dedup,
-    "reservoir_sample": q_reservoir_sample,
-    "boilerplate_stats": q_boilerplate_stats,
-    "temperature_mix": q_temperature_mix,
-    "near_dup_pipeline": q_near_dup_pipeline,
-    "cardinality_kmv": q_cardinality_kmv,
-    "sq8_ann": q_sq8_ann,
-    "ivfpq_ann": q_ivfpq_ann,
-    "ivfpq_residual_ann": q_ivfpq_residual_ann,
-    "gopher_filter": q_gopher_filter,
-    "ann_search": q_ann_search,
-    "ann_search_selective": q_ann_search_selective,
-    "ann_search_filtered": q_ann_search_filtered,
-    "bq_ann": q_bq_ann,
-    "near_dup_embedding": q_near_dup_embedding,
-    "span_dedup": q_span_dedup,
-    "near_dup_key": q_near_dup_key,
-    # -- 9 r05-certified classic SQL entries (pure Catalyst plans over
-    # -- TPC-H-ish tables, untouched since certification; rotate in r8)
-    "doc_stats": q_doc_stats,
-    "lang_id": q_lang_id,
-    "pricing_summary": q_pricing_summary,
-    "shipping_priority": q_shipping_priority,
-    "region_revenue": q_region_revenue,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "order_priority_census": q_order_priority_census,
-    "rollup_revenue": q_rollup_revenue,
-    "cube_revenue": q_cube_revenue,
 }
 
 

@@ -287,9 +287,22 @@ def ivf_assign(base: DataFrame, centroids: DataFrame,
 
 
 def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
-               id_col: str = "id", vector_col: str = "vector") -> DataFrame:
+               id_col: str = "id", vector_col: str = "vector",
+               fit_fraction: float = 1.0) -> DataFrame:
     """Distributed Lloyd k-means for the IVF coarse quantizer →
     (cell, vector) centroids after ``iters`` rounds.
+
+    ``fit_fraction`` < 1 fits Lloyd on a DETERMINISTIC hash sample of
+    the table (xxhash64(id) mod 2^20 below the fraction threshold —
+    reproducible, no rand()) and is standard coarse-quantizer practice
+    (faiss trains IVF quantizers on ~30–256 points/centroid, not the
+    corpus): centroid quality depends on cluster geometry, which a
+    uniform sample preserves, while the fit cost drops linearly — the
+    full corpus is still assigned map-side downstream (``ivf_assign``).
+    Default 1.0 keeps the oracle-gated chains bit-identical (the
+    sampling branch is never entered); scale harnesses opt in.  The
+    sample is persisted across the ``iters`` passes so the full table
+    is scanned ZERO times during the fit.
 
     Per round, the 100TB shape: ONE fused Arrow kernel argmins each
     batch against the broadcast centroid matrix (tiled GEMM past 256
@@ -307,9 +320,18 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
     round; argmin ties break toward the lowest cell id on both sides.
     Cells left empty by a round keep their previous centroid (mirrored
     in SQL via left join + coalesce)."""
+    if fit_fraction < 1.0:
+        den = 1 << 20
+        thresh = max(1, int(fit_fraction * den))
+        fit_df = (df.select(id_col, vector_col)
+                  .filter(F.pmod(F.xxhash64(F.col(id_col)),
+                                 F.lit(den)) < thresh)
+                  .persist())
+    else:
+        fit_df = df
     # orderBy+limit is a distributed partial top-k (no global window);
     # the single-task row_number then runs over k rows only
-    head = df.select(id_col, vector_col).orderBy(id_col).limit(k)
+    head = fit_df.select(id_col, vector_col).orderBy(id_col).limit(k)
     w0 = Window.orderBy(id_col)
     cent = (head.withColumn("_rn", F.row_number().over(w0))
             .select((F.col("_rn") - 1).cast("long").alias("id"),
@@ -363,7 +385,7 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
                     "_s": np.concatenate(s_l),
                     "_c": np.concatenate(c_l)})
 
-        upd = (df.select(vector_col)
+        upd = (fit_df.select(vector_col)
                .mapInPandas(run, schema="cell LONG, pos INT, _s LONG, "
                                         "_c LONG")
                .groupBy("cell", "pos")
@@ -393,6 +415,8 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
         # leaked per-iteration broadcasts accumulate at SemDeDup-scale
         # |C| (mirrors pq_fit's per-round bc.unpersist)
         bcC.unpersist()
+    if fit_df is not df:
+        fit_df.unpersist()
     return cent.select(F.col("id").alias("cell"), "vector")
 
 
@@ -445,7 +469,8 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
              id_col: str = "id", vector_col: str = "vector",
              c_id_col: str = "id", c_vector_col: str = "vector",
              assigned: DataFrame | None = None,
-             exclude_self: bool = True, method: str = "gemm") -> DataFrame:
+             exclude_self: bool = True, method: str = "gemm",
+             shuffle_dtype: str = "double") -> DataFrame:
     """Distributed kNN self-join (the kNN-graph builder behind
     SemDeDup-style curation, graph-based dedup, and label propagation):
     for EVERY row, its k nearest neighbours among rows sharing one of
@@ -492,8 +517,23 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
     the SAME near-tie rank order.  An unquantized float sum differs
     across those three at ulp level, which can flip a ``round(.,6)``
     boundary or a near-tie rank between engines.
+
+    ``shuffle_dtype="float"`` ships BOTH shuffled vector columns as
+    ``array<float>``, halving the dominant cost at scale: the probe
+    side carries n·nprobe full vectors, and at 10M rows × 64 d ×
+    nprobe 8 the float64 form is a ~45 GB exchange (measured as the
+    /tmp-spill death of the §9g nprobe-8 run).  When the source
+    vectors are float32-representable (the at-rest contract — SURVEY
+    §1.2 keeps float32 at rest, computes in double), the f32→f64
+    round-trip is LOSSLESS and the emitted distances are bit-identical
+    to the default; for arbitrary doubles it perturbs distances by
+    ≤ 1e-7 relative (document per call site).  Default "double"
+    keeps the oracle-gated entry byte-exact regardless of source.
     """
     from ..functions.distance import l2q_expr
+    if shuffle_dtype not in ("double", "float"):
+        raise ValueError(f"shuffle_dtype must be 'double' or 'float', "
+                         f"got {shuffle_dtype!r}")
     if assigned is None:
         assigned = ivf_assign(df, centroids, id_col, vector_col,
                               c_id_col, c_vector_col)
@@ -501,10 +541,12 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
                             c_id_col, c_vector_col, keep_vector=True)
     if "cell_rank" in probes.columns:
         probes = probes.drop("cell_rank")
+    _vt = "array<float>" if shuffle_dtype == "float" else None
+    _cast = (lambda c: c.cast(_vt)) if _vt else (lambda c: c)
     qp = probes.select(F.col(id_col).alias("q_id"),
-                       F.col(vector_col).alias("_qv"), "cell")
+                       _cast(F.col(vector_col)).alias("_qv"), "cell")
     bp = assigned.select(F.col(id_col).alias("id"),
-                         F.col(vector_col).alias("_bv"), "cell")
+                         _cast(F.col(vector_col)).alias("_bv"), "cell")
     w_rank = Window.partitionBy("q_id").orderBy("dist", "id")
 
     if method == "expr":
@@ -1130,17 +1172,62 @@ def ivf_bq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
                          id_col, vector_col, q_id_col, q_vector_col)
 
 
+def _adaptive_probe_cells(queries: DataFrame, centroids: DataFrame,
+                          counts: dict, probe_mass: int,
+                          q_id_col: str = "q_id",
+                          q_vector_col: str = "vector",
+                          c_id_col: str = "id",
+                          c_vector_col: str = "vector") -> dict:
+    """Per-query ADAPTIVE probe lists (verdict r07 Next #4 — the
+    O6-retry idea applied to IVF): cells in ascending quantized-L2
+    order from the query, included while the cumulative member count
+    of the cells BEFORE them is < ``probe_mass``.  Every query thus
+    scans ≥ ``probe_mass`` candidate rows: a query in a dense region
+    covers its neighbourhood with few cells, a query whose natural
+    cluster is shattered across many small kmeans cells automatically
+    probes deeper — fixed ``nprobe`` gives the first kind wasted work
+    and the second kind a routing ceiling (SCALE.md §9e addendum 2:
+    p16 sat AT the 0.41 ceiling because 16 probes cover 16/39ths of a
+    shattered cluster regardless of need).
+
+    Distances are ELEMENT-QUANTIZED (``_q9``) and ordered (dd, cid),
+    so the probe SET is reproducible in any engine — the oracle's
+    cumulative-sum window over the same ordering picks identical
+    cells.  Driver-side by design: queries are a collected batch by
+    the family's contract, |C| is bounded (the coarse codebook), and
+    the output is the same per-query cell-list structure the fixed
+    path broadcasts."""
+    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    c_rows = centroids.select(c_id_col, c_vector_col).collect()
+    cid = np.array([r[0] for r in c_rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in c_rows], dtype=np.float64)
+    o0 = np.argsort(cid, kind="stable")
+    cid, C = cid[o0], C[o0]
+    cnt = np.array([counts.get(int(c), 0) for c in cid], dtype=np.int64)
+    out: dict[int, np.ndarray] = {}
+    for r in q_rows:
+        q = np.asarray(list(r[1]), dtype=np.float64)
+        dd = _q9(np.square(C - q)).sum(axis=1)
+        o = np.lexsort((cid, dd))          # (dd, cid) ascending
+        prior = np.concatenate(([0], np.cumsum(cnt[o])[:-1]))
+        out[int(r[0])] = np.sort(cid[o[prior < probe_mass]])
+    return out
+
+
 def _ivf_bq_partial(base: DataFrame, queries: DataFrame,
                     centroids: DataFrame, thresholds: list, kk: int,
                     nprobe: int, id_col: str, vector_col: str,
                     q_id_col: str, q_vector_col: str,
                     c_id_col: str, c_vector_col: str,
                     assigned: DataFrame | None,
-                    codes: DataFrame | None) -> DataFrame | None:
+                    codes: DataFrame | None,
+                    probe_cells: dict | None = None) -> DataFrame | None:
     """IVF-routed BQ Hamming pre-screen shared by :func:`ivf_bq_topk`
     and :func:`ivf_bq_sq8_topk`: (q_id, id, ham) batch partials, at
     most ``kk`` rows per (query, batch), probed cells only.  ``None``
-    when the query set is empty."""
+    when the query set is empty.  ``probe_cells`` (q_id → sorted cell
+    array, e.g. from :func:`_adaptive_probe_cells`) overrides the
+    fixed top-``nprobe`` probe selection."""
     spark = base.sparkSession
     if assigned is None:
         assigned = ivf_assign(base, centroids, id_col, vector_col,
@@ -1153,17 +1240,21 @@ def _ivf_bq_partial(base: DataFrame, queries: DataFrame,
     q_rows = queries.select(q_id_col, q_vector_col).collect()
     if not q_rows:
         return None
-    probe_rows = _nearest_cells(
-        queries, centroids, nprobe, q_id_col, q_vector_col,
-        c_id_col, c_vector_col, keep_vector=False).collect()
-    probed: dict[int, set] = {}
-    for r in probe_rows:
-        probed.setdefault(r[q_id_col], set()).add(r["cell"])
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    if probe_cells is None:
+        probe_rows = _nearest_cells(
+            queries, centroids, nprobe, q_id_col, q_vector_col,
+            c_id_col, c_vector_col, keep_vector=False).collect()
+        probed: dict[int, set] = {}
+        for r in probe_rows:
+            probed.setdefault(r[q_id_col], set()).add(r["cell"])
+        cell_lists = [np.array(sorted(probed.get(int(q), ())),
+                               dtype=np.int64) for q in q_ids]
+    else:
+        cell_lists = [np.asarray(probe_cells.get(int(q), ()),
+                                 dtype=np.int64) for q in q_ids]
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     qwords = _pack_query_words(Q, thresholds)
-    cell_lists = [np.array(sorted(probed.get(int(q), ())), dtype=np.int64)
-                  for q in q_ids]
     bc = spark.sparkContext.broadcast((q_ids, qwords, kk, cell_lists))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1231,7 +1322,8 @@ def ivf_bq_sq8_topk(base: DataFrame, queries: DataFrame,
                     c_id_col: str = "id", c_vector_col: str = "vector",
                     assigned: DataFrame | None = None,
                     codes: DataFrame | None = None,
-                    sq8_codes: DataFrame | None = None) -> DataFrame:
+                    sq8_codes: DataFrame | None = None,
+                    probe_mass: int | None = None) -> DataFrame:
     """Three-tier compressed ANN: IVF probe → BQ Hamming pre-screen to
     ``k·bq_keep`` → SQ8 rank to ``k·rerank`` → exact re-rank → top-k.
 
@@ -1255,12 +1347,33 @@ def ivf_bq_sq8_topk(base: DataFrame, queries: DataFrame,
 
     SQ8 distances are the elementwise-IEEE reconstruction of
     :func:`sq8_topk`, so the whole three-tier result is
-    oracle-checkable cross-engine."""
+    oracle-checkable cross-engine.
+
+    ``probe_mass`` switches probing from fixed top-``nprobe`` cells to
+    PER-QUERY ADAPTIVE coverage (:func:`_adaptive_probe_cells`): cells
+    in quantized-distance order until the cumulative member count of
+    prior cells reaches the budget.  This is the §9e-addendum-2
+    ceiling fix — at 10M the p16 point sat AT its routing ceiling
+    because fixed probes cover a fixed fraction of a shattered
+    cluster; a mass budget spends the same scanned-row total where
+    each query needs it.  The probe set stays engine-reproducible
+    (quantized distances + (dd, cid) order + a cumulative-sum rule the
+    oracle mirrors with one window)."""
     kk1 = k * bq_keep
+    probe_cells = None
+    if probe_mass is not None:
+        if assigned is None:
+            assigned = ivf_assign(base, centroids, id_col, vector_col,
+                                  c_id_col, c_vector_col)
+        counts = {r["cell"]: r["count"] for r in
+                  assigned.groupBy("cell").count().collect()}
+        probe_cells = _adaptive_probe_cells(
+            queries, centroids, counts, probe_mass,
+            q_id_col, q_vector_col, c_id_col, c_vector_col)
     partial = _ivf_bq_partial(base, queries, centroids, thresholds, kk1,
                               nprobe, id_col, vector_col, q_id_col,
                               q_vector_col, c_id_col, c_vector_col,
-                              assigned, codes)
+                              assigned, codes, probe_cells)
     spark = base.sparkSession
     if partial is None:
         return spark.createDataFrame(

@@ -3128,11 +3128,41 @@ def q_ivfbq_sq8_ann(spark, sf_dir):
 
 
 def sql_ivfbq_sq8_ann(nq: int, kk1: int, kk2: int,
-                      n_centroids: int, nprobe: int) -> str:
+                      n_centroids: int, nprobe: int,
+                      probe_mass: int | None = None) -> str:
     """Generated oracle: the ``sql_ivfbq_ann`` CTE chain (midrange
     thresholds, sign bits, coarse probes, Hamming shortlist at kk1)
     with ``SQL_SQ8_ANN``'s reconstruction tier ranking the shortlist
-    down to kk2 before the exact re-rank."""
+    down to kk2 before the exact re-rank.
+
+    ``probe_mass`` switches the cprobes CTE to ADAPTIVE coverage
+    (mirrors ops/similarity.py:_adaptive_probe_cells): cells ordered
+    by element-quantized distance, kept while the running member
+    count of PRIOR cells is below the budget — one cumulative-sum
+    window, exactly the Spark rule."""
+    if probe_mass is None:
+        cprobes = f"""cprobes AS (SELECT q_id, ccell FROM (
+  SELECT qcv.q_id, cc.cid AS ccell,
+         row_number() OVER (PARTITION BY qcv.q_id
+                            ORDER BY list_distance(qcv.qvec, cc.ccv),
+                                     cc.cid) AS rn
+  FROM qcv CROSS JOIN cc) WHERE rn <= {nprobe})"""
+    else:
+        cprobes = f"""ccnt AS (SELECT ccell, count(*) AS cnt FROM cassign GROUP BY 1),
+qcd AS (SELECT q.id AS q_id, c.id AS ccell,
+        sum(CAST(round((q.x - c.x) * (q.x - c.x)
+                       * 1000000000.0) AS BIGINT)) AS dd
+        FROM ex q JOIN ex c USING (pos)
+        WHERE q.id < {nq} AND c.id < {n_centroids}
+        GROUP BY 1, 2),
+cprobes AS (
+  SELECT q_id, ccell FROM (
+    SELECT qcd.q_id, qcd.ccell,
+           coalesce(sum(ccnt.cnt) OVER (
+             PARTITION BY qcd.q_id ORDER BY qcd.dd, qcd.ccell
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+    FROM qcd JOIN ccnt USING (ccell))
+  WHERE prior < {probe_mass})"""
     return f"""
 WITH e AS (SELECT vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3148,12 +3178,7 @@ cassign AS (SELECT id, ccell FROM (
                             ORDER BY list_distance(e.v, cc.ccv), cc.cid) AS rn
   FROM e CROSS JOIN cc) WHERE rn = 1),
 qcv AS (SELECT id AS q_id, v AS qvec FROM e WHERE id < {nq}),
-cprobes AS (SELECT q_id, ccell FROM (
-  SELECT qcv.q_id, cc.cid AS ccell,
-         row_number() OVER (PARTITION BY qcv.q_id
-                            ORDER BY list_distance(qcv.qvec, cc.ccv),
-                                     cc.cid) AS rn
-  FROM qcv CROSS JOIN cc) WHERE rn <= {nprobe}),
+{cprobes},
 qb AS (SELECT id AS q_id, pos, b FROM bits WHERE id < {nq}),
 ham AS (SELECT q.q_id, b.id,
                sum(CASE WHEN b.b != q.b THEN 1 ELSE 0 END) AS ham
@@ -3200,6 +3225,32 @@ FROM (SELECT q_id, id, dist,
       FROM scored)
 WHERE rnk <= 10
 """
+
+
+IVFBQSQ8_PROBE_MASS = 100
+
+
+def q_ivfbq_sq8_adaptive(spark, sf_dir):
+    """Three-tier compressed ANN with PER-QUERY ADAPTIVE probing
+    (beyond-reference; verdict r07 Next #4): instead of a fixed
+    nprobe, each query probes cells in quantized-distance order until
+    the cumulative member count covers a mass budget — dense-region
+    queries probe few cells, queries whose neighbourhood is shattered
+    across many cells probe deeper, at the same total scanned rows
+    (ops/similarity.py:_adaptive_probe_cells)."""
+    from .ops.similarity import (sq8_stats, bq_thresholds, ivf_bq_sq8_topk)
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    mins, maxs = sq8_stats(base)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (ivf_bq_sq8_topk(base, queries, centroids,
+                            bq_thresholds(mins, maxs), mins, maxs,
+                            k=10, bq_keep=IVFBQSQ8_BQ_KEEP,
+                            rerank=IVFBQSQ8_RERANK,
+                            probe_mass=IVFBQSQ8_PROBE_MASS)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
 
 
 NEAR_DUP_THRESHOLD = 0.45  # synthetic embeddings top out at cos ~0.51
@@ -4169,9 +4220,12 @@ QUERIES = {
     "near_dup_pipeline": q_near_dup_pipeline,
     "incremental_dedup": q_incremental_dedup,
     "minhash": q_minhash,
-    "cardinality_kmv": q_cardinality_kmv,
+    # position 50: NEW this round — adaptive-probe three-tier ANN
+    # (first certification; displaces cardinality_kmv to the r9 tranche)
+    "ivfbq_sq8_adaptive": q_ivfbq_sq8_adaptive,
     # ---- position 50 ends here; entries below are PARKED ----
-    # -- 13 r06-certified entries waiting for the r9 window --
+    # -- 14 r06-certified entries waiting for the r9 window --
+    "cardinality_kmv": q_cardinality_kmv,
     "doc_quantiles": q_doc_quantiles,
     "repetition_stats": q_repetition_stats,
     "bm25_scores": q_bm25_scores,
@@ -4279,6 +4333,10 @@ def oracle_sql_map() -> dict[str, str]:
         "ivfbq_sq8_ann": sql_ivfbq_sq8_ann(
             N_VEC_QUERIES, 10 * IVFBQSQ8_BQ_KEEP, 10 * IVFBQSQ8_RERANK,
             N_IVF_CENTROIDS, IVFPQ_NPROBE),
+        "ivfbq_sq8_adaptive": sql_ivfbq_sq8_ann(
+            N_VEC_QUERIES, 10 * IVFBQSQ8_BQ_KEEP, 10 * IVFBQSQ8_RERANK,
+            N_IVF_CENTROIDS, IVFPQ_NPROBE,
+            probe_mass=IVFBQSQ8_PROBE_MASS),
         "knn_join": SQL_KNN_JOIN,
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,

@@ -441,6 +441,33 @@ def test_kmeans_fit_improves_ivf(spark, clustered):
     assert recall(trained) >= recall(naive)
 
 
+def test_kmeans_fit_fraction_sample_quality_and_determinism(spark,
+                                                            clustered):
+    """fit_fraction < 1 trains Lloyd on a deterministic hash sample:
+    the result is reproducible call-to-call (no rand()), returns the
+    full k centroids, and lands near the full-fit objective — the
+    sample preserves cluster geometry, so the mean point-to-centroid
+    distance stays within a small factor of the full fit's (the
+    coarse-quantizer practice the scale harnesses rely on)."""
+    from fspann_query_system_spark.ops.similarity import kmeans_fit
+    df, X = clustered
+    k = 8
+    a = {r.cell: tuple(r.vector) for r in
+         kmeans_fit(df, k=k, iters=3, fit_fraction=0.5).collect()}
+    b = {r.cell: tuple(r.vector) for r in
+         kmeans_fit(df, k=k, iters=3, fit_fraction=0.5).collect()}
+    assert a == b and len(a) == k          # deterministic, full codebook
+    full = kmeans_fit(df, k=k, iters=3)
+
+    def mean_min_d2(cent):
+        C = np.array([list(v) for v in cent.values()], dtype=np.float64)
+        return float(((X[:, None, :] - C[None]) ** 2).sum(-1)
+                     .min(axis=1).mean())
+
+    full_c = {r.cell: tuple(r.vector) for r in full.collect()}
+    assert mean_min_d2(a) <= 1.5 * mean_min_d2(full_c)
+
+
 def test_semantic_dedup_within_cluster_only(spark, clustered):
     """SemDeDup pairs must (a) respect the threshold, (b) come only from
     co-clustered rows, and (c) recover the planted duplicates: rows in
@@ -1780,6 +1807,29 @@ def test_knn_join_full_probe_matches_exact(spark, clustered):
     assert len(no_self) == 300 * 5
 
 
+def test_knn_join_float_shuffle_bit_identical_on_f32_data(spark):
+    """shuffle_dtype='float' ships the probe/member vectors as
+    array<float>; on float32-representable source data (the at-rest
+    contract) the f32->f64 round-trip is lossless, so the emitted
+    graph — dist values included — is BIT-IDENTICAL to the float64
+    shuffle.  This is the §9g nprobe-8 shuffle-footprint fix."""
+    import numpy as np
+    from fspann_query_system_spark.ops.similarity import knn_join
+    rng = np.random.default_rng(7)
+    X = rng.normal(0, 3, (400, 16)).astype(np.float32).astype(np.float64)
+    df = spark.createDataFrame([(i, X[i].tolist()) for i in range(len(X))],
+                               "id LONG, vector ARRAY<DOUBLE>")
+    cents = df.filter(F.col("id") % 80 == 0)
+    wide = sorted(
+        (r.q_id, r.id, r.dist, r.rank) for r in
+        knn_join(df, cents, k=5, nprobe=2).collect())
+    slim = sorted(
+        (r.q_id, r.id, r.dist, r.rank) for r in
+        knn_join(df, cents, k=5, nprobe=2,
+                 shuffle_dtype="float").collect())
+    assert wide == slim
+
+
 def test_knn_join_gemm_and_expr_emit_identical_values(spark, clustered):
     """The gemm kernel and the declarative expr twin both emit the
     ELEMENT-QUANTIZED (_q9) distance, so dist values and near-tie rank
@@ -1888,6 +1938,79 @@ def test_ivf_bq_sq8_tight_budget_recall_and_plateau_coverage(spark,
     by_q, rec_large = run(64)
     assert rec_small < 0.6 < 1.0 == rec_large
     for qid, rows in by_q.items():
+        top = min(rows, key=lambda r: r.rank)
+        assert top.id == qid and top.dist == 0.0
+
+
+def test_adaptive_probe_cells_mass_coverage_semantics(spark, clustered):
+    """_adaptive_probe_cells: cells in quantized-distance order, kept
+    while the cumulative member count of PRIOR cells is < probe_mass —
+    so (a) every query's probed mass reaches the budget (or exhausts
+    the corpus), (b) removing the last probed cell drops coverage
+    below the budget (no over-probing), (c) a saturating budget probes
+    every non-empty cell."""
+    from fspann_query_system_spark.ops.similarity import (
+        _adaptive_probe_cells, ivf_assign)
+    df, X = clustered
+    small = df.filter(F.col("id") < 400)
+    centroids = small.filter(F.col("id") % 50 == 0)   # 8 cells
+    assigned = ivf_assign(small, centroids)
+    counts = {r["cell"]: r["count"] for r in
+              assigned.groupBy("cell").count().collect()}
+    q = small.filter(F.col("id") < 6) \
+        .select(F.col("id").alias("q_id"), "vector")
+    mass = 120
+    probes = _adaptive_probe_cells(q, centroids, counts, mass,
+                                   c_id_col="id")
+    assert set(probes) == set(range(6))
+    total = sum(counts.values())
+    for cells in probes.values():
+        covered = sum(counts.get(int(c), 0) for c in cells)
+        assert covered >= min(mass, total)
+        # dropping ANY one probed cell must leave prior-mass < budget
+        # for the cell that followed it => the SMALLEST probed set
+        biggest = max(counts.get(int(c), 0) for c in cells)
+        assert covered - biggest < mass
+    full = _adaptive_probe_cells(q, centroids, counts, total + 1,
+                                 c_id_col="id")
+    nonempty = {c for c, n in counts.items() if n > 0}
+    assert all(set(map(int, v)) >= nonempty for v in full.values())
+
+
+def test_ivf_bq_sq8_adaptive_budget_beats_matched_fixed_probes(spark,
+                                                               clustered):
+    """End-to-end adaptive probing: with a saturating mass budget the
+    three-tier plan equals exhaustive exact search (same degeneracy
+    contract as the fixed-probe test), and at a tight budget the
+    result ranks within probed cells exactly (every query returns k
+    rows, self-match at rank 1)."""
+    from fspann_query_system_spark.ops.similarity import (
+        sq8_stats, bq_thresholds, ivf_bq_sq8_topk)
+    from fspann_query_system_spark.query.exact import knn_exact
+    df, X = clustered
+    small = df.filter(F.col("id") < 300)
+    centroids = small.filter(F.col("id") % 50 == 0)
+    mins, maxs = sq8_stats(small)
+    q = small.filter(F.col("id") < 5) \
+        .select(F.col("id").alias("q_id"), "vector")
+    got = sorted(
+        (r.q_id, r.id, round(r.dist, 9), r.rank) for r in
+        ivf_bq_sq8_topk(small, q, centroids, bq_thresholds(mins, maxs),
+                        mins, maxs, k=5, bq_keep=100, rerank=100,
+                        probe_mass=10 ** 9).collect())
+    want = sorted(
+        (r.q_id, r.id, round(r.distance, 9), r.rank) for r in
+        knn_exact(small, q, k=5).collect())
+    assert got == want
+    tight = ivf_bq_sq8_topk(small, q, centroids, bq_thresholds(mins, maxs),
+                            mins, maxs, k=5, bq_keep=100, rerank=100,
+                            probe_mass=60).collect()
+    by_q = {}
+    for r in tight:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(5))
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
         top = min(rows, key=lambda r: r.rank)
         assert top.id == qid and top.dist == 0.0
 

@@ -8,8 +8,19 @@ onto a near-constant sign pattern, so recall is a direct function of
 whether rerank covers the intra-cluster tie plateau (n/64 vectors) —
 the measured curve quantifies the documented BQ trade.
 
-Usage: python3 tools/scale_bq_1m.py [n] [nq]
+Usage: python3 tools/scale_bq_1m.py [n] [nq] [fit_fraction]
+                                    [--three-tier-only]
 Appends one JSON line to tools/scale_bq_1m.jsonl.
+
+Round-8 additions (verdict r07 Next #3/#4):
+  * fit_fraction (3rd positional, default 0.1 past 1M): sample-based
+    kmeans quantizer fit — cuts the 10M setup tax ~4x at equal
+    downstream recall (re-validated by the fixed three-tier points).
+  * --three-tier-only: skip the standalone-BQ and IVF-BQ sweeps (their
+    curves are published; at 10M they dominate wall time) and run the
+    three-tier fixed + ADAPTIVE-probe sweeps only.
+  * adaptive sweep: probe_mass ∈ {32k, 64k, 96k} rows/query — the
+    §9e-addendum-2 routing-ceiling fix measured.
 """
 
 from __future__ import annotations
@@ -31,8 +42,12 @@ from scale_pq_1m import exact_gt                         # noqa: E402
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if len(args) > 0 else 1_000_000
+    nq = int(args[1]) if len(args) > 1 else 100
+    fit_fraction = (float(args[2]) if len(args) > 2
+                    else (0.1 if n > 1_000_000 else 1.0))
+    three_tier_only = "--three-tier-only" in sys.argv
     spark = get_spark("scale-bq-1m",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -63,7 +78,9 @@ def main():
     codes.count()
     out["encode_s"] = round(time.time() - t0, 1)
 
-    for rr in () if "--ivf-only" in sys.argv else (16, 64, 256):
+    bq_sweep = () if ("--ivf-only" in sys.argv or three_tier_only) \
+        else (16, 64, 256)
+    for rr in bq_sweep:
         t0 = time.time()
         rows = bq_topk(vec, queries, thr, k=K, rerank=rr,
                        codes=codes).collect()
@@ -86,9 +103,11 @@ def main():
                                                           kmeans_fit)
     n_cells = max(64, n // 1000)
     t0 = time.time()
-    cents = kmeans_fit(vec, k=n_cells, iters=1).persist()
+    cents = kmeans_fit(vec, k=n_cells, iters=1,
+                       fit_fraction=fit_fraction).persist()
     cents.count()
     out["ivf_cells"] = n_cells
+    out["fit_fraction"] = fit_fraction
     out["kmeans_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     assigned = ivf_assign(vec, cents, c_id_col="cell",
@@ -98,8 +117,8 @@ def main():
     print(f"ivf: {n_cells} cells, kmeans {out['kmeans_s']}s, "
           f"assign {out['assign_s']}s", flush=True)
 
-    ivfbq_sweep = () if "--sq8-only" in sys.argv else \
-        ((8, 16), (8, 64), (16, 64), (32, 64))
+    ivfbq_sweep = () if ("--sq8-only" in sys.argv or three_tier_only) \
+        else ((8, 16), (8, 64), (16, 64), (32, 64))
     for nprobe, rr in ivfbq_sweep:
         t0 = time.time()
         rows = ivf_bq_topk(vec, queries, cents, thr, k=K, nprobe=nprobe,
@@ -148,6 +167,34 @@ def main():
         out[f"{tag}_recall"] = round(rec, 3)
         print(f"ivfbq-sq8 nprobe={nprobe} bq_keep={keep} rerank={rr}: "
               f"{out[f'{tag}_ms_q']} ms/q recall {rec:.3f}", flush=True)
+
+    # ---- three-tier with ADAPTIVE probing (§9e-addendum-2 ceiling
+    # fix): per-query cell lists until cumulative member mass covers
+    # the budget — same scanned-row total as fixed probes of
+    # mass/avg_cell, allocated where each query needs it ----
+    avg_cell = n / n_cells
+    for mass_cells, keep, rr in ((32, 256, 4), (64, 256, 4),
+                                 (96, 256, 4)):
+        mass = int(mass_cells * avg_cell)
+        t0 = time.time()
+        rows = ivf_bq_sq8_topk(vec, queries, cents, thr, mins, maxs,
+                               k=K, bq_keep=keep, rerank=rr,
+                               c_id_col="cell", c_vector_col="vector",
+                               assigned=assigned, codes=codes,
+                               sq8_codes=sq8c,
+                               probe_mass=mass).collect()
+        w = time.time() - t0
+        got = {}
+        for r in rows:
+            got.setdefault(r.q_id, set()).add(r.id)
+        rec = float(np.mean([len(got.get(int(q), set()) & gt[int(q)]) / K
+                             for q in q_ids]))
+        tag = f"ivfbqsq8_adapt_m{mass_cells}_k{keep}_r{rr}"
+        out[f"{tag}_ms_q"] = round(w / nq * 1000, 1)
+        out[f"{tag}_recall"] = round(rec, 3)
+        print(f"ivfbq-sq8 ADAPTIVE mass={mass} (~{mass_cells} cells) "
+              f"bq_keep={keep} rerank={rr}: {out[f'{tag}_ms_q']} ms/q "
+              f"recall {rec:.3f}", flush=True)
 
     print(json.dumps(out), flush=True)
     with open("/root/repo/tools/scale_bq_1m.jsonl", "a") as f:

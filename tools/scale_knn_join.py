@@ -18,8 +18,21 @@ vector = f(id), no driver materialization).  The quantizer is
 `kmeans_fit` at |C| = n/target_cell cells — |C| grows WITH n (the §9b
 discipline), so per-cell work stays bounded at any corpus size.
 
-Usage: python3 tools/scale_knn_join.py [n] [k] [nprobe]
+Usage: python3 tools/scale_knn_join.py [n] [k] [nprobe] [fit_fraction]
+                                       [shuffle_dtype]
 (10M needs SPARK_GRAFT_DRIVER_MEM=96g.)
+
+Round-8 additions (verdict r07 Next #2/#3):
+  * fit_fraction (default 0.1 past 1M, 1.0 below): kmeans_fit trains
+    Lloyd on a deterministic hash sample — the 10M quantizer fit was a
+    234 s setup tax on every IVF-family run; sampling cuts it linearly
+    at equal downstream recall (centroids depend on cluster geometry,
+    which a uniform sample preserves).
+  * shuffle_dtype (default "float"): the probe side of knn_join ships
+    n·nprobe FULL vectors; at 10M × nprobe 8 the float64 form spilled
+    ~90 GB against 68 GB free /tmp and died.  The generator emits
+    float32-REPRESENTABLE doubles (the at-rest contract), so the
+    float shuffle is lossless here — emitted distances bit-identical.
 """
 
 from __future__ import annotations
@@ -55,6 +68,9 @@ def gen_embeddings(spark, n: int):
             for i, b in enumerate(ids):
                 V[i] = centers[b % N_CENTERS] + \
                     np.random.default_rng(int(b)).normal(0, 1.4, DIM)
+            # float32-representable doubles (the at-rest contract):
+            # makes shuffle_dtype="float" a LOSSLESS compaction
+            V = V.astype(np.float32).astype(np.float64)
             yield pd.DataFrame({"id": ids, "vector": list(V)})
 
     return (spark.range(n).repartition(64)
@@ -66,6 +82,9 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    fit_fraction = (float(sys.argv[4]) if len(sys.argv) > 4
+                    else (0.1 if n > 1_000_000 else 1.0))
+    shuffle_dtype = sys.argv[5] if len(sys.argv) > 5 else "float"
     n_cells = max(64, n // TARGET_CELL)
     spark = get_spark("scale-knn-join",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
@@ -80,9 +99,11 @@ def main():
     print(f"materialize {n} embeddings: {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
-    cent = kmeans_fit(emb, k=n_cells, iters=2).persist()
+    cent = kmeans_fit(emb, k=n_cells, iters=2,
+                      fit_fraction=fit_fraction).persist()
     cent.count()
-    print(f"kmeans_fit |C|={n_cells} (iters=2): {time.time()-t0:.1f}s "
+    print(f"kmeans_fit |C|={n_cells} (iters=2, fit_fraction="
+          f"{fit_fraction}): {time.time()-t0:.1f}s "
           f"(one-off quantizer train, shared with the whole IVF family)",
           flush=True)
 
@@ -103,10 +124,12 @@ def main():
 
     t0 = time.time()
     graph = knn_join(emb, cent, k=k, nprobe=nprobe,
-                     c_id_col="cell", assigned=assigned)
+                     c_id_col="cell", assigned=assigned,
+                     shuffle_dtype=shuffle_dtype)
     edges = graph.count()
     wall = time.time() - t0
-    print(f"knn_join k={k} nprobe={nprobe}: {wall:.1f}s -> {edges} edges "
+    print(f"knn_join k={k} nprobe={nprobe} shuffle_dtype={shuffle_dtype}: "
+          f"{wall:.1f}s -> {edges} edges "
           f"= {edges/wall:,.0f} edges/s ({n/wall:,.0f} rows/s)", flush=True)
 
     # actual candidate expansion: per-cell probers × members

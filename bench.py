@@ -99,6 +99,7 @@ HEADLINE = [
     "ivfpq_residual_ann",
     "ivfbq_ann",
     "ivfbq_sq8_ann",
+    "ivfbq_sq8_adaptive",
     "knn_join",
     "ivf_ann",
     "version_census",

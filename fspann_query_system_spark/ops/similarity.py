@@ -1137,7 +1137,8 @@ def ivf_bq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
                 q_id_col: str = "q_id", q_vector_col: str = "vector",
                 c_id_col: str = "id", c_vector_col: str = "vector",
                 assigned: DataFrame | None = None,
-                codes: DataFrame | None = None) -> DataFrame:
+                codes: DataFrame | None = None,
+                probe_mass: int | None = None) -> DataFrame:
     """IVF-BQ composition: the coarse quantizer prunes each query to
     ``nprobe`` cells, Hamming distance over packed sign bits ranks ONLY
     rows in probed cells (XOR + popcount, 32× less scanned data), exact
@@ -1156,12 +1157,24 @@ def ivf_bq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
     approximate stage as the trade against ADC's finer ranking.
 
     Pass ``assigned`` / ``codes`` to reuse ingest-time materializations
-    (both computed once per corpus, never per query)."""
+    (both computed once per corpus, never per query).  ``probe_mass``
+    switches to per-query ADAPTIVE probing (see
+    :func:`ivf_bq_sq8_topk` / :func:`_adaptive_probe_cells`)."""
     kk = k * rerank
+    probe_cells = None
+    if probe_mass is not None:
+        if assigned is None:
+            assigned = ivf_assign(base, centroids, id_col, vector_col,
+                                  c_id_col, c_vector_col)
+        counts = {r["cell"]: r["count"] for r in
+                  assigned.groupBy("cell").count().collect()}
+        probe_cells = _adaptive_probe_cells(
+            queries, centroids, counts, probe_mass,
+            q_id_col, q_vector_col, c_id_col, c_vector_col)
     partial = _ivf_bq_partial(base, queries, centroids, thresholds, kk,
                               nprobe, id_col, vector_col, q_id_col,
                               q_vector_col, c_id_col, c_vector_col,
-                              assigned, codes)
+                              assigned, codes, probe_cells)
     if partial is None:
         return base.sparkSession.createDataFrame(
             [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")

@@ -26,6 +26,7 @@ Round-8 additions (verdict r07 Next #3/#4):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -148,8 +149,11 @@ def main():
     sq8c.count()
     out["sq8_encode_s"] = round(time.time() - t0, 1)
     print(f"sq8 shadow encode: {out['sq8_encode_s']}s", flush=True)
-    for nprobe, keep, rr in ((16, 16, 4), (16, 64, 4), (16, 256, 4),
-                             (32, 256, 4)):
+    tier3_sweep = ((16, 16, 4), (16, 64, 4), (16, 256, 4), (32, 256, 4))
+    if os.environ.get("BQSQ8_SWEEP"):        # e.g. "32:512:4,32:1024:4"
+        tier3_sweep = tuple(tuple(int(x) for x in s.split(":"))
+                            for s in os.environ["BQSQ8_SWEEP"].split(","))
+    for nprobe, keep, rr in tier3_sweep:
         t0 = time.time()
         rows = ivf_bq_sq8_topk(vec, queries, cents, thr, mins, maxs,
                                k=K, nprobe=nprobe, bq_keep=keep, rerank=rr,
@@ -173,8 +177,11 @@ def main():
     # the budget — same scanned-row total as fixed probes of
     # mass/avg_cell, allocated where each query needs it ----
     avg_cell = n / n_cells
-    for mass_cells, keep, rr in ((32, 256, 4), (64, 256, 4),
-                                 (96, 256, 4)):
+    adapt_sweep = ((32, 256, 4), (64, 256, 4), (96, 256, 4))
+    if os.environ.get("BQSQ8_ADAPT_SWEEP"):  # e.g. "64:1024:4"
+        adapt_sweep = tuple(tuple(int(x) for x in s.split(":"))
+                            for s in os.environ["BQSQ8_ADAPT_SWEEP"].split(","))
+    for mass_cells, keep, rr in adapt_sweep:
         mass = int(mass_cells * avg_cell)
         t0 = time.time()
         rows = ivf_bq_sq8_topk(vec, queries, cents, thr, mins, maxs,

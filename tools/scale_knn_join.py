@@ -126,6 +126,11 @@ def main():
     graph = knn_join(emb, cent, k=k, nprobe=nprobe,
                      c_id_col="cell", assigned=assigned,
                      shuffle_dtype=shuffle_dtype)
+    # persist: the recall sample below joins against the graph — an
+    # unpersisted graph RE-RUNS the entire join for it (measured ~17
+    # wasted minutes at 10M).  The materialized graph is n·k skinny
+    # rows (~3 GB at 10M), cheap next to the join it saves.
+    graph = graph.persist()
     edges = graph.count()
     wall = time.time() - t0
     print(f"knn_join k={k} nprobe={nprobe} shuffle_dtype={shuffle_dtype}: "

@@ -101,6 +101,7 @@ HEADLINE = [
     "ivfbq_sq8_ann",
     "ivfbq_sq8_adaptive",
     "knn_join",
+    "knn_join_sq8",
     "ivf_ann",
     "version_census",
     "streaming_window_agg",

@@ -90,7 +90,8 @@ def cosine_topk_sql_shape(base: DataFrame, queries: DataFrame, k: int = 10,
 def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                    id_col: str, vector_col: str,
                    c_id_col: str, c_vector_col: str,
-                   keep_vector: bool, quantize: bool = False) -> DataFrame:
+                   keep_vector: bool, quantize: bool = False,
+                   sq8: tuple | None = None) -> DataFrame:
     """Shared coarse-quantizer kernel: for each row, the ``n_cells``
     nearest centroids by L2, ties broken by lowest centroid id →
     (id[, vector], cell[, cell_rank]).
@@ -106,17 +107,42 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
     where a float near-tie could resolve differently under DuckDB's
     parallel aggregation.  Ignored by the tiled-GEMM branches (they
     serve SemDeDup-scale |C|, past any oracle fixture — see
-    :func:`_argmin_cells`)."""
+    :func:`_argmin_cells`).
+
+    ``sq8=(mins, maxs)`` (requires ``keep_vector=True``) replaces the
+    emitted vector column with ``qcodes BINARY`` — the row's SQ8 codes
+    packed one byte per dimension (``floor((x-mn)/rg*255 + 0.5)``,
+    HALF_UP like ``sq8_quantize``; rg=0 dims → 0).  This is the
+    knn_join_sq8 probe payload: dim BYTES per probe row instead of
+    8·dim, an 8× probe-shuffle reduction over float64."""
     spark = df.sparkSession
     c_rows = centroids.select(c_id_col, c_vector_col).collect()
     cid = np.array([r[0] for r in c_rows], dtype=np.int64)
     C = np.array([list(r[1]) for r in c_rows], dtype=np.float64)
     order = np.argsort(cid, kind="stable")      # argmin ties -> lowest cid
-    bc = spark.sparkContext.broadcast((cid[order], C[order], n_cells))
+    sq8_arrs = None
+    if sq8 is not None:
+        mn8 = np.asarray(sq8[0], dtype=np.float64)
+        rg8 = np.asarray(sq8[1], dtype=np.float64) - mn8
+        sq8_arrs = (mn8, rg8)
+    bc = spark.sparkContext.broadcast((cid[order], C[order], n_cells,
+                                       sq8_arrs))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cid_, C_, nc_req = bc.value
+        cid_, C_, nc_req, sq8_ = bc.value
         nc = min(nc_req, len(cid_))
+
+        def payload(V: np.ndarray) -> list:
+            # sq8 packing: HALF_UP rounding (floor(x+0.5) on the
+            # non-negative normalized value — mirrors sq8_quantize's
+            # F.round and the oracle's round())
+            mn8, rg8 = sq8_
+            x = np.zeros_like(V)
+            nz = rg8 > 0
+            x[:, nz] = (V[:, nz] - mn8[nz]) / rg8[nz] * 255.0
+            codes = np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
+            return [c.tobytes() for c in codes]
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -160,7 +186,10 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                     best_j[r0:r0 + RB] = bj
                 out = {id_col: pdf[id_col].to_numpy()}
                 if keep_vector:
-                    out[vector_col] = pdf[vector_col].to_numpy()
+                    if sq8_ is not None:
+                        out["qcodes"] = payload(B)
+                    else:
+                        out[vector_col] = pdf[vector_col].to_numpy()
                 out["cell"] = cid_[best_j]
                 yield pd.DataFrame(out)
                 continue
@@ -210,7 +239,12 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                 near = None
             out = {id_col: np.repeat(pdf[id_col].to_numpy(), nc)}
             if keep_vector:
-                out[vector_col] = np.repeat(pdf[vector_col].to_numpy(), nc)
+                if sq8_ is not None:
+                    out["qcodes"] = list(np.repeat(
+                        np.array(payload(B), dtype=object), nc))
+                else:
+                    out[vector_col] = np.repeat(
+                        pdf[vector_col].to_numpy(), nc)
             if nc_req == 1:
                 # argmin returns the first (= lowest-cid) minimum
                 out["cell"] = cid_[np.argmin(d2, axis=1)]
@@ -225,7 +259,10 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
     vec_type = df.schema[vector_col].dataType.simpleString()
     schema = f"{id_col} {id_type}"
     if keep_vector:
-        schema += f", {vector_col} {vec_type}"
+        if sq8 is not None:
+            schema += ", qcodes BINARY"
+        else:
+            schema += f", {vector_col} {vec_type}"
     schema += ", cell BIGINT"
     if n_cells > 1:
         schema += ", cell_rank INT"
@@ -607,6 +644,133 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
     else:
         raise ValueError(f"method must be 'gemm' or 'expr', got {method!r}")
     return (scored.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "id", "dist", "rank"))
+
+
+def knn_join_sq8(df: DataFrame, centroids: DataFrame,
+                 mins: list, maxs: list, k: int = 10, nprobe: int = 2,
+                 rerank: int = 2,
+                 id_col: str = "id", vector_col: str = "vector",
+                 c_id_col: str = "id", c_vector_col: str = "vector",
+                 assigned: DataFrame | None = None,
+                 exclude_self: bool = True,
+                 shuffle_dtype: str = "double") -> DataFrame:
+    """kNN self-join with SQ8 PROBE CODES — the high-nprobe scale
+    variant of :func:`knn_join` (verdict r07 Next #2's "ascending
+    ambition" option): the probe side ships each row's scalar-quantized
+    codes as ONE BINARY of dim bytes instead of 8·dim float64 (8×) or
+    4·dim float32 (4×), which is what bounds the n·nprobe probe-side
+    cogroup exchange — the §9g single-box ceiling (f32 fit nprobe 12
+    at 80% of the filesystem; codes fit nprobe ~50 in the same
+    budget).
+
+    Three stages, each mirrored EXACTLY by the generated oracle:
+
+    1. per probed cell, rank (reconstructed-query × true-member) pairs
+       by the ELEMENT-QUANTIZED approximate distance
+       ``ad2 = Σ _q9((q̃_i - b_i)²)`` and keep the per-(prober, cell)
+       top-k by (ad2, id) — a GEMM float pre-cut with +8 margin picks
+       the candidates, the quantized recompute orders them, so the
+       kept SET matches a sequential SQL evaluation bit-for-bit
+       (same discipline as :func:`knn_join`'s gemm kernel);
+    2. one global window keeps each prober's top-``k·rerank`` by
+       (ad2, id) — the SQ8 shortlist;
+    3. exact re-rank: the shortlist joins TRUE vectors on both sides
+       (two exchanges of n·k·rerank skinny rows — never the corpus
+       by more than its one pass) and the final top-k ranks by the
+       exact quantized distance (``l2q_expr``), ties by id.
+
+    Approximation contract: a true neighbour is lost only if SQ8
+    reconstruction error demotes it below rank k IN ITS OWN CELL
+    (stage 1) or below rank k·rerank globally (stage 2) — SQ8 is
+    near-lossless at these ranks (§9e addendum 2/3), and ``rerank``
+    widens the escape hatch.  Results are NOT bit-identical to
+    :func:`knn_join`; they are identical whenever SQ8 ranking agrees
+    with exact ranking down to rank k·rerank, which the equality test
+    pins on the clustered fixture.
+
+    ``shuffle_dtype="float"`` additionally ships the MEMBER side as
+    float32 (lossless on f32-representable sources, like knn_join).
+    """
+    from ..functions.distance import l2q_expr
+    spark = df.sparkSession
+    if assigned is None:
+        assigned = ivf_assign(df, centroids, id_col, vector_col,
+                              c_id_col, c_vector_col)
+    probes = _nearest_cells(df, centroids, nprobe, id_col, vector_col,
+                            c_id_col, c_vector_col, keep_vector=True,
+                            sq8=(mins, maxs))
+    if "cell_rank" in probes.columns:
+        probes = probes.drop("cell_rank")
+    _vt = "array<float>" if shuffle_dtype == "float" else None
+    _cast = (lambda c: c.cast(_vt)) if _vt else (lambda c: c)
+    qp = probes.select(F.col(id_col).alias("q_id"), "qcodes", "cell")
+    bp = assigned.select(F.col(id_col).alias("id"),
+                         _cast(F.col(vector_col)).alias("_bv"), "cell")
+    mn8 = np.asarray(mins, dtype=np.float64)
+    rg8 = np.asarray(maxs, dtype=np.float64) - mn8
+    bcq = spark.sparkContext.broadcast((mn8, rg8, k, bool(exclude_self)))
+
+    def cell_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        mn_, rg_, k_, excl = bcq.value
+        if len(left) == 0 or len(right) == 0 or k_ <= 0:
+            return pd.DataFrame({"q_id": [], "id": [], "ad2": []})
+        qids = left["q_id"].to_numpy()
+        Qc = np.vstack([np.frombuffer(b, dtype=np.uint8)
+                        for b in left["qcodes"].to_numpy()]
+                       ).astype(np.float64)
+        # reconstruction: mn + c/255*rg — elementwise-IEEE identical to
+        # the oracle's recon CTE (same operand order)
+        Qr = mn_ + Qc / 255.0 * rg_
+        ids = right["id"].to_numpy()
+        B = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in right["_bv"].to_numpy()])
+        order = np.argsort(ids, kind="stable")
+        ids, B = ids[order], B[order]
+        sqb = (B * B).sum(axis=1)
+        kk = min(k_ + 8 + (1 if excl else 0), len(ids))
+        oq, oi, od = [], [], []
+        for lo in range(0, len(qids), 512):
+            Qb, qb = Qr[lo:lo + 512], qids[lo:lo + 512]
+            d2 = sqb[None, :] - 2.0 * (Qb @ B.T)
+            if kk < len(ids):
+                sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            else:
+                sel = np.tile(np.arange(len(ids)), (len(Qb), 1))
+            # quantized recompute of the GEMM-selected candidates: the
+            # kept set + its ad2 values then match the oracle exactly
+            diff = Qb[:, None, :] - B[sel]
+            ad = _q9(np.square(diff)).sum(axis=2)
+            for r in range(len(Qb)):
+                cids, ar = ids[sel[r]], ad[r]
+                if excl:
+                    keep = cids != qb[r]
+                    cids, ar = cids[keep], ar[keep]
+                top = np.lexsort((cids, ar))[:k_]
+                oq.append(np.full(len(top), qb[r], dtype=qids.dtype))
+                oi.append(cids[top])
+                od.append(ar[top])
+        return pd.DataFrame({"q_id": np.concatenate(oq),
+                             "id": np.concatenate(oi),
+                             "ad2": np.concatenate(od)})
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    scored = (qp.groupBy("cell").cogroup(bp.groupBy("cell"))
+              .applyInPandas(cell_topk,
+                             schema=f"q_id {id_t}, id {id_t}, ad2 LONG"))
+    kk = k * rerank
+    w_ap = Window.partitionBy("q_id").orderBy("ad2", "id")
+    short = (scored.withColumn("_ar", F.row_number().over(w_ap))
+             .filter(F.col("_ar") <= kk).select("q_id", "id"))
+    qv = df.select(F.col(id_col).alias("q_id"),
+                   F.col(vector_col).alias("_qv"))
+    bv = df.select(F.col(id_col).alias("id"),
+                   F.col(vector_col).alias("_bv"))
+    w_rank = Window.partitionBy("q_id").orderBy("dist", "id")
+    return (short.join(bv, on="id").join(qv, on="q_id")
+            .withColumn("dist", l2q_expr("_qv", "_bv"))
+            .withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= k)
             .select("q_id", "id", "dist", "rank"))
 

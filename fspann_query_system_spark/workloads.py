@@ -3567,6 +3567,91 @@ WHERE rnk <= {KNN_JOIN_K}
 """
 
 
+KNN_SQ8_RERANK = 2
+
+
+def q_knn_join_sq8(spark, sf_dir):
+    """kNN self-join with SQ8 probe codes (beyond-reference; the §9g
+    high-nprobe variant): the probe side ships dim BYTES per row
+    instead of 8·dim — per-cell approx top-k by element-quantized
+    reconstructed distance, global top-k·rerank, exact re-rank with
+    true vectors (ops/similarity.py:knn_join_sq8)."""
+    from .ops.similarity import knn_join_sq8, sq8_stats
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    mins, maxs = sq8_stats(base)
+    return (knn_join_sq8(base, centroids, mins, maxs, k=KNN_JOIN_K,
+                         nprobe=IVF_NPROBE, rerank=KNN_SQ8_RERANK)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+SQL_KNN_JOIN_SQ8 = f"""
+WITH e AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+ex AS (SELECT id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
+st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+-- SQ8 codes + reconstruction of EVERY row (each row is a query),
+-- mirroring sq8_quantize / the kernel's mn + c/255*rg exactly
+recon AS (
+  SELECT ex.id, ex.pos,
+         mn + (CASE WHEN mx > mn
+                    THEN CAST(round((x - mn) / (mx - mn) * 255) AS INT)
+                    ELSE 0 END) / 255.0 * (mx - mn) AS r
+  FROM ex JOIN st USING (pos)),
+c AS (SELECT id AS cid, v AS cv FROM e WHERE id < {N_IVF_CENTROIDS}),
+assign AS (
+  SELECT id, cell FROM (
+    SELECT e.id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1),
+probes AS (
+  SELECT id AS q_id, cell FROM (
+    SELECT e.id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn <= {IVF_NPROBE}),
+-- stage 1: element-quantized approx distance (reconstructed query x
+-- true member), per-(prober, cell) top-k by (ad2, id)
+ad AS (
+  SELECT p.q_id, a.id, a.cell,
+         sum(CAST(round((r.r - bx.x) * (r.r - bx.x)
+                        * 1000000000.0) AS BIGINT)) AS ad2
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.id != p.q_id
+  JOIN recon r ON r.id = p.q_id
+  JOIN ex bx ON bx.id = a.id AND bx.pos = r.pos
+  GROUP BY 1, 2, 3),
+s1 AS (
+  SELECT q_id, id, ad2 FROM (
+    SELECT q_id, id, ad2,
+           row_number() OVER (PARTITION BY q_id, cell
+                              ORDER BY ad2, id) AS rn
+    FROM ad) WHERE rn <= {KNN_JOIN_K}),
+-- stage 2: global SQ8 shortlist of k*rerank per prober
+s2 AS (
+  SELECT q_id, id FROM (
+    SELECT q_id, id,
+           row_number() OVER (PARTITION BY q_id ORDER BY ad2, id) AS rn
+    FROM s1) WHERE rn <= {KNN_JOIN_K * KNN_SQ8_RERANK}),
+-- stage 3: exact quantized re-rank with true vectors
+scored AS (
+  SELECT s.q_id, s.id,
+         sqrt(list_reduce(list_transform(list_zip(qe.v, be.v),
+                          pr -> CAST(round((pr[1] - pr[2]) * (pr[1] - pr[2])
+                                           * 1000000000.0) AS BIGINT)),
+                          (acc, x) -> acc + x) / 1000000000.0) AS dist
+  FROM s2 s JOIN e qe ON qe.id = s.q_id JOIN e be ON be.id = s.id)
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rnk AS INT) AS rank
+FROM (SELECT q_id, id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
+      FROM scored)
+WHERE rnk <= {KNN_JOIN_K}
+"""
+
+
 def q_recall_eval(spark, sf_dir):
     """J3/A6 recall join: recall@10 of the IVF path against the exact
     oracle, per query (array_intersect semi-join shape)."""
@@ -4219,13 +4304,15 @@ QUERIES = {
     "near_dup_key": q_near_dup_key,
     "near_dup_pipeline": q_near_dup_pipeline,
     "incremental_dedup": q_incremental_dedup,
-    "minhash": q_minhash,
-    # position 50: NEW this round — adaptive-probe three-tier ANN
-    # (first certification; displaces cardinality_kmv to the r9 tranche)
+    # positions 49-50: NEW this round — adaptive-probe three-tier ANN
+    # and the SQ8-probe kNN self-join (first certifications; displace
+    # cardinality_kmv and minhash to the r9 tranche)
     "ivfbq_sq8_adaptive": q_ivfbq_sq8_adaptive,
+    "knn_join_sq8": q_knn_join_sq8,
     # ---- position 50 ends here; entries below are PARKED ----
-    # -- 14 r06-certified entries waiting for the r9 window --
+    # -- 15 r06-certified entries waiting for the r9 window --
     "cardinality_kmv": q_cardinality_kmv,
+    "minhash": q_minhash,
     "doc_quantiles": q_doc_quantiles,
     "repetition_stats": q_repetition_stats,
     "bm25_scores": q_bm25_scores,
@@ -4338,6 +4425,7 @@ def oracle_sql_map() -> dict[str, str]:
             N_IVF_CENTROIDS, IVFPQ_NPROBE,
             probe_mass=IVFBQSQ8_PROBE_MASS),
         "knn_join": SQL_KNN_JOIN,
+        "knn_join_sq8": SQL_KNN_JOIN_SQ8,
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,
         "simhash": SQL_SIMHASH,

@@ -1830,6 +1830,48 @@ def test_knn_join_float_shuffle_bit_identical_on_f32_data(spark):
     assert wide == slim
 
 
+def test_knn_join_sq8_matches_exact_join_on_separated_clusters(spark,
+                                                               clustered):
+    """knn_join_sq8 (SQ8 probe codes + exact re-rank): on the clustered
+    fixture, SQ8 ranking agrees with exact ranking except at rank-k
+    boundary near-ties, so (a) edge agreement with the exact join is
+    ≥ 99%, (b) every disagreement's exact distance is within the
+    cluster's intra-noise of the displaced edge (no gross errors),
+    (c) dist values of agreeing edges are BIT-IDENTICAL (both paths
+    emit the quantized exact distance), and (d) shipping the member
+    side as float32 changes nothing on f32-representable data."""
+    import numpy as np
+    from fspann_query_system_spark.ops.similarity import (knn_join,
+                                                          knn_join_sq8,
+                                                          sq8_stats)
+    rng = np.random.default_rng(42)
+    centers = rng.normal(0, 5.0, (8, 16))
+    X = np.vstack([c + rng.normal(0, 0.6, (250, 16)) for c in centers])
+    X = X.astype(np.float32).astype(np.float64)
+    df = spark.createDataFrame([(i, X[i].tolist()) for i in range(len(X))],
+                               "id LONG, vector ARRAY<DOUBLE>")
+    small = df.filter(F.col("id") < 300)
+    cents = small.filter(F.col("id") % 50 == 0)
+    mins, maxs = sq8_stats(small)
+    exact = {(r.q_id, r.id): r.dist for r in
+             knn_join(small, cents, k=5, nprobe=2,
+                      method="expr").collect()}
+    got = {(r.q_id, r.id): r.dist for r in
+           knn_join_sq8(small, cents, mins, maxs, k=5, nprobe=2,
+                        rerank=4).collect()}
+    assert len(got) == len(exact) == 1500          # dense ranks both
+    agree = set(exact) & set(got)
+    assert len(agree) / len(exact) >= 0.99
+    assert all(exact[e] == got[e] for e in agree)  # bit-identical dists
+    for e in set(got) - set(exact):                # near-tie displacements
+        assert got[e] <= max(exact[(q, i)] for (q, i) in exact
+                             if q == e[0]) + 0.5
+    f32 = {(r.q_id, r.id): r.dist for r in
+           knn_join_sq8(small, cents, mins, maxs, k=5, nprobe=2,
+                        rerank=4, shuffle_dtype="float").collect()}
+    assert f32 == got
+
+
 def test_knn_join_gemm_and_expr_emit_identical_values(spark, clustered):
     """The gemm kernel and the declarative expr twin both emit the
     ELEMENT-QUANTIZED (_q9) distance, so dist values and near-tie rank

@@ -33,6 +33,10 @@ Round-8 additions (verdict r07 Next #2/#3):
     ~90 GB against 68 GB free /tmp and died.  The generator emits
     float32-REPRESENTABLE doubles (the at-rest contract), so the
     float shuffle is lossless here — emitted distances bit-identical.
+  * shuffle_dtype "sq8" switches to knn_join_sq8 (probe side = dim
+    BYTES per row, 8x under float64; member side float32; rerank 2
+    exact re-rank) — the nprobe-16+ single-box path where even the
+    float32 probe shuffle would exceed the filesystem.
 """
 
 from __future__ import annotations
@@ -123,9 +127,17 @@ def main():
           flush=True)
 
     t0 = time.time()
-    graph = knn_join(emb, cent, k=k, nprobe=nprobe,
-                     c_id_col="cell", assigned=assigned,
-                     shuffle_dtype=shuffle_dtype)
+    if shuffle_dtype == "sq8":
+        from fspann_query_system_spark.ops.similarity import (knn_join_sq8,
+                                                              sq8_stats)
+        mins, maxs = sq8_stats(emb)
+        graph = knn_join_sq8(emb, cent, mins, maxs, k=k, nprobe=nprobe,
+                             rerank=2, c_id_col="cell", assigned=assigned,
+                             shuffle_dtype="float")
+    else:
+        graph = knn_join(emb, cent, k=k, nprobe=nprobe,
+                         c_id_col="cell", assigned=assigned,
+                         shuffle_dtype=shuffle_dtype)
     # persist: the recall sample below joins against the graph — an
     # unpersisted graph RE-RUNS the entire join for it (measured ~17
     # wasted minutes at 10M).  The materialized graph is n·k skinny

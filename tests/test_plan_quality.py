@@ -364,6 +364,23 @@ def test_knn_join_cell_equi_join_no_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_knn_join_sq8_no_product_and_binary_probe_payload(spark):
+    """The SQ8-probe kNN self-join must keep the cell equi-join shape
+    (no product), and its probe-side exchange must carry the BINARY
+    qcodes column, not a vector array — the whole point of the
+    variant is that the n·nprobe exchange ships dim bytes per row."""
+    from fspann_query_system_spark.ops.similarity import (knn_join_sq8,
+                                                          sq8_stats)
+    base = W._emb(spark, SF)
+    cents = base.filter(F.col("id") < 8)
+    mins, maxs = sq8_stats(base)
+    plan = _formatted(knn_join_sq8(base, cents, mins, maxs,
+                                   k=5, nprobe=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "qcodes" in plan
+
+
 def test_ivf_bq_sq8_topk_no_product_and_broadcast_tiers(spark):
     """Three-tier ANN: every tier must stay shortlist-bounded — no
     Q x N product anywhere, and both the SQ8-rank join and the exact

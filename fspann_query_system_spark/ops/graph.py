@@ -1,0 +1,171 @@
+"""Graph operators over the kNN self-join output (beyond-reference).
+
+``knn_join`` (ops/similarity.py) builds the n·k edge table that
+SemDeDup-style curation, graph dedup, and semi-supervised quality
+classification all consume.  This module adds the two consumers a
+large-scale training-data pipeline actually runs over that graph:
+
+* ``label_propagate`` -- semi-supervised label propagation (Zhu &
+  Ghahramani 2002 shape): a small seed set of labeled rows spreads
+  class mass over the kNN edges for a fixed number of rounds.  The
+  100 TB use case is quality/topic/language classification from a
+  hand-labeled seed set without training a model: each round is ONE
+  equi-join of the n·k skinny edge table against the (node, class)
+  mass table plus two keyed aggregations -- nothing corpus-sized is
+  collected or broadcast, and the mass table is bounded by
+  n × n_classes rows.
+
+* ``hard_negatives`` -- contrastive-training negative mining: for
+  each anchor, the nearest neighbours whose label DIFFERS from the
+  anchor's, taken from a pool of the anchor's ``pool_k`` nearest
+  rows.  This is the standard "in-batch hard negative" prep step for
+  embedding-model training, expressed as the already-bounded
+  ``knn_join`` pool + a label anti-predicate + one per-anchor rank --
+  never an all-pairs scan.
+
+Cross-engine determinism (the repo-wide discipline, SCALE.md
+pathology #3): every arithmetic step that feeds an ORDER BY or a
+group key is integer-quantized.  Edge weights are
+``round(W_SCALE/(1+dist))`` as int64 over the graph's already
+element-quantized distance; per-round class masses are normalized
+with INTEGER division to ``M_SCALE`` per node.  Integer sums and
+integer division are merge-order-independent in any engine, so the
+Spark plan and a DuckDB oracle land on bit-identical masses, the
+same argmax, and the same near-tie winner.
+
+Overflow budget (int64 max ≈ 9.2e18): masses ≤ M_SCALE = 1e5,
+weights ≤ W_SCALE = 1e6, so a round's raw aggregate is ≤
+k·W_SCALE·M_SCALE = k·1e11 per class and the normalization product
+is ≤ k·1e11·1e5 = k·1e16 -- three orders of magnitude of headroom at
+k = 100.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+W_SCALE = 1_000_000    # edge-weight quantization: w = round(1e6/(1+dist))
+M_SCALE = 100_000      # per-node class-mass normalization target
+
+
+def label_propagate(edges: DataFrame, seeds: DataFrame, iters: int = 2,
+                    q_col: str = "q_id", n_col: str = "id",
+                    dist_col: str = "dist",
+                    id_col: str = "id", label_col: str = "label",
+                    checkpoint_every: int = 0) -> DataFrame:
+    """Propagate seed labels over a kNN edge table for ``iters`` rounds.
+
+    ``edges``: (q_col, n_col, dist_col) -- directed edges "q pulls from
+    n", i.e. exactly what ``knn_join`` emits (q_id, id, dist).
+    ``seeds``: (id_col, label_col) -- the clamped labeled rows.
+
+    Semantics per round t (integer arithmetic throughout):
+
+    1. edge weight  w = round(W_SCALE / (1 + dist))  as int64;
+    2. raw mass     m_raw(v, c) = Σ_{(v,u) ∈ edges} w(v,u) · m_{t-1}(u, c);
+    3. normalize    m_t(v, c) = (m_raw · M_SCALE) div Σ_c m_raw  (int div);
+    4. clamp seeds  m_t(seed, seed_label) = M_SCALE (propagated rows
+       for seed ids are discarded -- seeds never drift).
+
+    Rows with zero mass are dropped each round, so the state stays
+    skinny; nodes with no ≤``iters``-hop path from a seed are absent
+    from the output (documented: they are UNLABELED, not class-0).
+
+    Returns one row per reached node: (id, label, confidence,
+    is_seed) where label is the argmax class (ties -> smallest
+    label), confidence = round(mass / M_SCALE, 6) ∈ (0, 1].
+
+    Scale: each round is one equi-join on the node id (n·k edges vs
+    ≤ n·n_classes mass rows, both skinny) + one (node, class) agg +
+    one node-keyed window -- 2-3 exchanges of integer rows per round,
+    combiner-friendly, nothing broadcast.  For deep propagation set
+    ``checkpoint_every`` to cut the lineage like
+    ``connected_components`` does (requires a checkpoint dir for
+    non-local masters).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    w_edges = (edges.select(
+        F.col(q_col).alias("_dst"), F.col(n_col).alias("_src"),
+        F.expr(f"CAST(round({W_SCALE}.0 / (1.0 + {dist_col})) AS BIGINT)")
+        .alias("_w")))
+
+    seed_mass = (seeds.select(
+        F.col(id_col).alias("_node"),
+        F.col(label_col).cast("long").alias("_label"),
+        F.lit(M_SCALE).cast("long").alias("_m")))
+    seed_ids = seeds.select(F.col(id_col).alias("_node")).distinct()
+
+    mass = seed_mass
+    for t in range(iters):
+        raw = (w_edges
+               .join(mass, w_edges["_src"] == mass["_node"], "inner")
+               .groupBy(F.col("_dst").alias("_node"), "_label")
+               .agg(F.sum(F.col("_w") * F.col("_m")).alias("_mr")))
+        total = Window.partitionBy("_node")
+        norm = (raw.withColumn("_tot", F.sum("_mr").over(total))
+                .select("_node", "_label",
+                        F.expr(f"CAST(_mr * {M_SCALE} div _tot AS BIGINT)")
+                        .alias("_m"))
+                .filter(F.col("_m") > 0))
+        mass = (norm.join(seed_ids, "_node", "left_anti")
+                .unionByName(seed_mass))
+        if checkpoint_every and (t + 1) % checkpoint_every == 0 \
+                and t + 1 < iters:
+            mass = mass.localCheckpoint(eager=True)
+
+    is_seed = (mass.join(seed_ids.withColumn("_is_seed", F.lit(True)),
+                         "_node", "left")
+               .withColumn("_is_seed",
+                           F.coalesce("_is_seed", F.lit(False))))
+    rank = Window.partitionBy("_node").orderBy(F.col("_m").desc(), "_label")
+    return (is_seed
+            .withColumn("_rn", F.row_number().over(rank))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_node").alias(id_col),
+                    F.col("_label").alias(label_col),
+                    F.round(F.col("_m") / M_SCALE, 6).alias("confidence"),
+                    F.col("_is_seed").alias("is_seed")))
+
+
+def hard_negatives(df: DataFrame, centroids: DataFrame, labels: DataFrame,
+                   k: int = 5, pool_k: int = 20, nprobe: int = 2,
+                   id_col: str = "id", vector_col: str = "vector",
+                   label_col: str = "label",
+                   **knn_kwargs) -> DataFrame:
+    """Mine hard negatives: each anchor's ``k`` nearest rows with a
+    DIFFERENT label, drawn from its ``pool_k``-NN pool.
+
+    The pool is ``knn_join(df, centroids, k=pool_k, nprobe=nprobe)``
+    -- the bounded cell-blocked self-join, never all-pairs -- so the
+    negative set is "hard" in the standard sense (nearest by the same
+    metric the embedding model is trained on) and the extra cost over
+    the graph build is two skinny label joins + one per-anchor rank
+    of ≤ pool_k rows.  Anchors whose pool contains fewer than ``k``
+    different-label rows emit fewer than ``k`` negatives (documented;
+    widen ``pool_k``/``nprobe`` to fill).
+
+    Returns (q_id, id, dist, rank) with rank ≤ k over different-label
+    neighbours only.
+    """
+    from .similarity import knn_join
+    if k > pool_k:
+        raise ValueError("k must be <= pool_k")
+    pool = knn_join(df, centroids, k=pool_k, nprobe=nprobe,
+                    id_col=id_col, vector_col=vector_col, **knn_kwargs)
+    lab = labels.select(F.col(id_col).alias("_lid"),
+                        F.col(label_col).alias("_lab"))
+    anchored = (pool
+                .join(lab.withColumnRenamed("_lab", "_q_lab"),
+                      pool["q_id"] == lab["_lid"], "inner")
+                .drop("_lid"))
+    negs = (anchored
+            .join(lab, anchored["id"] == lab["_lid"], "inner")
+            .filter(F.col("_lab") != F.col("_q_lab"))
+            .drop("_lid"))
+    rank = Window.partitionBy("q_id").orderBy("dist", "id")
+    return (negs
+            .withColumn("nrank", F.row_number().over(rank))
+            .filter(F.col("nrank") <= k)
+            .select("q_id", "id", "dist", F.col("nrank").alias("rank")))

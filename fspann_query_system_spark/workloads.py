@@ -3530,8 +3530,13 @@ def q_knn_join(spark, sf_dir):
                     F.col("rank").cast("int").alias("rank")))
 
 
-SQL_KNN_JOIN = f"""
-WITH e AS (SELECT vec_id AS id,
+def _sql_knn_graph_ctes(k: int, name: str = "knn_g") -> str:
+    """The kNN self-join oracle as a reusable CTE chain: ``name``
+    emits (q_id, id, dist, rank ≤ k) with dist UNROUNDED (element-
+    quantized, bit-identical to Spark's knn_join) so chained oracles
+    (label_propagation, hard_negatives) rank on the same value the
+    Spark side ranks on; callers round for display."""
+    return f"""e AS (SELECT vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 c AS (SELECT id AS cid, v AS cv FROM e WHERE id < {N_IVF_CENTROIDS}),
@@ -3558,12 +3563,20 @@ scored AS (
                                            * 1000000000.0) AS BIGINT)),
                           (acc, x) -> acc + x) / 1000000000.0) AS dist
   FROM probes p JOIN assign a ON p.cell = a.cell AND a.id != p.q_id
-  JOIN e qe ON qe.id = p.q_id JOIN e be ON be.id = a.id)
-SELECT q_id, id, round(dist, 6) AS dist, CAST(rnk AS INT) AS rank
-FROM (SELECT q_id, id, dist,
-             row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
-      FROM scored)
-WHERE rnk <= {KNN_JOIN_K}
+  JOIN e qe ON qe.id = p.q_id JOIN e be ON be.id = a.id),
+{name} AS (
+  SELECT q_id, id, dist, rnk AS rank
+  FROM (SELECT q_id, id, dist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dist, id) AS rnk
+        FROM scored)
+  WHERE rnk <= {k})"""
+
+
+SQL_KNN_JOIN = f"""
+WITH {_sql_knn_graph_ctes(KNN_JOIN_K)}
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM knn_g
 """
 
 
@@ -3649,6 +3662,107 @@ FROM (SELECT q_id, id, dist,
              row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
       FROM scored)
 WHERE rnk <= {KNN_JOIN_K}
+"""
+
+
+LP_SEED_MOD = 5      # seeds = every 5th vector keeps its true label
+LP_ITERS = 2
+
+
+def q_label_propagation(spark, sf_dir):
+    """Semi-supervised label propagation over the kNN graph
+    (beyond-reference; Zhu & Ghahramani 2002 shape): a 1-in-5 labeled
+    seed set spreads integer-quantized class mass over the knn_join
+    edges for 2 rounds — the graph-based quality/topic classifier a
+    100 TB curation pipeline runs instead of training a model
+    (ops/graph.py:label_propagate)."""
+    from .ops.graph import label_propagate
+    from .ops.similarity import knn_join
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    graph = (knn_join(base, centroids, k=KNN_JOIN_K, nprobe=IVF_NPROBE)
+             .select("q_id", "id", F.round("dist", 6).alias("dist")))
+    seeds = (_t(spark, sf_dir, "embeddings")
+             .filter(F.col("vec_id") % LP_SEED_MOD == 0)
+             .select(F.col("vec_id").alias("id"), "label"))
+    return label_propagate(graph, seeds, iters=LP_ITERS)
+
+
+SQL_LABEL_PROPAGATION = f"""
+WITH {_sql_knn_graph_ctes(KNN_JOIN_K)},
+g AS (SELECT q_id, id, round(dist, 6) AS dist FROM knn_g),
+seeds AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+          FROM embeddings WHERE vec_id % {LP_SEED_MOD} = 0),
+-- integer edge weights over the 6dp-rounded quantized distance: both
+-- engines compute w from the SAME value, and every later step is
+-- int64 sum / int division — merge-order-independent in any engine
+e2 AS (SELECT q_id, id,
+              CAST(round(1000000.0 / (1.0 + dist)) AS BIGINT) AS w
+       FROM g),
+m0 AS (SELECT id, label, CAST(100000 AS BIGINT) AS m FROM seeds),
+r1 AS (SELECT e2.q_id AS node, m.label, SUM(e2.w * m.m) AS mr
+       FROM e2 JOIN m0 m ON e2.id = m.id GROUP BY 1, 2),
+n1 AS (SELECT node, label,
+              CAST(mr * 100000 // SUM(mr) OVER (PARTITION BY node)
+                   AS BIGINT) AS m
+       FROM r1),
+m1 AS (SELECT node AS id, label, m FROM n1
+       WHERE m > 0 AND node NOT IN (SELECT id FROM seeds)
+       UNION ALL SELECT id, label, m FROM m0),
+r2 AS (SELECT e2.q_id AS node, m.label, SUM(e2.w * m.m) AS mr
+       FROM e2 JOIN m1 m ON e2.id = m.id GROUP BY 1, 2),
+n2 AS (SELECT node, label,
+              CAST(mr * 100000 // SUM(mr) OVER (PARTITION BY node)
+                   AS BIGINT) AS m
+       FROM r2),
+m2 AS (SELECT node AS id, label, m FROM n2
+       WHERE m > 0 AND node NOT IN (SELECT id FROM seeds)
+       UNION ALL SELECT id, label, m FROM m0)
+SELECT id, label, round(m / 100000.0, 6) AS confidence,
+       (id IN (SELECT id FROM seeds)) AS is_seed
+FROM (SELECT id, label, m,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY m DESC, label) AS rn
+      FROM m2)
+WHERE rn = 1
+"""
+
+
+HN_POOL_K = 20
+HN_K = 5
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (beyond-
+    reference): each anchor's 5 nearest DIFFERENT-label rows from its
+    20-NN knn_join pool — bounded cell-blocked self-join + label
+    anti-predicate, never all-pairs (ops/graph.py:hard_negatives)."""
+    from .ops.graph import hard_negatives
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    labels = (_t(spark, sf_dir, "embeddings")
+              .select(F.col("vec_id").alias("id"), "label"))
+    return (hard_negatives(base, centroids, labels, k=HN_K,
+                           pool_k=HN_POOL_K, nprobe=IVF_NPROBE)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH {_sql_knn_graph_ctes(HN_POOL_K, name="pool")},
+lab AS (SELECT vec_id AS id, label FROM embeddings),
+negs AS (
+  SELECT p.q_id, p.id, p.dist
+  FROM pool p
+  JOIN lab ql ON ql.id = p.q_id
+  JOIN lab nl ON nl.id = p.id
+  WHERE ql.label != nl.label)
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rn AS INT) AS rank
+FROM (SELECT q_id, id, dist,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dist, id) AS rn
+      FROM negs)
+WHERE rn <= {HN_K}
 """
 
 
@@ -4367,6 +4481,11 @@ QUERIES = {
     "streaming_minhash": q_streaming_minhash,
     "minhash_bands": q_minhash_bands,
     "dedup_clusters": q_dedup_clusters,
+    # -- NEW round 8, parked from birth (no safe window slot left):
+    # -- kNN-graph consumers; verified by the local full oracle run,
+    # -- rotate into the driver window at r9 --
+    "label_propagation": q_label_propagation,
+    "hard_negatives": q_hard_negatives,
 }
 
 
@@ -4426,6 +4545,8 @@ def oracle_sql_map() -> dict[str, str]:
             probe_mass=IVFBQSQ8_PROBE_MASS),
         "knn_join": SQL_KNN_JOIN,
         "knn_join_sq8": SQL_KNN_JOIN_SQ8,
+        "label_propagation": SQL_LABEL_PROPAGATION,
+        "hard_negatives": SQL_HARD_NEGATIVES,
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,
         "simhash": SQL_SIMHASH,

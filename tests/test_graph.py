@@ -1,0 +1,143 @@
+"""ops/graph.py: label propagation + hard-negative mining over the
+knn_join graph."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fspann_query_system_spark.ops.graph import (label_propagate,
+                                                 hard_negatives,
+                                                 M_SCALE, W_SCALE)
+
+
+def _hand_graph(spark):
+    # q pulls from n: 2<-1, 3<-2, 4<-5, 6<-{2 (near), 5 (far)};
+    # 7 has no inbound edges and is unreachable
+    edges = [(2, 1, 0.1), (3, 2, 0.1), (4, 5, 0.1),
+             (6, 2, 0.1), (6, 5, 0.3)]
+    seeds = [(1, 0), (5, 1)]     # node 1 -> class 0, node 5 -> class 1
+    e = spark.createDataFrame(edges, "q_id LONG, id LONG, dist DOUBLE")
+    s = spark.createDataFrame(seeds, "id LONG, label INT")
+    return e, s
+
+
+def _mirror(edges, seeds, iters):
+    """Pure-Python mirror of the documented integer algorithm."""
+    w = {(q, n): round(W_SCALE / (1 + d)) for q, n, d in edges}
+    seed_lab = dict(seeds)
+    mass = {(i, lab): M_SCALE for i, lab in seeds}
+    for _ in range(iters):
+        raw = {}
+        for (q, n), wt in w.items():
+            for (i, lab), m in mass.items():
+                if i == n:
+                    raw[(q, lab)] = raw.get((q, lab), 0) + wt * m
+        tot = {}
+        for (q, lab), m in raw.items():
+            tot[q] = tot.get(q, 0) + m
+        mass = {(q, lab): m * M_SCALE // tot[q]
+                for (q, lab), m in raw.items()
+                if m * M_SCALE // tot[q] > 0 and q not in seed_lab}
+        mass.update({(i, lab): M_SCALE for i, lab in seeds})
+    best = {}
+    for (i, lab), m in mass.items():
+        cur = best.get(i)
+        if cur is None or (m, -lab) > (cur[1], -cur[0]):
+            best[i] = (lab, m)
+    return {i: (lab, round(m / M_SCALE, 6), i in seed_lab)
+            for i, (lab, m) in best.items()}
+
+
+def test_label_propagate_matches_integer_mirror(spark):
+    """The Spark plan reproduces the documented integer algorithm
+    EXACTLY (same masses, argmax, confidence) on a hand graph with a
+    mixed-neighbourhood node, and hop semantics hold: node 3 is two
+    hops from its seed, so it appears at iters=2 but not iters=1;
+    node 7 (no inbound path) never appears."""
+    e, s = _hand_graph(spark)
+    edges = [(r.q_id, r.id, r.dist) for r in e.collect()]
+    seeds = [(r.id, r.label) for r in s.collect()]
+
+    for iters in (1, 2):
+        got = {r.id: (r.label, r.confidence, r.is_seed)
+               for r in label_propagate(e, s, iters=iters).collect()}
+        assert got == _mirror(edges, seeds, iters), f"iters={iters}"
+
+    one_hop = {r.id for r in label_propagate(e, s, iters=1).collect()}
+    two_hop = {r.id for r in label_propagate(e, s, iters=2).collect()}
+    assert 3 not in one_hop and 3 in two_hop
+    assert 7 not in two_hop
+
+
+def test_label_propagate_seeds_clamped_and_mixed_node_weighted(spark):
+    """Seeds keep their label at confidence 1.0 even when surrounded
+    by other-label mass; the mixed node (6) takes the NEARER seed's
+    class (weights decay with distance)."""
+    e, s = _hand_graph(spark)
+    out = {r.id: r for r in label_propagate(e, s, iters=2).collect()}
+    assert out[1].label == 0 and out[1].confidence == 1.0 and out[1].is_seed
+    assert out[5].label == 1 and out[5].confidence == 1.0 and out[5].is_seed
+    assert out[6].label == 0 and not out[6].is_seed
+    assert 0.5 < out[6].confidence < 1.0
+
+
+def test_label_propagate_recovers_clusters(spark, clustered):
+    """On the 8-cluster fixture with ONE seed per cluster, every
+    labeled non-seed node gets its own cluster's label (the kNN graph
+    never crosses the well-separated clusters)."""
+    from fspann_query_system_spark.ops.similarity import knn_join
+    df, X = clustered
+    small = df.filter(F.col("id") < 1000)                  # 4 clusters
+    cents = small.filter(F.col("id") % 250 == 0)           # 1 per cluster
+    graph = (knn_join(small, cents, k=5, nprobe=2)
+             .select("q_id", "id", F.round("dist", 6).alias("dist")))
+    seeds = (small.filter(F.col("id") % 250 == 1)
+             .select("id", (F.col("id") / 250).cast("int").alias("label")))
+    out = label_propagate(graph, seeds, iters=3).collect()
+    assert len(out) > 8                                    # spread happened
+    assert all(r.label == r.id // 250 for r in out)
+    assert all(0.0 < r.confidence <= 1.0 for r in out)
+
+
+def test_hard_negatives_equals_filtered_reranked_pool(spark, clustered):
+    """hard_negatives == the knn_join pool_k pool, label-filtered and
+    re-ranked (exact row equality), every pair label-mismatched, ranks
+    contiguous from 1, at most k per anchor."""
+    from fspann_query_system_spark.ops.similarity import knn_join
+    df, X = clustered
+    small = df.filter(F.col("id") < 600)
+    cents = small.filter(F.col("id") % 100 == 0)
+    labels = small.select("id", (F.col("id") % 4).alias("label"))
+    got = sorted((r.q_id, r.id, r.dist, r.rank) for r in
+                 hard_negatives(small, cents, labels, k=3, pool_k=10,
+                                nprobe=2).collect())
+
+    pool = knn_join(small, cents, k=10, nprobe=2).collect()
+    want, per_q = [], {}
+    for r in sorted(pool, key=lambda r: (r.q_id, r.dist, r.id)):
+        if (r.q_id % 4) != (r.id % 4):
+            n = per_q.get(r.q_id, 0) + 1
+            per_q[r.q_id] = n
+            if n <= 3:
+                want.append((r.q_id, r.id, r.dist, n))
+    assert got == sorted(want)
+    ranks = {}
+    for q, i, d, rk in got:
+        ranks.setdefault(q, []).append(rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in ranks.values())
+    assert all(len(v) <= 3 for v in ranks.values())
+
+
+def test_hard_negatives_k_gt_pool_raises(spark, clustered):
+    df, X = clustered
+    small = df.limit(50)
+    labels = small.select("id", F.lit(0).alias("label"))
+    with pytest.raises(ValueError):
+        hard_negatives(small, small.limit(2), labels, k=30, pool_k=10)
+
+
+def test_label_propagate_bad_iters_raises(spark):
+    e, s = _hand_graph(spark)
+    with pytest.raises(ValueError):
+        label_propagate(e, s, iters=0)

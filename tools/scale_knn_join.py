@@ -37,6 +37,14 @@ Round-8 additions (verdict r07 Next #2/#3):
     BYTES per row, 8x under float64; member side float32; rerank 2
     exact re-rank) — the nprobe-16+ single-box path where even the
     float32 probe shuffle would exceed the filesystem.
+
+Round-8 graph-consumer step (env KNN_LP=1): after the graph is built
+and persisted, time 2 rounds of ops/graph.label_propagate over it
+with a 1% seed set labeled by the generator's TRUE natural cluster
+(id % 256), and report coverage (nodes reached in 2 hops) and
+accuracy (propagated label == true cluster) — the end-to-end cost of
+the semi-supervised classification pass a curation pipeline runs on
+top of the graph it already built.
 """
 
 from __future__ import annotations
@@ -194,6 +202,25 @@ def main():
     print(f"graph recall@{k} vs exact (200-row sample): "
           f"{float(np.mean(rec)):.4f} (oracle build {time.time()-t0:.0f}s)",
           flush=True)
+
+    import os
+    if os.environ.get("KNN_LP") == "1":
+        from fspann_query_system_spark.ops.graph import label_propagate
+        seeds = (emb.filter(F.col("id") % 100 == 0)
+                 .select("id", (F.col("id") % N_CENTERS).alias("label")))
+        t0 = time.time()
+        lp = label_propagate(
+            graph.select("q_id", "id", F.round("dist", 6).alias("dist")),
+            seeds, iters=2).persist()
+        reached = lp.count()
+        lp_wall = time.time() - t0
+        correct = lp.filter(
+            F.col("label") == (F.col("id") % N_CENTERS)).count()
+        print(f"label_propagate iters=2 over {edges} edges, "
+              f"{n//100} seeds: {lp_wall:.1f}s -> {reached} nodes reached "
+              f"({reached/n:.3f} of corpus), accuracy vs true cluster "
+              f"{correct/reached:.4f}", flush=True)
+        lp.unpersist()
 
 
 if __name__ == "__main__":

@@ -102,6 +102,8 @@ HEADLINE = [
     "ivfbq_sq8_adaptive",
     "knn_join",
     "knn_join_sq8",
+    "label_propagation",
+    "hard_negatives",
     "ivf_ann",
     "version_census",
     "streaming_window_agg",

@@ -655,7 +655,8 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
                  c_id_col: str = "id", c_vector_col: str = "vector",
                  assigned: DataFrame | None = None,
                  exclude_self: bool = True,
-                 shuffle_dtype: str = "double") -> DataFrame:
+                 shuffle_dtype: str = "double",
+                 probe_groups: int = 1) -> DataFrame:
     """kNN self-join with SQ8 PROBE CODES — the high-nprobe scale
     variant of :func:`knn_join` (verdict r07 Next #2's "ascending
     ambition" option): the probe side ships each row's scalar-quantized
@@ -692,6 +693,22 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
 
     ``shuffle_dtype="float"`` additionally ships the MEMBER side as
     float32 (lossless on f32-representable sources, like knn_join).
+
+    ``probe_groups=g`` stages stage 1+2 over g cell partitions
+    (``cell % g``) with IDENTICAL output: top-m over a union equals
+    top-m over the union of per-part top-m, so each group's per-cell
+    top-k feeds a per-prober top-``k·rerank`` WITHIN the group, the
+    g skinny partials (n·k·rerank rows each) are materialized via
+    eager ``localCheckpoint``, and one final window merges them.
+    What this bounds is the NEXT footprint after SQ8 probe codes: at
+    nprobe 16 × 10M the stage-1→2 window exchange is n·nprobe·k ≈
+    1.6e9 rows, which overflowed the measured single box (§9g
+    addendum 3) — staging divides that live shuffle by g at the cost
+    of re-running the map-side probe kernel per group (no extra
+    exchange; dereferenced group shuffles are reclaimed by the 1-min
+    periodic-GC cleaner the session always sets).  On a cluster the
+    same knob caps per-stage shuffle capacity instead of /tmp.
+    Default 1 = single-pass, byte-identical plan to round 8's entry.
     """
     from ..functions.distance import l2q_expr
     spark = df.sparkSession
@@ -756,13 +773,33 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
                              "ad2": np.concatenate(od)})
 
     id_t = df.schema[id_col].dataType.simpleString()
-    scored = (qp.groupBy("cell").cogroup(bp.groupBy("cell"))
-              .applyInPandas(cell_topk,
-                             schema=f"q_id {id_t}, id {id_t}, ad2 LONG"))
+    sch = f"q_id {id_t}, id {id_t}, ad2 LONG"
     kk = k * rerank
     w_ap = Window.partitionBy("q_id").orderBy("ad2", "id")
-    short = (scored.withColumn("_ar", F.row_number().over(w_ap))
-             .filter(F.col("_ar") <= kk).select("q_id", "id"))
+    if probe_groups <= 1:
+        scored = (qp.groupBy("cell").cogroup(bp.groupBy("cell"))
+                  .applyInPandas(cell_topk, schema=sch))
+        short = (scored.withColumn("_ar", F.row_number().over(w_ap))
+                 .filter(F.col("_ar") <= kk).select("q_id", "id"))
+    else:
+        partials = []
+        for gi in range(probe_groups):
+            in_g = F.pmod(F.col("cell"), F.lit(probe_groups)) == gi
+            sg = (qp.filter(in_g).groupBy("cell")
+                  .cogroup(bp.filter(in_g).groupBy("cell"))
+                  .applyInPandas(cell_topk, schema=sch))
+            # per-prober top-kk WITHIN the group, then materialize the
+            # skinny partial so the group's big shuffle is dereferenced
+            # (and reclaimed) before the next group runs
+            partials.append(
+                sg.withColumn("_ar", F.row_number().over(w_ap))
+                .filter(F.col("_ar") <= kk).select("q_id", "id", "ad2")
+                .localCheckpoint(eager=True))
+        un = partials[0]
+        for p in partials[1:]:
+            un = un.unionByName(p)
+        short = (un.withColumn("_ar", F.row_number().over(w_ap))
+                 .filter(F.col("_ar") <= kk).select("q_id", "id"))
     qv = df.select(F.col(id_col).alias("q_id"),
                    F.col(vector_col).alias("_qv"))
     bv = df.select(F.col(id_col).alias("id"),

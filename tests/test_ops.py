@@ -2416,3 +2416,25 @@ def test_bigram_logprob_separates_shuffled_from_fluent(spark):
     assert all(out[i].n_bigrams == 8 for i in range(20))
     # every fluent doc scores strictly better (lower NLL) than the shuffle
     assert max(out[i].avg_nll for i in range(20)) < out[99].avg_nll
+
+
+def test_knn_join_sq8_probe_groups_identical(spark, clustered):
+    """probe_groups staging is a pure physical rewrite — top-m over a
+    union equals top-m of per-group top-m — so g=1/2/3 emit IDENTICAL
+    rows (ids, dists, ranks).  The knob exists to divide the stage-1→2
+    shortlist shuffle (n·nprobe·k rows, the footprint that overflowed
+    the 10M nprobe-16 box, SCALE.md §9g addendum 3)."""
+    from fspann_query_system_spark.ops.similarity import (knn_join_sq8,
+                                                          sq8_stats)
+    df, X = clustered
+    small = df.filter(F.col("id") < 500)
+    cents = small.filter(F.col("id") % 100 == 0)     # 5 cells
+    mins, maxs = sq8_stats(small)
+    base = sorted((r.q_id, r.id, r.dist, r.rank) for r in
+                  knn_join_sq8(small, cents, mins, maxs, k=5,
+                               nprobe=3).collect())
+    for g in (2, 3):
+        got = sorted((r.q_id, r.id, r.dist, r.rank) for r in
+                     knn_join_sq8(small, cents, mins, maxs, k=5, nprobe=3,
+                                  probe_groups=g).collect())
+        assert got == base, f"probe_groups={g} diverged"

@@ -136,12 +136,14 @@ def main():
 
     t0 = time.time()
     if shuffle_dtype == "sq8":
+        import os
         from fspann_query_system_spark.ops.similarity import (knn_join_sq8,
                                                               sq8_stats)
         mins, maxs = sq8_stats(emb)
+        pg = int(os.environ.get("KNN_PROBE_GROUPS", "1"))
         graph = knn_join_sq8(emb, cent, mins, maxs, k=k, nprobe=nprobe,
                              rerank=2, c_id_col="cell", assigned=assigned,
-                             shuffle_dtype="float")
+                             shuffle_dtype="float", probe_groups=pg)
     else:
         graph = knn_join(emb, cent, k=k, nprobe=nprobe,
                          c_id_col="cell", assigned=assigned,

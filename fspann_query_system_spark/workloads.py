@@ -1797,6 +1797,43 @@ WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.05
 """
 
 
+CONTAIN_THRESHOLD = 0.5
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Shingle-set containment near-dups (beyond-reference; Broder
+    1997): the doc-in-doc duplicates Jaccard structurally misses —
+    a short doc quoted inside a long one has containment 1.0 but
+    Jaccard ~ |A|/|B| (ops/dedup.py:containment_pairs)."""
+    from .ops.dedup import containment_pairs
+    return containment_pairs(_t(spark, sf_dir, "documents"), "text",
+                             "doc_id", k=3, threshold=CONTAIN_THRESHOLD,
+                             max_df=JACCARD_MAX_DF)
+
+
+SQL_CONTAINMENT = f"""
+WITH {_SQL_SHINGLES_CTE},
+shc AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh
+                    GROUP BY shingle HAVING count(*) <= {JACCARD_MAX_DF})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_inter / sa.sz, 6) AS cont_a,
+       round(n_inter / sb.sz, 6) AS cont_b,
+       round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(round(n_inter / sa.sz, 6), round(n_inter / sb.sz, 6))
+      >= {CONTAIN_THRESHOLD}
+"""
+
+
 def q_simhash(spark, sf_dir):
     from .ops.dedup import simhash
     return simhash(_t(spark, sf_dir, "documents"), "text", "doc_id")
@@ -4486,6 +4523,7 @@ QUERIES = {
     # -- rotate into the driver window at r9 --
     "label_propagation": q_label_propagation,
     "hard_negatives": q_hard_negatives,
+    "containment_pairs": q_containment_pairs,
 }
 
 
@@ -4547,6 +4585,7 @@ def oracle_sql_map() -> dict[str, str]:
         "knn_join_sq8": SQL_KNN_JOIN_SQ8,
         "label_propagation": SQL_LABEL_PROPAGATION,
         "hard_negatives": SQL_HARD_NEGATIVES,
+        "containment_pairs": SQL_CONTAINMENT,
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,
         "simhash": SQL_SIMHASH,

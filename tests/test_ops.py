@@ -2438,3 +2438,44 @@ def test_knn_join_sq8_probe_groups_identical(spark, clustered):
                      knn_join_sq8(small, cents, mins, maxs, k=5, nprobe=3,
                                   probe_groups=g).collect())
         assert got == base, f"probe_groups={g} diverged"
+
+
+def test_containment_pairs_finds_doc_in_doc(spark):
+    """A short doc fully contained in a long one: containment 1.0 but
+    Jaccard ~ |A|/|B| — kept by containment_pairs, structurally missed
+    by a Jaccard gate at any resemblance threshold."""
+    from fspann_query_system_spark.ops.dedup import (containment_pairs,
+                                                     jaccard_pairs)
+    long_text = " ".join(f"w{i}" for i in range(60))
+    short_text = " ".join(f"w{i}" for i in range(20, 30))   # quoted span
+    other = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, long_text), (1, short_text), (2, other)],
+        "doc_id LONG, text STRING")
+    rows = containment_pairs(docs, threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (0, 1)
+    assert r.cont_b == 1.0            # all of the short doc is inside
+    assert r.cont_a == r.jaccard      # |A∩B|=|B| ⇒ cont_a = jaccard
+    assert r.jaccard < 0.2
+    assert jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_containment_pairs_identical_docs_and_capped_twin(spark):
+    """Identical docs: cont_a = cont_b = jaccard = 1.0; and the df cap
+    flows through the shared core exactly as in jaccard_pairs (the
+    capped jaccard column matches the twin's value row-for-row)."""
+    from fspann_query_system_spark.ops.dedup import (containment_pairs,
+                                                     jaccard_pairs)
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "a b c d e f g"),
+         (2, "a b c d e f g h i"), (3, "x y z w v u t")],
+        "doc_id LONG, text STRING")
+    out = {(r.id_a, r.id_b): r for r in
+           containment_pairs(docs, threshold=0.0, max_df=10).collect()}
+    assert out[(0, 1)].cont_a == 1.0 and out[(0, 1)].cont_b == 1.0 \
+        and out[(0, 1)].jaccard == 1.0
+    jac = {(r.id_a, r.id_b): r.jaccard for r in
+           jaccard_pairs(docs, threshold=0.0, max_df=10).collect()}
+    assert {k: v.jaccard for k, v in out.items()} == jac

@@ -782,24 +782,31 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
         short = (scored.withColumn("_ar", F.row_number().over(w_ap))
                  .filter(F.col("_ar") <= kk).select("q_id", "id"))
     else:
-        partials = []
+        running = None
         for gi in range(probe_groups):
             in_g = F.pmod(F.col("cell"), F.lit(probe_groups)) == gi
             sg = (qp.filter(in_g).groupBy("cell")
                   .cogroup(bp.filter(in_g).groupBy("cell"))
                   .applyInPandas(cell_topk, schema=sch))
-            # per-prober top-kk WITHIN the group, then materialize the
-            # skinny partial so the group's big shuffle is dereferenced
-            # (and reclaimed) before the next group runs
-            partials.append(
-                sg.withColumn("_ar", F.row_number().over(w_ap))
-                .filter(F.col("_ar") <= kk).select("q_id", "id", "ad2")
-                .localCheckpoint(eager=True))
-        un = partials[0]
-        for p in partials[1:]:
-            un = un.unionByName(p)
-        short = (un.withColumn("_ar", F.row_number().over(w_ap))
-                 .filter(F.col("_ar") <= kk).select("q_id", "id"))
+            # per-prober top-kk WITHIN the group, eagerly materialized:
+            # the group's big shuffle is dereferenced (and reclaimed by
+            # the periodic-GC cleaner) before the next group runs
+            part = (sg.withColumn("_ar", F.row_number().over(w_ap))
+                    .filter(F.col("_ar") <= kk)
+                    .select("q_id", "id", "ad2")
+                    .localCheckpoint(eager=True))
+            if running is None:
+                running = part
+            else:
+                # incremental merge: fold into a running top-kk so the
+                # LIVE state is always ≤ 2 skinny n·kk checkpoints plus
+                # one n·2kk merge window — never g partials at once
+                running = (running.unionByName(part)
+                           .withColumn("_ar", F.row_number().over(w_ap))
+                           .filter(F.col("_ar") <= kk)
+                           .select("q_id", "id", "ad2")
+                           .localCheckpoint(eager=True))
+        short = running.select("q_id", "id")
     qv = df.select(F.col(id_col).alias("q_id"),
                    F.col(vector_col).alias("_qv"))
     bv = df.select(F.col(id_col).alias("id"),

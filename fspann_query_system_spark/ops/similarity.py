@@ -656,7 +656,8 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
                  assigned: DataFrame | None = None,
                  exclude_self: bool = True,
                  shuffle_dtype: str = "double",
-                 probe_groups: int = 1) -> DataFrame:
+                 probe_groups: int = 1,
+                 checkpoint_mode: str = "local") -> DataFrame:
     """kNN self-join with SQ8 PROBE CODES — the high-nprobe scale
     variant of :func:`knn_join` (verdict r07 Next #2's "ascending
     ambition" option): the probe side ships each row's scalar-quantized
@@ -709,6 +710,17 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
     periodic-GC cleaner the session always sets).  On a cluster the
     same knob caps per-stage shuffle capacity instead of /tmp.
     Default 1 = single-pass, byte-identical plan to round 8's entry.
+
+    ``checkpoint_mode`` picks how group partials materialize (the
+    dedup family's ``_ckpt`` contract): ``"local"`` localCheckpoints
+    into executor storage — fine at test scale, but the
+    MEMORY_AND_DISK deserialized blocks of an n·k·rerank partial are
+    heap-resident while they build (measured: heap OOM at 10M×g4 in
+    a 96 GB driver); ``"reliable"`` checkpoints SERIALIZED to the
+    configured checkpoint dir — zero heap residency, and with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` +
+    ``spark.checkpoint.compress=true`` superseded partials are
+    deleted/compact.  Use "reliable" for corpus-scale staged runs.
     """
     from ..functions.distance import l2q_expr
     spark = df.sparkSession
@@ -782,6 +794,7 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
         short = (scored.withColumn("_ar", F.row_number().over(w_ap))
                  .filter(F.col("_ar") <= kk).select("q_id", "id"))
     else:
+        from .dedup import _ckpt
         running = None
         for gi in range(probe_groups):
             in_g = F.pmod(F.col("cell"), F.lit(probe_groups)) == gi
@@ -791,21 +804,21 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
             # per-prober top-kk WITHIN the group, eagerly materialized:
             # the group's big shuffle is dereferenced (and reclaimed by
             # the periodic-GC cleaner) before the next group runs
-            part = (sg.withColumn("_ar", F.row_number().over(w_ap))
-                    .filter(F.col("_ar") <= kk)
-                    .select("q_id", "id", "ad2")
-                    .localCheckpoint(eager=True))
+            part = _ckpt(sg.withColumn("_ar", F.row_number().over(w_ap))
+                         .filter(F.col("_ar") <= kk)
+                         .select("q_id", "id", "ad2"),
+                         checkpoint_mode)
             if running is None:
                 running = part
             else:
                 # incremental merge: fold into a running top-kk so the
                 # LIVE state is always ≤ 2 skinny n·kk checkpoints plus
                 # one n·2kk merge window — never g partials at once
-                running = (running.unionByName(part)
-                           .withColumn("_ar", F.row_number().over(w_ap))
-                           .filter(F.col("_ar") <= kk)
-                           .select("q_id", "id", "ad2")
-                           .localCheckpoint(eager=True))
+                running = _ckpt(running.unionByName(part)
+                                .withColumn("_ar", F.row_number().over(w_ap))
+                                .filter(F.col("_ar") <= kk)
+                                .select("q_id", "id", "ad2"),
+                                checkpoint_mode)
         short = running.select("q_id", "id")
     qv = df.select(F.col(id_col).alias("q_id"),
                    F.col(vector_col).alias("_qv"))

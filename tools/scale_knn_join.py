@@ -99,8 +99,16 @@ def main():
     shuffle_dtype = sys.argv[5] if len(sys.argv) > 5 else "float"
     n_cells = max(64, n // TARGET_CELL)
     spark = get_spark("scale-knn-join",
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+                      extra_conf={
+                          "spark.ui.showConsoleProgress": "false",
+                          # staged sq8 runs checkpoint group partials to
+                          # disk; let the cleaner delete superseded ones
+                          # and compress what lives
+                          "spark.cleaner.referenceTracking.cleanCheckpoints":
+                              "true",
+                          "spark.checkpoint.compress": "true"})
     spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setCheckpointDir("/tmp/knn_join_ckpt")
 
     from fspann_query_system_spark.ops.similarity import (
         kmeans_fit, ivf_assign, knn_join)
@@ -143,7 +151,9 @@ def main():
         pg = int(os.environ.get("KNN_PROBE_GROUPS", "1"))
         graph = knn_join_sq8(emb, cent, mins, maxs, k=k, nprobe=nprobe,
                              rerank=2, c_id_col="cell", assigned=assigned,
-                             shuffle_dtype="float", probe_groups=pg)
+                             shuffle_dtype="float", probe_groups=pg,
+                             checkpoint_mode="reliable" if pg > 1
+                             else "local")
     else:
         graph = knn_join(emb, cent, k=k, nprobe=nprobe,
                          c_id_col="cell", assigned=assigned,

@@ -820,16 +820,38 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
                                 .select("q_id", "id", "ad2"),
                                 checkpoint_mode)
         short = running.select("q_id", "id")
+    # stage 3: exact re-rank.  The shortlist rows carry a TRUE vector
+    # through the q_id join exchange — the one unavoidable vector-per-
+    # pair movement.  Two footprint levers, both value-preserving:
+    # shuffle_dtype="float" ships those vectors as array<float>
+    # (lossless on f32-representable sources, f32→f64 promotion is
+    # exact inside l2q_expr), and probe_groups>1 stages the re-rank by
+    # q_id % g — every query's shortlist is COMPLETE within its chunk,
+    # so per-chunk top-k rows are final and just union (no merge
+    # window), dividing the live vector-carrying exchange by g.
     qv = df.select(F.col(id_col).alias("q_id"),
-                   F.col(vector_col).alias("_qv"))
+                   _cast(F.col(vector_col)).alias("_qv"))
     bv = df.select(F.col(id_col).alias("id"),
-                   F.col(vector_col).alias("_bv"))
+                   _cast(F.col(vector_col)).alias("_bv"))
     w_rank = Window.partitionBy("q_id").orderBy("dist", "id")
-    return (short.join(bv, on="id").join(qv, on="q_id")
-            .withColumn("dist", l2q_expr("_qv", "_bv"))
-            .withColumn("rank", F.row_number().over(w_rank))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "id", "dist", "rank"))
+
+    def _rerank(sub_short, sub_qv):
+        return (sub_short.join(bv, on="id").join(sub_qv, on="q_id")
+                .withColumn("dist", l2q_expr("_qv", "_bv"))
+                .withColumn("rank", F.row_number().over(w_rank))
+                .filter(F.col("rank") <= k)
+                .select("q_id", "id", "dist", "rank"))
+
+    if probe_groups <= 1:
+        return _rerank(short, qv)
+    from .dedup import _ckpt
+    out = None
+    for gi in range(probe_groups):
+        in_g = F.pmod(F.col("q_id"), F.lit(probe_groups)) == gi
+        res_g = _ckpt(_rerank(short.filter(in_g), qv.filter(in_g)),
+                      checkpoint_mode)
+        out = res_g if out is None else out.unionByName(res_g)
+    return out
 
 
 def _key_bucket_pairs(df: DataFrame, index, threshold: float,

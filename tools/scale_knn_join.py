@@ -108,6 +108,11 @@ def main():
                               "true",
                           "spark.checkpoint.compress": "true"})
     spark.sparkContext.setLogLevel("ERROR")
+    # stale scratch from a previous crashed run eats the budget this
+    # run's shuffle needs (a hard-killed JVM leaves its blockmgr dir
+    # and checkpoint tree behind — measured 33 GB of a 94 GB fs)
+    import shutil
+    shutil.rmtree("/tmp/knn_join_ckpt", ignore_errors=True)
     spark.sparkContext.setCheckpointDir("/tmp/knn_join_ckpt")
 
     from fspann_query_system_spark.ops.similarity import (

@@ -908,3 +908,54 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.round(-(_det_sum(lp) / F.count(F.lit(1))), 4)
                  .alias("avg_nll")))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns live in the Java-regex ∩ RE2 portable subset (same contract
+# as functions/text.bpe_token_count): character classes, bounded
+# repetition, \b ASCII word boundaries — no lookaround, no backrefs —
+# so Spark (java.util.regex) and a DuckDB oracle (RE2) match the same
+# spans.  Deliberately conservative: emails and dotted-quad IPv4, the
+# two forms with crisp portable grammars; free-form phone numbers are
+# NOT matched (their grammars are locale soup and any regex both
+# over- and under-redacts — a production pass uses a locale-aware
+# library behind the same column contract).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": (r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+             r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"),
+}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              kinds: tuple[str, ...] = ("email", "ipv4")) -> DataFrame:
+    """Redact PII spans and census them: (id, n_<kind>..., text_clean).
+
+    The standard pre-training redaction pass (C4 strips lines by
+    blocklist; The Pile / RefinedWeb-class pipelines regex-redact
+    emails/IPs).  Each kind is replaced by a ``<KIND>`` sentinel so
+    downstream token statistics stay stable, and the per-doc match
+    count is emitted for corpus-health reporting (PII density per
+    source is a release gate).
+
+    Map-only: one ``regexp_count`` + one ``regexp_replace`` per kind,
+    ZERO exchanges at any scale — the 100 TB shape is a straight scan.
+    Replacement order follows ``kinds`` (email before ipv4 by default;
+    the two grammars cannot overlap, so order only matters if a custom
+    pattern nests another).
+    """
+    out = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    for kind in kinds:
+        if kind not in PII_PATTERNS:
+            raise ValueError(f"unknown PII kind {kind!r}; "
+                             f"known: {sorted(PII_PATTERNS)}")
+        pat = PII_PATTERNS[kind]
+        out = (out.withColumn(f"n_{kind}",
+                              F.regexp_count("_t", F.lit(pat)))
+               .withColumn("_t", F.regexp_replace(
+                   "_t", pat, f"<{kind.upper()}>")))
+    return out.withColumnRenamed("_t", "text_clean")

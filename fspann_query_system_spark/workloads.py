@@ -1834,6 +1834,55 @@ WHERE greatest(round(n_inter / sa.sz, 6), round(n_inter / sb.sz, 6))
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction census (beyond-reference; the C4/Pile-class
+    pre-training redaction pass): emails and IPv4s replaced by
+    sentinels, per-doc match counts emitted.  The synthetic corpus
+    has no organic PII, so a deterministic contact line is appended
+    per doc (mirrored in the oracle) to exercise real redaction
+    (ops/quality.py:pii_scrub)."""
+    from .ops.quality import pii_scrub
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.concat(F.col("text"), F.lit(" reach doc"),
+                          F.col("doc_id").cast("string"),
+                          F.lit("@corp.example via 10.0."),
+                          (F.col("doc_id") % 256).cast("string"),
+                          F.lit("."),
+                          (F.col("doc_id") % 100).cast("string"))
+                 .alias("text")))
+    return (pii_scrub(d)
+            .select("doc_id", "text_clean",
+                    F.col("n_email").cast("long").alias("n_email"),
+                    F.col("n_ipv4").cast("long").alias("n_ipv4")))
+
+
+def _sql_pii() -> str:
+    from .ops.quality import PII_PATTERNS
+    em, ip = PII_PATTERNS["email"], PII_PATTERNS["ipv4"]
+    return ("""
+WITH d AS (
+  SELECT doc_id,
+         text || ' reach doc' || CAST(doc_id AS VARCHAR)
+              || '@corp.example via 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST(doc_id % 100 AS VARCHAR) AS t
+  FROM documents),
+e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '""" + em + """')) AS BIGINT)
+           AS n_email,
+         regexp_replace(t, '""" + em + """', '<EMAIL>', 'g') AS t
+  FROM d)
+SELECT doc_id,
+       regexp_replace(t, '""" + ip + """', '<IPV4>', 'g') AS text_clean,
+       n_email,
+       CAST(len(regexp_extract_all(t, '""" + ip + """')) AS BIGINT)
+         AS n_ipv4
+FROM e
+""")
+
+
 def q_simhash(spark, sf_dir):
     from .ops.dedup import simhash
     return simhash(_t(spark, sf_dir, "documents"), "text", "doc_id")
@@ -4524,6 +4573,7 @@ QUERIES = {
     "label_propagation": q_label_propagation,
     "hard_negatives": q_hard_negatives,
     "containment_pairs": q_containment_pairs,
+    "pii_scrub": q_pii_scrub,
 }
 
 
@@ -4586,6 +4636,7 @@ def oracle_sql_map() -> dict[str, str]:
         "label_propagation": SQL_LABEL_PROPAGATION,
         "hard_negatives": SQL_HARD_NEGATIVES,
         "containment_pairs": SQL_CONTAINMENT,
+        "pii_scrub": _sql_pii(),
         "minhash": SQL_MINHASH,
         "jaccard_pairs": SQL_JACCARD,
         "simhash": SQL_SIMHASH,

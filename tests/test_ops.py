@@ -2479,3 +2479,28 @@ def test_containment_pairs_identical_docs_and_capped_twin(spark):
     jac = {(r.id_a, r.id_b): r.jaccard for r in
            jaccard_pairs(docs, threshold=0.0, max_df=10).collect()}
     assert {k: v.jaccard for k, v in out.items()} == jac
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Emails/IPv4s are replaced by sentinels with per-doc counts;
+    out-of-range octets (999.x) are rejected by the octet grammar +
+    word boundaries, while an in-range dotted-quad inside a longer
+    dotted run still matches (leftmost match semantics, identical in
+    Java regex and RE2 — the oracle-portability contract)."""
+    import pytest as _pytest
+    from fspann_query_system_spark.ops.quality import pii_scrub
+    docs = spark.createDataFrame(
+        [(0, "mail a.b+c@ex-ample.org and x@y.io from 10.0.255.1"),
+         (1, "no pii here"),
+         (2, "999.1.1.1 and 1.2.3.4.5 edge: 1.2.3.4")],
+        "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[0].n_email == 2 and out[0].n_ipv4 == 1
+    assert "@" not in out[0].text_clean
+    assert "<EMAIL>" in out[0].text_clean and "<IPV4>" in out[0].text_clean
+    assert out[1].text_clean == "no pii here"
+    assert out[1].n_email == 0 and out[1].n_ipv4 == 0
+    assert out[2].n_ipv4 == 2                      # 1.2.3.4 twice
+    assert "999.1.1.1" in out[2].text_clean        # rejected octet kept
+    with _pytest.raises(ValueError):
+        pii_scrub(docs, kinds=("email", "ssn")).collect()

@@ -1,0 +1,81 @@
+"""Tolerant JSONL document loader (beyond-reference source).
+
+JSON-Lines is the de-facto interchange format for LLM training
+corpora (one document object per line: The Pile, RedPajama, Dolma,
+FineWeb all ship it), so the engine's source layer needs the same
+drop-don't-fail discipline the reference applies to CSV
+(``loader/.../CsvLoader.java:19-120``, S4 in SURVEY §2): blank lines,
+truncated/garbled JSON, and schema-drifted records must be skipped
+and COUNTED, never crash a 100 TB ingest.
+
+Built on Spark's native JSON reader (JVM-side Jackson parse — no
+Python in the hot path): ``PERMISSIVE`` mode routes unparseable lines
+to ``columnNameOfCorruptRecord`` instead of failing, and an explicit
+caller schema keeps the scan single-pass (no inference job) with
+column pruning intact.  Malformed-line census comes from the corrupt
+column; schema-drifted-but-parseable records are kept with nulls
+(standard JSON-relaxation semantics), filterable via
+``require`` columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CORRUPT = "_corrupt_record"
+
+
+def read_jsonl_docs(spark: SparkSession, path: str,
+                    schema: str = "doc_id LONG, text STRING, "
+                                  "lang STRING, source STRING",
+                    require: tuple[str, ...] = ("text",),
+                    keep_corrupt: bool = False) -> DataFrame:
+    """→ documents DataFrame with the given schema, malformed lines
+    dropped (or kept in ``_corrupt_record`` when ``keep_corrupt``).
+
+    ``require`` lists columns that must be non-null for a record to
+    survive (a JSON object that parses but lacks ``text`` is useless
+    to every downstream text operator).  Single scan, no inference,
+    prunes to the requested columns at the Jackson parser.
+    """
+    df = (spark.read
+          .schema(schema + f", {_CORRUPT} STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", _CORRUPT)
+          .json(path))
+    ok = df.filter(F.col(_CORRUPT).isNull())
+    for c in require:
+        ok = ok.filter(F.col(c).isNotNull())
+    return ok if keep_corrupt else ok.drop(_CORRUPT)
+
+
+def jsonl_ingest_report(spark: SparkSession, path: str,
+                        schema: str = "doc_id LONG, text STRING, "
+                                      "lang STRING, source STRING",
+                        require: tuple[str, ...] = ("text",)) -> DataFrame:
+    """One-row ingest-health census: (n_total, n_ok, n_corrupt,
+    n_missing_required) — the numbers an ingest job logs per shard
+    so silent data loss is visible (a 2% corrupt rate on one source
+    is a crawler regression, not noise).
+
+    Spark cannot count corrupt records and select other columns from
+    the same cached parse plan in one pass portably, so this runs the
+    same single-scan shape with the corrupt column retained.
+    """
+    df = (spark.read
+          .schema(schema + f", {_CORRUPT} STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", _CORRUPT)
+          .json(path))
+    req_ok = None
+    for c in require:
+        cond = F.col(c).isNotNull()
+        req_ok = cond if req_ok is None else (req_ok & cond)
+    corrupt = F.col(_CORRUPT).isNotNull()
+    return df.agg(
+        F.count("*").alias("n_total"),
+        F.sum((~corrupt & req_ok).cast("long")).alias("n_ok"),
+        F.sum(corrupt.cast("long")).alias("n_corrupt"),
+        F.sum((~corrupt & ~req_ok).cast("long"))
+        .alias("n_missing_required"))

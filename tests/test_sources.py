@@ -115,3 +115,24 @@ def test_vecfile_datasource_empty_file(spark, tmp_path):
     p = str(tmp_path / "empty.fvecs")
     open(p, "wb").close()
     assert spark.read.format("vecfile").load(p).count() == 0
+
+
+def test_jsonl_tolerant_read_and_report(spark, tmp_path):
+    """JSONL source: malformed lines dropped and censused, parseable
+    records missing required columns filtered, good records typed."""
+    from fspann_query_system_spark.sources.jsonl import (read_jsonl_docs,
+                                                         jsonl_ingest_report)
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join([
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}',
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}',     # no source: ok
+        '{"doc_id": 3, "lang": "de", "source": "web"}',       # no text: drop
+        '{"doc_id": 4, "text": "trunca',                      # corrupt: drop
+        '{"doc_id": 5, "text": "fin", "lang": "es", "source": "book"}',
+    ]) + "\n")
+    got = read_jsonl_docs(spark, str(p)).orderBy("doc_id").collect()
+    assert [r.doc_id for r in got] == [1, 2, 5]
+    assert got[1].source is None and got[1].text == "bonjour"
+    rep = jsonl_ingest_report(spark, str(p)).collect()[0]
+    assert (rep.n_total, rep.n_ok, rep.n_corrupt,
+            rep.n_missing_required) == (5, 3, 1, 1)

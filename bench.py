@@ -64,6 +64,8 @@ HEADLINE = [
     "token_budget_mix",
     "minhash",
     "jaccard_pairs",
+    "containment_pairs",
+    "pii_scrub",
     "simhash",
     "knn_exact",
     "cosine_topk",

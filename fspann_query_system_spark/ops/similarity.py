@@ -794,7 +794,13 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
         short = (scored.withColumn("_ar", F.row_number().over(w_ap))
                  .filter(F.col("_ar") <= kk).select("q_id", "id"))
     else:
+        from pyspark import StorageLevel
         from .dedup import _ckpt
+        # the probe table is a map-side kernel over the full corpus
+        # (top-nprobe GEMM vs the centroid matrix); without this each
+        # group re-runs it — persist SERIALIZED to disk once (n·nprobe
+        # skinny code rows) and let every group filter the same scan
+        qp = qp.persist(StorageLevel.DISK_ONLY)
         running = None
         for gi in range(probe_groups):
             in_g = F.pmod(F.col("cell"), F.lit(probe_groups)) == gi
@@ -819,7 +825,8 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
                                 .filter(F.col("_ar") <= kk)
                                 .select("q_id", "id", "ad2"),
                                 checkpoint_mode)
-        short = running.select("q_id", "id")
+        qp.unpersist()       # stages 1-2 ran eagerly; stage 3 only
+        short = running.select("q_id", "id")  # reads the checkpoints
     # stage 3: exact re-rank.  The shortlist rows carry a TRUE vector
     # through the q_id join exchange — the one unavoidable vector-per-
     # pair movement.  Two footprint levers, both value-preserving:

@@ -106,6 +106,9 @@ HEADLINE = [
     "knn_join_sq8",
     "label_propagation",
     "hard_negatives",
+    "pagerank",
+    "mutual_knn",
+    "jl_project",
     "ivf_ann",
     "version_census",
     "streaming_window_agg",

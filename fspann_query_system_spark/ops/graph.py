@@ -23,6 +23,19 @@ large-scale training-data pipeline actually runs over that graph:
   ``knn_join`` pool + a label anti-predicate + one per-anchor rank --
   never an all-pairs scan.
 
+* ``pagerank`` -- unlabeled centrality over the kNN graph: the
+  data-selection signal "which rows sit in dense, well-connected
+  regions" (density/representativeness scoring for coreset selection
+  and prototypicality ranking).  Each round is one equi-join of the
+  n·k edge table against the (node, rank) table plus one keyed sum --
+  the same skinny-integer-exchange shape as ``label_propagate``.
+
+* ``mutual_knn`` -- symmetrize the directed kNN graph to edges
+  present in BOTH directions.  Mutual-kNN graphs suppress hub nodes
+  (a hub is many rows' neighbour but reciprocates few), the standard
+  preprocessing step before graph clustering or graph-based dedup;
+  one self-equi-join of the edge table on the (src, dst) pair key.
+
 Cross-engine determinism (the repo-wide discipline, SCALE.md
 pathology #3): every arithmetic step that feeds an ORDER BY or a
 group key is integer-quantized.  Edge weights are
@@ -47,6 +60,9 @@ from pyspark.sql.window import Window
 
 W_SCALE = 1_000_000    # edge-weight quantization: w = round(1e6/(1+dist))
 M_SCALE = 100_000      # per-node class-mass normalization target
+
+PR_SCALE = 1_000_000_000   # pagerank mass per node at t=0 (int64)
+PR_D_NUM, PR_D_DEN = 85, 100   # damping 0.85 as an integer ratio
 
 
 def label_propagate(edges: DataFrame, seeds: DataFrame, iters: int = 2,
@@ -169,3 +185,104 @@ def hard_negatives(df: DataFrame, centroids: DataFrame, labels: DataFrame,
             .withColumn("nrank", F.row_number().over(rank))
             .filter(F.col("nrank") <= k)
             .select("q_id", "id", "dist", F.col("nrank").alias("rank")))
+
+
+def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
+             iters: int = 2, q_col: str = "q_id", n_col: str = "id",
+             id_col: str = "id", checkpoint_every: int = 0) -> DataFrame:
+    """Integer-exact PageRank over a directed edge table for ``iters``
+    rounds -- the unlabeled twin of ``label_propagate``.
+
+    ``edges``: (q_col, n_col) -- mass flows q -> n, exactly the
+    direction ``knn_join`` emits (a row "votes for" its nearest
+    neighbours), so high scores mark rows many other rows count among
+    their kNN: dense-region / prototypical rows.  The 100 TB use is
+    coreset and curriculum selection ("keep the most central docs per
+    cluster") and hub diagnostics before graph dedup.
+
+    Semantics per round t (integer arithmetic throughout, scaled so
+    the stationary mean is PR_SCALE per node):
+
+    1. contribution  c(u) = r_{t-1}(u) div outdeg(u)   (int div);
+    2. received      recv(v) = Sum over in-edges of c(u);
+    3. damped        r_t(v) = BASE + (85 * recv) div 100, with
+       BASE = PR_SCALE * 15 div 100 -- nodes with no in-edges hold
+       exactly BASE.
+
+    Documented deviations from the stochastic-matrix textbook form,
+    chosen for merge-order independence (int64 sums and int division
+    are associative/commutative in any engine, so Spark and a DuckDB
+    oracle land on bit-identical ranks -- SCALE.md pathology #3):
+    dangling-node mass evaporates instead of redistributing, and int
+    division truncates ~1 part in 1e9 per hop.  Neither moves a
+    relative ranking at PR_SCALE = 1e9.
+
+    Overflow budget: total system mass is <= n * PR_SCALE, so any
+    single damped aggregate is <= 85 * n * 1e9; int64 holds to
+    n ~ 1e8 nodes per graph -- beyond that, shrink PR_SCALE.
+
+    ``nodes``: optional (id_col) universe; nodes absent from the edge
+    table still emit BASE.  Defaults to the distinct endpoints of
+    ``edges``.  Returns (id, score) with score = round(r / PR_SCALE, 6).
+
+    Scale: per round ONE equi-join of the n·k skinny integer edge
+    table against the n-row (node, rank) table plus one keyed sum --
+    combiner-friendly, nothing broadcast, no vectors anywhere.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    src = edges.select(F.col(q_col).alias("_src"), F.col(n_col).alias("_dst"))
+    if nodes is None:
+        node_set = (src.select(F.col("_src").alias("_node"))
+                    .union(src.select(F.col("_dst").alias("_node")))
+                    .distinct())
+    else:
+        node_set = nodes.select(F.col(id_col).alias("_node")).distinct()
+    deg = src.groupBy("_src").agg(F.count("*").alias("_deg"))
+    base = PR_SCALE * (PR_D_DEN - PR_D_NUM) // PR_D_DEN
+    rank = node_set.withColumn("_r", F.lit(PR_SCALE).cast("long"))
+    for t in range(iters):
+        contrib = (rank.join(deg, rank["_node"] == deg["_src"], "inner")
+                   .select("_src", F.expr("_r div _deg").alias("_c")))
+        recv = (src.join(contrib, "_src")
+                .groupBy(F.col("_dst").alias("_node"))
+                .agg(F.sum("_c").alias("_recv")))
+        rank = (node_set.join(recv, "_node", "left")
+                .select("_node", F.expr(
+                    f"CAST({base} + {PR_D_NUM} * coalesce(_recv, "
+                    f"CAST(0 AS BIGINT)) div {PR_D_DEN} AS BIGINT)")
+                    .alias("_r")))
+        if checkpoint_every and (t + 1) % checkpoint_every == 0 \
+                and t + 1 < iters:
+            rank = rank.localCheckpoint(eager=True)
+    return rank.select(F.col("_node").alias(id_col),
+                       F.round(F.col("_r") / PR_SCALE, 6).alias("score"))
+
+
+def mutual_knn(edges: DataFrame, q_col: str = "q_id", n_col: str = "id",
+               dist_col: str = "dist",
+               rank_col: str = "rank") -> DataFrame:
+    """Symmetrize a directed kNN edge table: keep only pairs present
+    in BOTH directions, one row per unordered pair.
+
+    A hub row appears in many rows' kNN lists without reciprocating,
+    so mutual filtering is the standard hubness-suppression step
+    before graph clustering / graph dedup (e.g. mutual-kNN spectral
+    clustering); the surviving edge density is also a graph-health
+    diagnostic.  Returns (id_a, id_b, dist, rank_ab, rank_ba) with
+    id_a < id_b; dist is the (symmetric) metric value carried on the
+    a->b edge -- identical on both directions by construction since
+    ``knn_join`` distances are element-quantized.
+
+    Scale: ONE self-equi-join of the n·k skinny edge table on the
+    (src, dst) pair key -- both sides co-shuffle on the same key,
+    never corpus-sized.
+    """
+    fwd = edges.select(F.col(q_col).alias("id_a"), F.col(n_col).alias("id_b"),
+                       F.col(dist_col).alias("dist"),
+                       F.col(rank_col).alias("rank_ab"))
+    rev = edges.select(F.col(n_col).alias("id_a"), F.col(q_col).alias("id_b"),
+                       F.col(rank_col).alias("rank_ba"))
+    return (fwd.join(rev, ["id_a", "id_b"], "inner")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "dist", "rank_ab", "rank_ba"))

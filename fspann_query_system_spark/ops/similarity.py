@@ -1711,6 +1711,60 @@ def embedding_dim_stats(emb: DataFrame, vector_col: str = "embedding",
                   .alias("mx")))
 
 
+def jl_matrix(in_dim: int, out_dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic Johnson-Lindenstrauss projection matrix
+    (in_dim x out_dim): iid Gaussian entries from PCG64(seed), scaled
+    by 1/sqrt(out_dim) so expected squared distances are preserved
+    (Johnson & Lindenstrauss 1984; Achlioptas 2003 database-friendly
+    framing).  The SAME matrix feeds the Spark kernel and the
+    generated SQL oracle (inlined as literals), so the projection is
+    engine-portable by construction."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+
+
+def jl_project(df: DataFrame, out_dim: int = 8, seed: int = 7,
+               id_col: str = "id", vector_col: str = "vector") -> DataFrame:
+    """Random-projection dimensionality reduction (JL transform) —
+    compress an embedding column ~dim/out_dim-fold while approximately
+    preserving pairwise distances.  The 100 TB uses: cheap first-pass
+    ANN / near-dup screening over a narrow projection (read out_dim
+    floats per row instead of dim), and decorrelated low-dim sketches
+    for drift monitoring.  Distortion is the JL bound, ~1/sqrt(out_dim)
+    relative — a screening tier, with exact re-rank on true vectors as
+    the refine tier (the repo-wide two-tier pattern).
+
+    Map-only: ONE Arrow kernel per batch against the closure-shipped
+    (in_dim x out_dim) matrix — zero exchanges at any scale.  Each
+    output component is an ELEMENT-QUANTIZED int64 sum
+    (Σ_i round(x_i·g_ij·1e9), the ``_q9`` treatment), so numpy's
+    reduction order, Spark, and a DuckDB fold land on bit-identical
+    values (SCALE.md pathology #3 discipline).
+
+    Returns (id_col, vector_col) with the projected array<double>
+    (components at 1e-9 resolution).
+    """
+    G = jl_matrix  # resolved below once dim is known, per batch group
+    seed_ = seed
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Gm = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vector_col].to_numpy()])
+            if Gm is None:
+                Gm = G(X.shape[1], out_dim, seed_)
+            # element-quantize each x_i*g_ij term, sum as int64
+            T = _q9(X[:, :, None] * Gm[None, :, :]).sum(axis=1) / 1e9
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                vector_col: list(T)})
+
+    return df.select(id_col, vector_col).mapInPandas(
+        run, schema=f"{id_col} BIGINT, {vector_col} ARRAY<DOUBLE>")
+
+
 def semantic_decontaminate(base: DataFrame, bench: DataFrame,
                            threshold: float = 0.95,
                            id_col: str = "id", vector_col: str = "vector",

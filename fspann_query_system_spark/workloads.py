@@ -3852,6 +3852,118 @@ WHERE rn <= {HN_K}
 """
 
 
+PR_ITERS = 2
+
+
+def q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank over the kNN graph (beyond-reference):
+    centrality/density scoring for coreset selection — rows many other
+    rows count among their kNN rank high.  Mass flows along knn_join
+    edges for 2 damped rounds, all arithmetic int64
+    (ops/graph.py:pagerank)."""
+    from .ops.graph import pagerank
+    from .ops.similarity import knn_join
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    graph = knn_join(base, centroids, k=KNN_JOIN_K, nprobe=IVF_NPROBE)
+    return pagerank(graph.select("q_id", "id"), nodes=base,
+                    iters=PR_ITERS)
+
+
+SQL_PAGERANK = f"""
+WITH {_sql_knn_graph_ctes(KNN_JOIN_K)},
+-- integer PageRank, 2 unrolled rounds: contribution = r // outdeg,
+-- damped r' = 150e6 + 85 * recv // 100 — int64 sums and int division
+-- are merge-order-independent, so Spark and this oracle agree exactly
+deg AS (SELECT q_id AS src, count(*) AS d FROM knn_g GROUP BY 1),
+r0 AS (SELECT id AS node, CAST(1000000000 AS BIGINT) AS r FROM e),
+c1 AS (SELECT deg.src, r0.r // deg.d AS c
+       FROM deg JOIN r0 ON r0.node = deg.src),
+v1 AS (SELECT g.id AS node, SUM(c1.c) AS recv
+       FROM knn_g g JOIN c1 ON c1.src = g.q_id GROUP BY 1),
+r1 AS (SELECT e.id AS node,
+              CAST(150000000 + 85 * coalesce(v1.recv, 0) // 100
+                   AS BIGINT) AS r
+       FROM e LEFT JOIN v1 ON v1.node = e.id),
+c2 AS (SELECT deg.src, r1.r // deg.d AS c
+       FROM deg JOIN r1 ON r1.node = deg.src),
+v2 AS (SELECT g.id AS node, SUM(c2.c) AS recv
+       FROM knn_g g JOIN c2 ON c2.src = g.q_id GROUP BY 1),
+r2 AS (SELECT e.id AS node,
+              CAST(150000000 + 85 * coalesce(v2.recv, 0) // 100
+                   AS BIGINT) AS r
+       FROM e LEFT JOIN v2 ON v2.node = e.id)
+SELECT node AS id, round(r / 1000000000.0, 6) AS score FROM r2
+"""
+
+
+def q_mutual_knn(spark, sf_dir):
+    """Mutual-kNN graph symmetrization (beyond-reference): keep edges
+    present in BOTH directions — the hubness-suppression step before
+    graph clustering / graph dedup (ops/graph.py:mutual_knn)."""
+    from .ops.graph import mutual_knn
+    from .ops.similarity import knn_join
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    graph = knn_join(base, centroids, k=KNN_JOIN_K, nprobe=IVF_NPROBE)
+    return (mutual_knn(graph)
+            .select("id_a", "id_b", F.round("dist", 6).alias("dist"),
+                    F.col("rank_ab").cast("int").alias("rank_ab"),
+                    F.col("rank_ba").cast("int").alias("rank_ba")))
+
+
+SQL_MUTUAL_KNN = f"""
+WITH {_sql_knn_graph_ctes(KNN_JOIN_K)}
+SELECT a.q_id AS id_a, a.id AS id_b, round(a.dist, 6) AS dist,
+       CAST(a.rank AS INT) AS rank_ab, CAST(b.rank AS INT) AS rank_ba
+FROM knn_g a JOIN knn_g b ON b.q_id = a.id AND b.id = a.q_id
+WHERE a.q_id < a.id
+"""
+
+
+JL_IN_DIM = 64     # fixture embedding dim (TESTDATA.md)
+JL_OUT_DIM = 8
+JL_SEED = 7
+
+
+def q_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (beyond-reference):
+    compress embeddings 8-fold with approximate distance preservation
+    — the cheap screening tier for ANN/near-dup over very wide
+    vectors.  Map-only Arrow kernel, element-quantized sums
+    (ops/similarity.py:jl_project)."""
+    from .ops.similarity import jl_project
+    base = _emb(spark, sf_dir)
+    proj = jl_project(base, out_dim=JL_OUT_DIM, seed=JL_SEED)
+    return (proj.select("id", F.posexplode("vector").alias("pos", "val"))
+            .select("id", F.col("pos").cast("int").alias("pos"),
+                    F.round("val", 6).alias("val")))
+
+
+def _sql_jl_project() -> str:
+    """Generated oracle: the SAME PCG64-seeded projection matrix the
+    Spark kernel uses, inlined as literals (repr() round-trips float64
+    exactly in both engines); each component is the identical
+    element-quantized int64 sum."""
+    from .ops.similarity import jl_matrix
+    G = jl_matrix(JL_IN_DIM, JL_OUT_DIM, JL_SEED)
+    vals = ",\n".join(
+        f"({i},{j},{G[i, j]!r})"
+        for i in range(JL_IN_DIM) for j in range(JL_OUT_DIM))
+    return f"""
+WITH g(pi, po, gv) AS (VALUES {vals}),
+ex AS (SELECT vec_id AS id,
+              unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+              unnest(range(0, len(embedding))) AS pos
+       FROM embeddings),
+proj AS (SELECT ex.id, g.po AS pos,
+                SUM(CAST(round(ex.x * g.gv * 1000000000.0) AS BIGINT)) AS s
+         FROM ex JOIN g ON g.pi = ex.pos GROUP BY 1, 2)
+SELECT id, CAST(pos AS INT) AS pos, round(s / 1000000000.0, 6) AS val
+FROM proj
+"""
+
+
 def q_recall_eval(spark, sf_dir):
     """J3/A6 recall join: recall@10 of the IVF path against the exact
     oracle, per query (array_intersect semi-join shape)."""
@@ -4574,6 +4686,9 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "containment_pairs": q_containment_pairs,
     "pii_scrub": q_pii_scrub,
+    "pagerank": q_pagerank,
+    "mutual_knn": q_mutual_knn,
+    "jl_project": q_jl_project,
 }
 
 
@@ -4635,6 +4750,9 @@ def oracle_sql_map() -> dict[str, str]:
         "knn_join_sq8": SQL_KNN_JOIN_SQ8,
         "label_propagation": SQL_LABEL_PROPAGATION,
         "hard_negatives": SQL_HARD_NEGATIVES,
+        "pagerank": SQL_PAGERANK,
+        "mutual_knn": SQL_MUTUAL_KNN,
+        "jl_project": _sql_jl_project(),
         "containment_pairs": SQL_CONTAINMENT,
         "pii_scrub": _sql_pii(),
         "minhash": SQL_MINHASH,

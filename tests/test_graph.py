@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 
 from fspann_query_system_spark.ops.graph import (label_propagate,
                                                  hard_negatives,
-                                                 M_SCALE, W_SCALE)
+                                                 mutual_knn, pagerank,
+                                                 M_SCALE, W_SCALE,
+                                                 PR_SCALE)
 
 
 def _hand_graph(spark):
@@ -141,3 +143,96 @@ def test_label_propagate_bad_iters_raises(spark):
     e, s = _hand_graph(spark)
     with pytest.raises(ValueError):
         label_propagate(e, s, iters=0)
+
+
+def _pr_mirror(edges, nodes, iters):
+    """Pure-Python mirror of pagerank's documented integer algorithm."""
+    deg = {}
+    for q, n in edges:
+        deg[q] = deg.get(q, 0) + 1
+    base = PR_SCALE * 15 // 100
+    r = {v: PR_SCALE for v in nodes}
+    for _ in range(iters):
+        recv = {}
+        for q, n in edges:
+            recv[n] = recv.get(n, 0) + r[q] // deg[q]
+        r = {v: base + 85 * recv.get(v, 0) // 100 for v in nodes}
+    return {v: round(m / PR_SCALE, 6) for v, m in r.items()}
+
+
+def test_pagerank_matches_integer_mirror(spark):
+    """The Spark plan reproduces the documented integer algorithm
+    EXACTLY on a hand graph with a hub, a chain, and an isolated node
+    (which must hold exactly the damped base score)."""
+    # 1->3, 2->3, 4->3 (3 is a hub); 3->1; 5 isolated (in nodes only)
+    edges = [(1, 3), (2, 3), (4, 3), (3, 1),
+             (1, 2), (2, 1), (4, 1)]
+    nodes = [1, 2, 3, 4, 5]
+    e = spark.createDataFrame(edges, "q_id LONG, id LONG")
+    n = spark.createDataFrame([(v,) for v in nodes], "id LONG")
+    for iters in (1, 2, 3):
+        got = {r.id: r.score
+               for r in pagerank(e, nodes=n, iters=iters).collect()}
+        assert got == _pr_mirror(edges, nodes, iters), f"iters={iters}"
+    out = {r.id: r.score for r in pagerank(e, nodes=n, iters=2).collect()}
+    assert out[5] == round((PR_SCALE * 15 // 100) / PR_SCALE, 6)
+    assert out[3] > out[4]                      # hub outranks a leaf
+
+
+def test_pagerank_default_nodes_and_bad_iters(spark):
+    """Without an explicit node set, the universe is the distinct edge
+    endpoints; iters=0 raises."""
+    e = spark.createDataFrame([(1, 2), (2, 1), (1, 3)],
+                              "q_id LONG, id LONG")
+    got = {r.id for r in pagerank(e, iters=1).collect()}
+    assert got == {1, 2, 3}
+    with pytest.raises(ValueError):
+        pagerank(e, iters=0)
+
+
+def test_pagerank_centrality_on_knn_graph(spark, clustered):
+    """Over a real kNN graph, every node holds at least the damped
+    base score and cluster cores outrank the global median (scores
+    spread, not constant)."""
+    from fspann_query_system_spark.ops.similarity import knn_join
+    df, X = clustered
+    small = df.filter(F.col("id") < 1000)
+    cents = small.filter(F.col("id") % 250 == 0)
+    graph = knn_join(small, cents, k=5, nprobe=2).select("q_id", "id")
+    out = pagerank(graph, nodes=small, iters=2).collect()
+    assert len(out) == 1000
+    base = round((PR_SCALE * 15 // 100) / PR_SCALE, 6)
+    scores = sorted(r.score for r in out)
+    assert scores[0] >= base
+    assert scores[-1] > 2 * scores[0]           # real spread
+
+
+def test_mutual_knn_hand_graph(spark):
+    """Only reciprocated pairs survive, one row per unordered pair,
+    with both direction ranks carried."""
+    edges = [(1, 2, 0.5, 1), (2, 1, 0.5, 2),     # mutual
+             (1, 3, 0.7, 2), (3, 1, 0.7, 1),     # mutual
+             (2, 3, 0.9, 3),                     # one-way only
+             (4, 1, 0.2, 1)]                     # one-way only
+    e = spark.createDataFrame(
+        edges, "q_id LONG, id LONG, dist DOUBLE, rank LONG")
+    got = sorted((r.id_a, r.id_b, r.dist, r.rank_ab, r.rank_ba)
+                 for r in mutual_knn(e).collect())
+    assert got == [(1, 2, 0.5, 1, 2), (1, 3, 0.7, 2, 1)]
+
+
+def test_mutual_knn_subset_of_knn_join(spark, clustered):
+    """Every mutual edge exists in both directions of the knn_join
+    output, and hub suppression holds: mutual edge count <= directed
+    edge count / 2 (each unordered pair once)."""
+    from fspann_query_system_spark.ops.similarity import knn_join
+    df, X = clustered
+    small = df.filter(F.col("id") < 600)
+    cents = small.filter(F.col("id") % 100 == 0)
+    g = knn_join(small, cents, k=5, nprobe=2)
+    directed = {(r.q_id, r.id) for r in g.collect()}
+    mut = mutual_knn(g).collect()
+    assert 0 < len(mut) <= len(directed) // 2
+    for r in mut:
+        assert (r.id_a, r.id_b) in directed and (r.id_b, r.id_a) in directed
+        assert r.id_a < r.id_b and 1 <= r.rank_ab <= 5 and 1 <= r.rank_ba <= 5

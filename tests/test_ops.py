@@ -1491,6 +1491,63 @@ def test_embedding_dim_stats_known_values(spark):
     assert rows[1].stddev == 0.0 and rows[1].mn == 1.0 and rows[1].mx == 1.0
 
 
+def test_jl_project_matches_numpy_mirror_and_is_deterministic(spark):
+    """Each projected component equals the element-quantized int64 sum
+    computed by a numpy mirror (bit-identical), and re-running the op
+    gives the same rows."""
+    import numpy as np
+    from fspann_query_system_spark.ops.similarity import (jl_matrix,
+                                                          jl_project)
+    rng = np.random.default_rng(3)
+    X = rng.normal(0, 1, (40, 16))
+    df = spark.createDataFrame([(i, X[i].tolist()) for i in range(40)],
+                               "id LONG, vector ARRAY<DOUBLE>")
+    G = jl_matrix(16, 4, seed=7)
+    b = X[:, :, None] * G[None, :, :] * 1e9
+    want = (np.sign(b) * np.floor(np.abs(b) + 0.5)).astype(
+        np.int64).sum(axis=1) / 1e9
+    got = {r.id: r.vector for r in jl_project(df, out_dim=4).collect()}
+    for i in range(40):
+        assert got[i] == list(want[i]), f"row {i}"
+    again = {r.id: r.vector for r in jl_project(df, out_dim=4).collect()}
+    assert got == again
+
+
+def test_jl_project_preserves_distances_approximately(spark):
+    """The JL guarantee at the operator level: squared distances in the
+    projected space stay within a loose multiplicative band of the
+    originals (out_dim=16 from dim=64 -> distortion ~1/4)."""
+    import numpy as np
+    from fspann_query_system_spark.ops.similarity import jl_project
+    rng = np.random.default_rng(9)
+    X = rng.normal(0, 1, (60, 64))
+    df = spark.createDataFrame([(i, X[i].tolist()) for i in range(60)],
+                               "id LONG, vector ARRAY<DOUBLE>")
+    P = {r.id: np.array(r.vector)
+         for r in jl_project(df, out_dim=16).collect()}
+    ratios = []
+    for i in range(0, 40, 2):
+        d0 = float(np.sum((X[i] - X[i + 1]) ** 2))
+        d1 = float(np.sum((P[i] - P[i + 1]) ** 2))
+        ratios.append(d1 / d0)
+    # mean ratio near 1, individual pairs within a wide JL band
+    assert 0.7 < float(np.mean(ratios)) < 1.3
+    assert all(0.25 < r < 2.5 for r in ratios)
+
+
+def test_jl_project_is_map_only(spark):
+    """Zero exchanges: the projection is one Arrow kernel over the scan
+    (no Exchange in the plan)."""
+    import numpy as np
+    from fspann_query_system_spark.ops.similarity import jl_project
+    rng = np.random.default_rng(1)
+    df = spark.createDataFrame(
+        [(i, rng.normal(0, 1, 8).tolist()) for i in range(10)],
+        "id LONG, vector ARRAY<DOUBLE>")
+    plan = jl_project(df, out_dim=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_vocab_overlap_known_values(spark):
     from fspann_query_system_spark.ops.quality import vocab_overlap
     docs = spark.createDataFrame(

@@ -109,6 +109,7 @@ HEADLINE = [
     "pagerank",
     "mutual_knn",
     "jl_project",
+    "graph_coreset",
     "ivf_ann",
     "version_census",
     "streaming_window_agg",

@@ -286,3 +286,48 @@ def mutual_knn(edges: DataFrame, q_col: str = "q_id", n_col: str = "id",
     return (fwd.join(rev, ["id_a", "id_b"], "inner")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "dist", "rank_ab", "rank_ba"))
+
+
+def graph_coreset(df: DataFrame, centroids: DataFrame,
+                  keep_per_cell: int = 10, k: int = 10, nprobe: int = 2,
+                  iters: int = 2, id_col: str = "id",
+                  vector_col: str = "vector", c_id_col: str = "id",
+                  c_vector_col: str = "vector",
+                  **knn_kwargs) -> DataFrame:
+    """Prototypicality coreset selection: keep the ``keep_per_cell``
+    most CENTRAL rows of each coarse cell, centrality = integer
+    PageRank over the kNN graph.
+
+    The data-pruning recipe (Sorscher et al. 2022 "Beyond neural
+    scaling laws" prototype selection, SemDeDup's companion pass):
+    after near-dups are removed, training-set pruning keeps the most
+    prototypical examples per semantic region.  Density is exactly
+    what kNN-graph in-degree mass measures -- rows many other rows
+    count among their kNN are cluster cores; stratifying by coarse
+    cell keeps the selection spread across the embedding space instead
+    of collapsing onto the single densest region.
+
+    Composition of already-bounded pieces: ``knn_join`` (cell-blocked,
+    never all-pairs) -> ``pagerank`` (skinny integer exchanges) ->
+    map-side cell assignment vs the broadcast centroids -> ONE
+    cell-keyed window over (score desc, id).  Deterministic end to
+    end: the graph's distances are element-quantized, PageRank is
+    int64-exact, and the final tie-break is by id.
+
+    Returns (id, cell, score, cell_rank) for the kept rows.
+    """
+    from .similarity import ivf_assign, knn_join
+    graph = knn_join(df, centroids, k=k, nprobe=nprobe, id_col=id_col,
+                     vector_col=vector_col, c_id_col=c_id_col,
+                     c_vector_col=c_vector_col, **knn_kwargs)
+    pr = pagerank(graph.select("q_id", "id"), nodes=df, iters=iters,
+                  id_col=id_col)
+    cells = ivf_assign(df.select(id_col, vector_col), centroids,
+                       id_col=id_col, vector_col=vector_col,
+                       c_id_col=c_id_col, c_vector_col=c_vector_col)
+    rank = Window.partitionBy("cell").orderBy(F.col("score").desc(), id_col)
+    return (pr.join(cells.select(id_col, "cell"), id_col)
+            .withColumn("cell_rank", F.row_number().over(rank))
+            .filter(F.col("cell_rank") <= keep_per_cell)
+            .select(id_col, "cell", "score",
+                    F.col("cell_rank").cast("int").alias("cell_rank")))

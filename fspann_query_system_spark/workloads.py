@@ -3870,30 +3870,67 @@ def q_pagerank(spark, sf_dir):
                     iters=PR_ITERS)
 
 
+def _sql_pagerank_ctes(iters: int = PR_ITERS) -> str:
+    """Integer PageRank as unrolled CTEs over the ``knn_g``/``e`` CTE
+    chain: contribution = r // outdeg, damped r' = 150e6 + 85·recv //
+    100 — int64 sums and int division are merge-order-independent, so
+    Spark and the oracle agree exactly.  Final CTE: ``r{iters}``
+    (node, r)."""
+    parts = ["deg AS (SELECT q_id AS src, count(*) AS d "
+             "FROM knn_g GROUP BY 1)",
+             "r0 AS (SELECT id AS node, CAST(1000000000 AS BIGINT) AS r "
+             "FROM e)"]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"c{t} AS (SELECT deg.src, r{t-1}.r // deg.d AS c\n"
+            f"       FROM deg JOIN r{t-1} ON r{t-1}.node = deg.src)")
+        parts.append(
+            f"v{t} AS (SELECT g.id AS node, SUM(c{t}.c) AS recv\n"
+            f"       FROM knn_g g JOIN c{t} ON c{t}.src = g.q_id "
+            f"GROUP BY 1)")
+        parts.append(
+            f"r{t} AS (SELECT e.id AS node,\n"
+            f"              CAST(150000000 + 85 * coalesce(v{t}.recv, 0) "
+            f"// 100 AS BIGINT) AS r\n"
+            f"       FROM e LEFT JOIN v{t} ON v{t}.node = e.id)")
+    return ",\n".join(parts)
+
+
 SQL_PAGERANK = f"""
 WITH {_sql_knn_graph_ctes(KNN_JOIN_K)},
--- integer PageRank, 2 unrolled rounds: contribution = r // outdeg,
--- damped r' = 150e6 + 85 * recv // 100 — int64 sums and int division
--- are merge-order-independent, so Spark and this oracle agree exactly
-deg AS (SELECT q_id AS src, count(*) AS d FROM knn_g GROUP BY 1),
-r0 AS (SELECT id AS node, CAST(1000000000 AS BIGINT) AS r FROM e),
-c1 AS (SELECT deg.src, r0.r // deg.d AS c
-       FROM deg JOIN r0 ON r0.node = deg.src),
-v1 AS (SELECT g.id AS node, SUM(c1.c) AS recv
-       FROM knn_g g JOIN c1 ON c1.src = g.q_id GROUP BY 1),
-r1 AS (SELECT e.id AS node,
-              CAST(150000000 + 85 * coalesce(v1.recv, 0) // 100
-                   AS BIGINT) AS r
-       FROM e LEFT JOIN v1 ON v1.node = e.id),
-c2 AS (SELECT deg.src, r1.r // deg.d AS c
-       FROM deg JOIN r1 ON r1.node = deg.src),
-v2 AS (SELECT g.id AS node, SUM(c2.c) AS recv
-       FROM knn_g g JOIN c2 ON c2.src = g.q_id GROUP BY 1),
-r2 AS (SELECT e.id AS node,
-              CAST(150000000 + 85 * coalesce(v2.recv, 0) // 100
-                   AS BIGINT) AS r
-       FROM e LEFT JOIN v2 ON v2.node = e.id)
-SELECT node AS id, round(r / 1000000000.0, 6) AS score FROM r2
+{_sql_pagerank_ctes(PR_ITERS)}
+SELECT node AS id, round(r / 1000000000.0, 6) AS score FROM r{PR_ITERS}
+"""
+
+
+CORESET_KEEP = 5
+
+
+def q_graph_coreset(spark, sf_dir):
+    """Prototypicality coreset selection (beyond-reference; Sorscher
+    et al. 2022 prototype pruning shape): keep the 5 most central rows
+    per coarse cell, centrality = integer PageRank over the kNN graph
+    — the composition a data-pruning pipeline runs after dedup
+    (ops/graph.py:graph_coreset)."""
+    from .ops.graph import graph_coreset
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    return graph_coreset(base, centroids, keep_per_cell=CORESET_KEEP,
+                         k=KNN_JOIN_K, nprobe=IVF_NPROBE, iters=PR_ITERS)
+
+
+SQL_GRAPH_CORESET = f"""
+WITH {_sql_knn_graph_ctes(KNN_JOIN_K)},
+{_sql_pagerank_ctes(PR_ITERS)},
+cs AS (SELECT r{PR_ITERS}.node AS id, a.cell,
+              round(r{PR_ITERS}.r / 1000000000.0, 6) AS score
+       FROM r{PR_ITERS} JOIN assign a ON a.id = r{PR_ITERS}.node)
+SELECT id, cell, score, CAST(rn AS INT) AS cell_rank
+FROM (SELECT id, cell, score,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY score DESC, id) AS rn
+      FROM cs)
+WHERE rn <= {CORESET_KEEP}
 """
 
 
@@ -4689,6 +4726,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "mutual_knn": q_mutual_knn,
     "jl_project": q_jl_project,
+    "graph_coreset": q_graph_coreset,
 }
 
 
@@ -4753,6 +4791,7 @@ def oracle_sql_map() -> dict[str, str]:
         "pagerank": SQL_PAGERANK,
         "mutual_knn": SQL_MUTUAL_KNN,
         "jl_project": _sql_jl_project(),
+        "graph_coreset": SQL_GRAPH_CORESET,
         "containment_pairs": SQL_CONTAINMENT,
         "pii_scrub": _sql_pii(),
         "minhash": SQL_MINHASH,

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from fspann_query_system_spark.ops.graph import (label_propagate,
                                                  hard_negatives,
+                                                 graph_coreset,
                                                  mutual_knn, pagerank,
                                                  M_SCALE, W_SCALE,
                                                  PR_SCALE)
@@ -219,6 +220,38 @@ def test_mutual_knn_hand_graph(spark):
     got = sorted((r.id_a, r.id_b, r.dist, r.rank_ab, r.rank_ba)
                  for r in mutual_knn(e).collect())
     assert got == [(1, 2, 0.5, 1, 2), (1, 3, 0.7, 2, 1)]
+
+
+def test_graph_coreset_equals_composed_pieces(spark, clustered):
+    """graph_coreset == knn_join -> pagerank -> ivf_assign -> per-cell
+    top-m by (score desc, id), exact row equality; per-cell keep bound
+    holds and kept rows are each cell's score maxima."""
+    from fspann_query_system_spark.ops.similarity import ivf_assign, knn_join
+    df, X = clustered
+    small = df.filter(F.col("id") < 800)
+    cents = small.filter(F.col("id") % 200 == 0)
+    got = sorted((r.id, r.cell, r.score, r.cell_rank) for r in
+                 graph_coreset(small, cents, keep_per_cell=3, k=5,
+                               nprobe=2, iters=2).collect())
+
+    graph = knn_join(small, cents, k=5, nprobe=2).select("q_id", "id")
+    pr = {r.id: r.score for r in
+          pagerank(graph, nodes=small, iters=2).collect()}
+    cell = {r.id: r.cell for r in ivf_assign(small, cents).collect()}
+    by_cell = {}
+    for i, s in pr.items():
+        by_cell.setdefault(cell[i], []).append((-s, i))
+    want = []
+    for c, rows in by_cell.items():
+        for rk, (neg_s, i) in enumerate(sorted(rows)[:3], start=1):
+            want.append((i, c, -neg_s, rk))
+    assert got == sorted(want)
+    per_cell = {}
+    for i, c, s, rk in got:
+        per_cell.setdefault(c, []).append(rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_cell.values())
+    assert all(len(v) <= 3 for v in per_cell.values())
 
 
 def test_mutual_knn_subset_of_knn_join(spark, clustered):

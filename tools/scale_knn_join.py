@@ -45,6 +45,11 @@ with a 1% seed set labeled by the generator's TRUE natural cluster
 accuracy (propagated label == true cluster) — the end-to-end cost of
 the semi-supervised classification pass a curation pipeline runs on
 top of the graph it already built.
+
+Late-r8 consumer steps: KNN_PR=1 times 2 integer PageRank rounds over
+the persisted graph (the coreset/centrality pass) and reports the
+score spread; KNN_MUTUAL=1 times the mutual-kNN symmetrization and
+reports the reciprocated-edge fraction (the hubness diagnostic).
 """
 
 from __future__ import annotations
@@ -238,6 +243,29 @@ def main():
               f"({reached/n:.3f} of corpus), accuracy vs true cluster "
               f"{correct/reached:.4f}", flush=True)
         lp.unpersist()
+
+    if os.environ.get("KNN_PR") == "1":
+        from fspann_query_system_spark.ops.graph import pagerank
+        t0 = time.time()
+        pr = pagerank(graph.select("q_id", "id"), nodes=emb,
+                      iters=2).persist()
+        n_pr = pr.count()
+        pr_wall = time.time() - t0
+        stats = pr.agg(F.min("score"), F.expr("percentile(score, 0.5)"),
+                       F.expr("percentile(score, 0.99)"),
+                       F.max("score")).collect()[0]
+        print(f"pagerank iters=2 over {edges} edges: {pr_wall:.1f}s -> "
+              f"{n_pr} nodes, score min {stats[0]:.3f} p50 {stats[1]:.3f} "
+              f"p99 {stats[2]:.3f} max {stats[3]:.3f}", flush=True)
+        pr.unpersist()
+
+    if os.environ.get("KNN_MUTUAL") == "1":
+        from fspann_query_system_spark.ops.graph import mutual_knn
+        t0 = time.time()
+        n_mut = mutual_knn(graph).count()
+        print(f"mutual_knn over {edges} edges: {time.time()-t0:.1f}s -> "
+              f"{n_mut} mutual pairs (reciprocated fraction "
+              f"{2*n_mut/edges:.3f})", flush=True)
 
 
 if __name__ == "__main__":

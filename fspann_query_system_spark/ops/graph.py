@@ -223,15 +223,25 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
 
     ``nodes``: optional (id_col) universe; nodes absent from the edge
     table still emit BASE.  Defaults to the distinct endpoints of
-    ``edges``.  Returns (id, score) with score = round(r / PR_SCALE, 6).
+    ``edges``.  ``nodes`` must COVER the edge endpoints: passing a
+    strict subset neither errors nor computes induced-subgraph
+    PageRank (out-degree still counts edges to excluded targets,
+    whose mass evaporates) -- filter ``edges`` first to rank a
+    subgraph.  Returns (id, score), score = round(r / PR_SCALE, 6).
 
     Scale: per round ONE equi-join of the n·k skinny integer edge
     table against the n-row (node, rank) table plus one keyed sum --
-    combiner-friendly, nothing broadcast, no vectors anywhere.
+    combiner-friendly, nothing broadcast, no vectors anywhere.  The
+    skinny (src, dst) projection is persisted on entry: the degree
+    aggregation and every round's join consume it through DIFFERENT
+    plan subtrees, which would otherwise re-execute an expensive
+    upstream (a fresh ``knn_join``) once per consumer.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    src = edges.select(F.col(q_col).alias("_src"), F.col(n_col).alias("_dst"))
+    src = (edges.select(F.col(q_col).alias("_src"),
+                        F.col(n_col).alias("_dst"))
+           .persist())
     if nodes is None:
         node_set = (src.select(F.col("_src").alias("_node"))
                     .union(src.select(F.col("_dst").alias("_node")))
@@ -273,6 +283,12 @@ def mutual_knn(edges: DataFrame, q_col: str = "q_id", n_col: str = "id",
     id_a < id_b; dist is the (symmetric) metric value carried on the
     a->b edge -- identical on both directions by construction since
     ``knn_join`` distances are element-quantized.
+
+    Contract: ``edges`` must contain each directed edge AT MOST once
+    (``knn_join`` guarantees this -- a pair is scored at most once);
+    duplicate directed edges would emit duplicate pair rows.  Dedup
+    upstream (``dropDuplicates([q_col, n_col])``) when unioning edge
+    tables from multiple builds.
 
     Scale: ONE self-equi-join of the n·k skinny edge table on the
     (src, dst) pair key -- both sides co-shuffle on the same key,
@@ -317,14 +333,18 @@ def graph_coreset(df: DataFrame, centroids: DataFrame,
     Returns (id, cell, score, cell_rank) for the kept rows.
     """
     from .similarity import ivf_assign, knn_join
-    graph = knn_join(df, centroids, k=k, nprobe=nprobe, id_col=id_col,
-                     vector_col=vector_col, c_id_col=c_id_col,
-                     c_vector_col=c_vector_col, **knn_kwargs)
-    pr = pagerank(graph.select("q_id", "id"), nodes=df, iters=iters,
-                  id_col=id_col)
+    # assign ONCE: the same (id, vector, cell) table serves as
+    # knn_join's member side AND the final per-cell stratification —
+    # a second full-corpus argmin pass would re-pay the quantizer tax
     cells = ivf_assign(df.select(id_col, vector_col), centroids,
                        id_col=id_col, vector_col=vector_col,
                        c_id_col=c_id_col, c_vector_col=c_vector_col)
+    graph = knn_join(df, centroids, k=k, nprobe=nprobe, id_col=id_col,
+                     vector_col=vector_col, c_id_col=c_id_col,
+                     c_vector_col=c_vector_col, assigned=cells,
+                     **knn_kwargs)
+    pr = pagerank(graph.select("q_id", "id"), nodes=df, iters=iters,
+                  id_col=id_col)
     rank = Window.partitionBy("cell").orderBy(F.col("score").desc(), id_col)
     return (pr.join(cells.select(id_col, "cell"), id_col)
             .withColumn("cell_rank", F.row_number().over(rank))

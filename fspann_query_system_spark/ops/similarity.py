@@ -1746,6 +1746,7 @@ def jl_project(df: DataFrame, out_dim: int = 8, seed: int = 7,
     """
     G = jl_matrix  # resolved below once dim is known, per batch group
     seed_ = seed
+    id_t = df.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Gm = None
@@ -1756,13 +1757,19 @@ def jl_project(df: DataFrame, out_dim: int = 8, seed: int = 7,
                            for v in pdf[vector_col].to_numpy()])
             if Gm is None:
                 Gm = G(X.shape[1], out_dim, seed_)
-            # element-quantize each x_i*g_ij term, sum as int64
-            T = _q9(X[:, :, None] * Gm[None, :, :]).sum(axis=1) / 1e9
+            # element-quantize each x_i*g_ij term, sum as int64 — one
+            # output column at a time, so the working set is
+            # O(batch × in_dim) per column, never the full
+            # batch × in_dim × out_dim tensor (a 1024-d embedding at
+            # a 10k-row Arrow batch would otherwise cube to ~5 GB)
+            T = np.empty((len(X), out_dim), dtype=np.float64)
+            for j in range(out_dim):
+                T[:, j] = _q9(X * Gm[None, :, j]).sum(axis=1) / 1e9
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
                                 vector_col: list(T)})
 
     return df.select(id_col, vector_col).mapInPandas(
-        run, schema=f"{id_col} BIGINT, {vector_col} ARRAY<DOUBLE>")
+        run, schema=f"{id_col} {id_t}, {vector_col} ARRAY<DOUBLE>")
 
 
 def semantic_decontaminate(base: DataFrame, bench: DataFrame,

@@ -190,8 +190,9 @@ def hard_negatives(df: DataFrame, centroids: DataFrame, labels: DataFrame,
 def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
              iters: int = 2, q_col: str = "q_id", n_col: str = "id",
              id_col: str = "id", checkpoint_every: int = 0) -> DataFrame:
-    """Integer-exact PageRank over a directed edge table for ``iters``
-    rounds -- the unlabeled twin of ``label_propagate``.
+    """Integer-exact PageRank (Page et al. 1999, damped-centrality
+    form) over a directed edge table for ``iters`` rounds -- the
+    unlabeled twin of ``label_propagate``.
 
     ``edges``: (q_col, n_col) -- mass flows q -> n, exactly the
     direction ``knn_join`` emits (a row "votes for" its nearest

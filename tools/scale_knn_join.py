@@ -267,6 +267,20 @@ def main():
               f"{n_mut} mutual pairs (reciprocated fraction "
               f"{2*n_mut/edges:.3f})", flush=True)
 
+    if os.environ.get("KNN_CORESET") == "1":
+        # the coreset MARGINAL over an already-built graph: pagerank +
+        # one reuse of the persisted assignment + one cell-keyed window
+        from fspann_query_system_spark.ops.graph import pagerank
+        from pyspark.sql.window import Window as W
+        t0 = time.time()
+        pr = pagerank(graph.select("q_id", "id"), nodes=emb, iters=2)
+        rk = W.partitionBy("cell").orderBy(F.col("score").desc(), "id")
+        kept = (pr.join(assigned.select("id", "cell"), "id")
+                .withColumn("cr", F.row_number().over(rk))
+                .filter(F.col("cr") <= 10).count())
+        print(f"graph_coreset marginal (PR + window, keep 10/cell): "
+              f"{time.time()-t0:.1f}s -> {kept} rows kept", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -109,6 +109,7 @@ HEADLINE = [
     "pagerank",
     "mutual_knn",
     "jl_project",
+    "jl_ann",
     "graph_coreset",
     "ivf_ann",
     "version_census",

@@ -1772,6 +1772,62 @@ def jl_project(df: DataFrame, out_dim: int = 8, seed: int = 7,
         run, schema=f"{id_col} {id_t}, {vector_col} ARRAY<DOUBLE>")
 
 
+def jl_topk(base: DataFrame, queries: DataFrame, k: int = 10,
+            rerank: int = 4, out_dim: int = 8, seed: int = 7,
+            id_col: str = "id", vector_col: str = "vector",
+            q_id_col: str = "q_id") -> DataFrame:
+    """Random-projection-screened ANN: rank approximately in JL space
+    (``out_dim`` doubles per row scanned instead of dim — 8× less at
+    64→8), then exact re-rank of the top ``k*rerank`` shortlist with
+    true vectors — ``jl_project``'s screening tier instantiated as the
+    repo-standard compressed-refine pattern (SQ8/BQ/PQ siblings).
+
+    Where it fits among the tiers: SQ8 reads dim BYTES (8× under
+    float64, near-lossless rank), BQ reads dim BITS (64×, recall-
+    capped); JL reads ``out_dim`` DOUBLES with JL-bound distortion —
+    the right screen when vectors are very wide (out_dim is fixed by
+    the distortion target, so the ratio GROWS with dim, e.g. 1024→32
+    is 32×) and no quantizer state (mins/maxs/codebook) may be
+    maintained: the matrix is a pure function of (seed, dims).
+
+    Determinism: projections are element-quantized int64 sums
+    (``jl_project``), both ranking stages use ``l2q_expr``/(value, id)
+    orderings — bit-identical across engines.
+
+    Scale shape: the screen is a broadcast-query-matrix crossJoin over
+    the PROJECTED table (the repo-sanctioned crossJoin class); the
+    per-query shortlist window is a rank-filter (WindowGroupLimit:
+    partial top-n before the exchange, so the shuffle carries
+    ≤ partitions × Q × k·rerank skinny rows, never n×Q); the exact
+    tail joins true vectors for Q·k·rerank ids only.
+    """
+    from ..functions.distance import l2q_expr
+    if k <= 0 or rerank <= 0:
+        raise ValueError("k and rerank must be positive")
+    bp = (jl_project(base, out_dim=out_dim, seed=seed,
+                     id_col=id_col, vector_col=vector_col)
+          .select(id_col, F.col(vector_col).alias("_bp")))
+    qp = (jl_project(queries, out_dim=out_dim, seed=seed,
+                     id_col=q_id_col, vector_col=vector_col)
+          .select(q_id_col, F.col(vector_col).alias("_qp")))
+    w_short = Window.partitionBy(q_id_col).orderBy("ad", id_col)
+    shortlist = (bp.crossJoin(F.broadcast(qp))
+                 .withColumn("ad", l2q_expr("_bp", "_qp"))
+                 .withColumn("_rn", F.row_number().over(w_short))
+                 .filter(F.col("_rn") <= k * rerank)
+                 .select(q_id_col, id_col))
+    w_rank = Window.partitionBy(q_id_col).orderBy("dist", id_col)
+    return (shortlist
+            .join(base.select(id_col, F.col(vector_col).alias("_bv")),
+                  id_col)
+            .join(F.broadcast(queries.select(
+                q_id_col, F.col(vector_col).alias("_qv"))), q_id_col)
+            .withColumn("dist", l2q_expr("_qv", "_bv"))
+            .withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, id_col, "dist", "rank"))
+
+
 def semantic_decontaminate(base: DataFrame, bench: DataFrame,
                            threshold: float = 0.95,
                            id_col: str = "id", vector_col: str = "vector",

@@ -3977,18 +3977,22 @@ def q_jl_project(spark, sf_dir):
                     F.round("val", 6).alias("val")))
 
 
-def _sql_jl_project() -> str:
-    """Generated oracle: the SAME PCG64-seeded projection matrix the
-    Spark kernel uses, inlined as literals (repr() round-trips float64
-    exactly in both engines); each component is the identical
-    element-quantized int64 sum."""
+def _jl_matrix_values() -> str:
+    """The SAME PCG64-seeded projection matrix the Spark kernel uses,
+    as a SQL VALUES list (repr() round-trips float64 exactly in both
+    engines)."""
     from .ops.similarity import jl_matrix
     G = jl_matrix(JL_IN_DIM, JL_OUT_DIM, JL_SEED)
-    vals = ",\n".join(
+    return ",\n".join(
         f"({i},{j},{G[i, j]!r})"
         for i in range(JL_IN_DIM) for j in range(JL_OUT_DIM))
+
+
+def _sql_jl_project() -> str:
+    """Generated oracle: matrix inlined as literals; each component is
+    the identical element-quantized int64 sum the Spark kernel emits."""
     return f"""
-WITH g(pi, po, gv) AS (VALUES {vals}),
+WITH g(pi, po, gv) AS (VALUES {_jl_matrix_values()}),
 ex AS (SELECT vec_id AS id,
               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
               unnest(range(0, len(embedding))) AS pos
@@ -3998,6 +4002,66 @@ proj AS (SELECT ex.id, g.po AS pos,
          FROM ex JOIN g ON g.pi = ex.pos GROUP BY 1, 2)
 SELECT id, CAST(pos AS INT) AS pos, round(s / 1000000000.0, 6) AS val
 FROM proj
+"""
+
+
+JL_ANN_RERANK = 4
+
+
+def q_jl_ann(spark, sf_dir):
+    """Random-projection-screened ANN (beyond-reference): approx rank
+    in 8-d JL space — 8× less scanned data — exact re-rank of the
+    top k·rerank shortlist with true vectors; the zero-state screening
+    tier for very wide embeddings (ops/similarity.py:jl_topk)."""
+    from .ops.similarity import jl_topk
+    base = _emb(spark, sf_dir)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (jl_topk(base, queries, k=10, rerank=JL_ANN_RERANK,
+                    out_dim=JL_OUT_DIM, seed=JL_SEED)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def _sql_jl_ann() -> str:
+    """Generated oracle: JL matrix CTE → element-quantized projections
+    → quantized approx distance in JL space → per-query k·rerank
+    shortlist by (ad2, id) (Spark orders by sqrt(ad2/1e9) — monotone,
+    identical order) → exact quantized re-rank with true vectors."""
+    return f"""
+WITH g(pi, po, gv) AS (VALUES {_jl_matrix_values()}),
+e AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+ex AS (SELECT id, unnest(v) AS x, unnest(range(0, len(v))) AS pos FROM e),
+proj AS (SELECT ex.id, g.po AS pos,
+                SUM(CAST(round(ex.x * g.gv * 1000000000.0) AS BIGINT))
+                / 1000000000.0 AS pv
+         FROM ex JOIN g ON g.pi = ex.pos GROUP BY 1, 2),
+ad AS (SELECT q.id AS q_id, b.id,
+              SUM(CAST(round((q.pv - b.pv) * (q.pv - b.pv)
+                             * 1000000000.0) AS BIGINT)) AS ad2
+       FROM proj q JOIN proj b ON q.pos = b.pos
+       WHERE q.id < {N_VEC_QUERIES}
+       GROUP BY 1, 2),
+sl AS (SELECT q_id, id FROM (
+         SELECT q_id, id,
+                row_number() OVER (PARTITION BY q_id
+                                   ORDER BY ad2, id) AS rn
+         FROM ad) WHERE rn <= {10 * JL_ANN_RERANK}),
+scored AS (
+  SELECT s.q_id, s.id,
+         sqrt(list_reduce(list_transform(list_zip(qe.v, be.v),
+                          pr -> CAST(round((pr[1] - pr[2]) * (pr[1] - pr[2])
+                                           * 1000000000.0) AS BIGINT)),
+                          (acc, x) -> acc + x) / 1000000000.0) AS dist
+  FROM sl s JOIN e qe ON qe.id = s.q_id JOIN e be ON be.id = s.id)
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rnk AS INT) AS rank
+FROM (SELECT q_id, id, dist,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dist, id) AS rnk
+      FROM scored)
+WHERE rnk <= 10
 """
 
 
@@ -4726,6 +4790,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "mutual_knn": q_mutual_knn,
     "jl_project": q_jl_project,
+    "jl_ann": q_jl_ann,
     "graph_coreset": q_graph_coreset,
 }
 
@@ -4791,6 +4856,7 @@ def oracle_sql_map() -> dict[str, str]:
         "pagerank": SQL_PAGERANK,
         "mutual_knn": SQL_MUTUAL_KNN,
         "jl_project": _sql_jl_project(),
+        "jl_ann": _sql_jl_ann(),
         "graph_coreset": SQL_GRAPH_CORESET,
         "containment_pairs": SQL_CONTAINMENT,
         "pii_scrub": _sql_pii(),

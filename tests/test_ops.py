@@ -1535,6 +1535,52 @@ def test_jl_project_preserves_distances_approximately(spark):
     assert all(0.25 < r < 2.5 for r in ratios)
 
 
+def test_jl_topk_full_budget_equals_exact_knn(spark, clustered):
+    """With a saturating shortlist (k*rerank >= n) the JL screen keeps
+    everything, so jl_topk == exact KNN exactly (same ids, same
+    ranks); at a tight budget (rerank=4) recall stays high on
+    clustered data (the JL guarantee doing its job)."""
+    from fspann_query_system_spark.query.exact import knn_exact
+    from fspann_query_system_spark.ops.similarity import jl_topk
+    df, X = clustered
+    base = df.filter(F.col("id") < 300)
+    queries = (base.filter(F.col("id") < 10)
+               .select(F.col("id").alias("q_id"), "vector"))
+    exact = {(r.q_id, r.rank): r.id
+             for r in knn_exact(base, queries, k=10).collect()}
+    full = {(r.q_id, r.rank): r.id
+            for r in jl_topk(base, queries, k=10, rerank=30,
+                             out_dim=8).collect()}
+    assert full == exact
+    gt = {}
+    for (q, _), i in exact.items():
+        gt.setdefault(q, set()).add(i)
+
+    def recall(rerank):
+        got = {}
+        for r in jl_topk(base, queries, k=10, rerank=rerank,
+                         out_dim=8).collect():
+            got.setdefault(r.q_id, set()).add(r.id)
+        return sum(len(got[q] & gt[q]) for q in gt) / (10 * len(gt))
+
+    # 16d -> 8d is only a 2x squeeze, so the screen is lossy but far
+    # above random (10/300 ~ 0.03), and widening the budget must help
+    r4, r8 = recall(4), recall(8)
+    assert r4 > 0.6
+    assert r8 >= r4
+
+
+def test_jl_topk_bad_args_raise(spark, clustered):
+    import pytest as _pytest
+    from fspann_query_system_spark.ops.similarity import jl_topk
+    df, X = clustered
+    q = df.limit(2).select(F.col("id").alias("q_id"), "vector")
+    with _pytest.raises(ValueError):
+        jl_topk(df.limit(10), q, k=0)
+    with _pytest.raises(ValueError):
+        jl_topk(df.limit(10), q, rerank=0)
+
+
 def test_jl_project_is_map_only(spark):
     """Zero exchanges: the projection is one Arrow kernel over the scan
     (no Exchange in the plan)."""

@@ -233,10 +233,14 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
     Scale: per round ONE equi-join of the n·k skinny integer edge
     table against the n-row (node, rank) table plus one keyed sum --
     combiner-friendly, nothing broadcast, no vectors anywhere.  The
-    skinny (src, dst) projection is persisted on entry: the degree
-    aggregation and every round's join consume it through DIFFERENT
-    plan subtrees, which would otherwise re-execute an expensive
-    upstream (a fresh ``knn_join``) once per consumer.
+    skinny (src, dst) projection and the node set are persisted on
+    entry: the degree aggregation and every round's join consume them
+    through DIFFERENT plan subtrees, which would otherwise re-execute
+    an expensive upstream (a fresh ``knn_join``) once per consumer.
+    Both caches are released before returning — the final rank table
+    (n skinny rows) is eagerly local-checkpointed so the returned
+    DataFrame no longer references them, and repeated calls in a
+    long-lived session leave no storage behind (r08 ADVICE).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -249,6 +253,20 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
                     .distinct())
     else:
         node_set = nodes.select(F.col(id_col).alias("_node")).distinct()
+    node_set = node_set.persist()
+    # Guard the documented int64 budget LOUDLY: every damped aggregate
+    # is <= PR_D_NUM * (total mass) = PR_D_NUM * n * PR_SCALE.  Spark's
+    # int64 F.sum wraps silently past that while the DuckDB oracle sums
+    # into HUGEINT — fail here instead of diverging (r08 ADVICE).  The
+    # count() reads the just-persisted node set, which every iteration
+    # reuses anyway.
+    n_nodes = node_set.count()
+    budget = (2 ** 63 - 1) // (PR_SCALE * PR_D_NUM)
+    if n_nodes > budget:
+        raise ValueError(
+            f"pagerank int64 overflow: {n_nodes} nodes exceeds the "
+            f"{budget}-node budget at PR_SCALE={PR_SCALE}; shrink "
+            "PR_SCALE (docstring 'Overflow budget')")
     deg = src.groupBy("_src").agg(F.count("*").alias("_deg"))
     base = PR_SCALE * (PR_D_DEN - PR_D_NUM) // PR_D_DEN
     rank = node_set.withColumn("_r", F.lit(PR_SCALE).cast("long"))
@@ -266,8 +284,12 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
         if checkpoint_every and (t + 1) % checkpoint_every == 0 \
                 and t + 1 < iters:
             rank = rank.localCheckpoint(eager=True)
-    return rank.select(F.col("_node").alias(id_col),
+    out = (rank.select(F.col("_node").alias(id_col),
                        F.round(F.col("_r") / PR_SCALE, 6).alias("score"))
+           .localCheckpoint(eager=True))
+    src.unpersist()
+    node_set.unpersist()
+    return out
 
 
 def mutual_knn(edges: DataFrame, q_col: str = "q_id", n_col: str = "id",

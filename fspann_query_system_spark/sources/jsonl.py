@@ -32,22 +32,30 @@ def read_jsonl_docs(spark: SparkSession, path: str,
                     require: tuple[str, ...] = ("text",),
                     keep_corrupt: bool = False) -> DataFrame:
     """→ documents DataFrame with the given schema, malformed lines
-    dropped (or kept in ``_corrupt_record`` when ``keep_corrupt``).
+    dropped (or kept — raw line in ``_corrupt_record`` — when
+    ``keep_corrupt``).
 
-    ``require`` lists columns that must be non-null for a record to
-    survive (a JSON object that parses but lacks ``text`` is useless
-    to every downstream text operator).  Single scan, no inference,
-    prunes to the requested columns at the Jackson parser.
+    ``require`` lists columns that must be non-null for a PARSEABLE
+    record to survive (a JSON object that parses but lacks ``text`` is
+    useless to every downstream text operator).  With ``keep_corrupt``
+    the malformed lines themselves are retained alongside the
+    surviving parsed rows — their schema columns are null and
+    ``_corrupt_record`` holds the raw line, so a caller can quarantine
+    or re-parse them; ``require`` still prunes parseable-but-
+    incomplete rows.  Single scan, no inference, prunes to the
+    requested columns at the Jackson parser.
     """
     df = (spark.read
           .schema(schema + f", {_CORRUPT} STRING")
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", _CORRUPT)
           .json(path))
-    ok = df.filter(F.col(_CORRUPT).isNull())
+    ok_pred = F.col(_CORRUPT).isNull()
     for c in require:
-        ok = ok.filter(F.col(c).isNotNull())
-    return ok if keep_corrupt else ok.drop(_CORRUPT)
+        ok_pred = ok_pred & F.col(c).isNotNull()
+    if keep_corrupt:
+        return df.filter(ok_pred | F.col(_CORRUPT).isNotNull())
+    return df.filter(ok_pred).drop(_CORRUPT)
 
 
 def jsonl_ingest_report(spark: SparkSession, path: str,

@@ -1990,10 +1990,11 @@ def _sql_code_key_cte(params: LshParams) -> str:
     for t, d, alpha, r, omega in params.packed():
         u_terms = []
         for j in range(cfg.m):
-            avec = "[" + ", ".join(repr(x) for x in alpha[j]) + "]"
+            avec = "[" + ", ".join(repr(float(x)) for x in alpha[j]) + "]"
             u_terms.append(
-                f"CAST(floor((list_dot_product(v, {avec}::DOUBLE[]) + {r[j]!r}) "
-                f"/ {omega[j]!r}) AS BIGINT) + 2147483648 AS u{j}")
+                f"CAST(floor((list_dot_product(v, {avec}::DOUBLE[])"
+                f" + {float(r[j])!r}) "
+                f"/ {float(omega[j])!r}) AS BIGINT) + 2147483648 AS u{j}")
         key_terms = []
         for p in range(cfg.lam):
             shift = cfg.lam - 1 - p
@@ -3979,12 +3980,14 @@ def q_jl_project(spark, sf_dir):
 
 def _jl_matrix_values() -> str:
     """The SAME PCG64-seeded projection matrix the Spark kernel uses,
-    as a SQL VALUES list (repr() round-trips float64 exactly in both
-    engines)."""
+    as a SQL VALUES list (repr() of a PLAIN Python float round-trips
+    float64 exactly in both engines; the float() unwrap keeps the
+    literal valid under NumPy >= 2.0, whose scalar repr is
+    'np.float64(...)' — r08 ADVICE)."""
     from .ops.similarity import jl_matrix
     G = jl_matrix(JL_IN_DIM, JL_OUT_DIM, JL_SEED)
     return ",\n".join(
-        f"({i},{j},{G[i, j]!r})"
+        f"({i},{j},{float(G[i, j])!r})"
         for i in range(JL_IN_DIM) for j in range(JL_OUT_DIM))
 
 

@@ -136,3 +136,24 @@ def test_jsonl_tolerant_read_and_report(spark, tmp_path):
     rep = jsonl_ingest_report(spark, str(p)).collect()[0]
     assert (rep.n_total, rep.n_ok, rep.n_corrupt,
             rep.n_missing_required) == (5, 3, 1, 1)
+
+
+def test_jsonl_keep_corrupt_retains_malformed_lines(spark, tmp_path):
+    """keep_corrupt=True keeps the malformed lines themselves (raw
+    line in _corrupt_record, schema columns null) alongside the
+    surviving parsed rows; require still prunes parseable-but-
+    incomplete records (verdict r08 What's-wrong #1)."""
+    from fspann_query_system_spark.sources.jsonl import read_jsonl_docs
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join([
+        '{"doc_id": 1, "text": "hello", "lang": "en", "source": "web"}',
+        '{"doc_id": 3, "lang": "de", "source": "web"}',       # no text: drop
+        '{"doc_id": 4, "text": "trunca',                      # corrupt: KEEP
+    ]) + "\n")
+    got = read_jsonl_docs(spark, str(p), keep_corrupt=True).collect()
+    assert "_corrupt_record" in got[0].asDict()
+    ok = [r for r in got if r._corrupt_record is None]
+    bad = [r for r in got if r._corrupt_record is not None]
+    assert [r.doc_id for r in ok] == [1]          # doc 3 pruned by require
+    assert len(bad) == 1 and bad[0].doc_id is None
+    assert bad[0]._corrupt_record.startswith('{"doc_id": 4')

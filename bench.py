@@ -103,7 +103,9 @@ HEADLINE = [
     "ivfbq_sq8_ann",
     "ivfbq_sq8_adaptive",
     "knn_join",
+    "knn_join_adaptive",
     "knn_join_sq8",
+    "knn_join_sq8_adaptive",
     "label_propagation",
     "hard_negatives",
     "pagerank",

@@ -91,7 +91,8 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                    id_col: str, vector_col: str,
                    c_id_col: str, c_vector_col: str,
                    keep_vector: bool, quantize: bool = False,
-                   sq8: tuple | None = None) -> DataFrame:
+                   sq8: tuple | None = None,
+                   mass: tuple | None = None) -> DataFrame:
     """Shared coarse-quantizer kernel: for each row, the ``n_cells``
     nearest centroids by L2, ties broken by lowest centroid id →
     (id[, vector], cell[, cell_rank]).
@@ -114,7 +115,23 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
     packed one byte per dimension (``floor((x-mn)/rg*255 + 0.5)``,
     HALF_UP like ``sq8_quantize``; rg=0 dims → 0).  This is the
     knn_join_sq8 probe payload: dim BYTES per probe row instead of
-    8·dim, an 8× probe-shuffle reduction over float64."""
+    8·dim, an 8× probe-shuffle reduction over float64.
+
+    ``mass=(counts, budget)`` switches to per-row ADAPTIVE probing
+    (the map-side twin of :func:`_adaptive_probe_cells`, verdict r08
+    Next #5): ``counts`` is the {cell: member_count} census (one
+    |C|-bounded collect), and each row probes cells in ascending
+    ELEMENT-QUANTIZED (``_q9``) L2 order — ties by lowest cid — while
+    the cumulative member count of the cells BEFORE it is < ``budget``.
+    Per-row scanned candidate mass is thus hard-bounded regardless of
+    cell-size skew, which fixed ``n_cells`` cannot offer (a prober
+    whose nearest cell holds 10× the average pays 10× under fixed
+    nprobe).  ``n_cells`` is ignored and no ``cell_rank`` is emitted
+    (the probe count varies per row).  The selection uses the exact
+    quantized per-centroid sweep regardless of |C| so a SQL oracle's
+    cumulative-sum window over the same (dd, cid) ordering picks
+    IDENTICAL cells — at SemDeDup-scale |C| (≥ 10⁴) prefer fixed
+    probing or a coarser census."""
     spark = df.sparkSession
     c_rows = centroids.select(c_id_col, c_vector_col).collect()
     cid = np.array([r[0] for r in c_rows], dtype=np.int64)
@@ -125,11 +142,20 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
         mn8 = np.asarray(sq8[0], dtype=np.float64)
         rg8 = np.asarray(sq8[1], dtype=np.float64) - mn8
         sq8_arrs = (mn8, rg8)
+    mass_arrs = None
+    if mass is not None:
+        counts, budget = mass
+        if budget < 1:
+            raise ValueError(f"probe mass budget must be >= 1, "
+                             f"got {budget}")
+        cnt = np.array([int(counts.get(int(c), 0)) for c in cid[order]],
+                       dtype=np.int64)
+        mass_arrs = (cnt, int(budget))
     bc = spark.sparkContext.broadcast((cid[order], C[order], n_cells,
-                                       sq8_arrs))
+                                       sq8_arrs, mass_arrs))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cid_, C_, nc_req, sq8_ = bc.value
+        cid_, C_, nc_req, sq8_, mass_ = bc.value
         nc = min(nc_req, len(cid_))
 
         def payload(V: np.ndarray) -> list:
@@ -148,6 +174,40 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                 continue
             B = np.vstack([np.asarray(v, dtype=np.float64)
                            for v in pdf[vector_col].to_numpy()])
+            if mass_ is not None:
+                # adaptive mass-budget probing: quantized sweep, stable
+                # argsort on int64 dd over cid-ascending columns ==
+                # (dd, cid) order; keep cell i while the cumulative
+                # member count of cells BEFORE it is < budget.  Row
+                # chunks bound the (rows × |C|) working set.
+                cnt_, budget_ = mass_
+                ids_all = pdf[id_col].to_numpy()
+                vec_all = pdf[vector_col].to_numpy()
+                RB = 2048
+                for r0 in range(0, len(B), RB):
+                    Br = B[r0:r0 + RB]
+                    d2 = np.empty((len(Br), len(cid_)), dtype=np.int64)
+                    for j in range(len(cid_)):
+                        d2[:, j] = _q9(np.square(Br - C_[j])).sum(axis=1)
+                    perm = np.argsort(d2, axis=1, kind="stable")
+                    run_cnt = np.cumsum(cnt_[perm], axis=1)
+                    keep = np.empty(perm.shape, dtype=bool)
+                    keep[:, 0] = True           # prior mass 0 < budget
+                    keep[:, 1:] = run_cnt[:, :-1] < budget_
+                    nk = keep.sum(axis=1)
+                    out = {id_col: np.repeat(ids_all[r0:r0 + RB], nk)}
+                    if keep_vector:
+                        if sq8_ is not None:
+                            out["qcodes"] = list(np.repeat(
+                                np.array(payload(Br), dtype=object), nk))
+                        else:
+                            out[vector_col] = np.repeat(
+                                vec_all[r0:r0 + RB], nk)
+                    # perm[keep] flattens row-major: per-row cells in
+                    # (dd, cid) order, rows in input order
+                    out["cell"] = cid_[perm[keep]]
+                    yield pd.DataFrame(out)
+                continue
             if nc_req == 1 and len(cid_) > 256:
                 # large codebook (SemDeDup-scale k ~ n/64): GEMM form
                 # -2 b·c + |c|^2 (the |b|^2 term is row-constant, so it
@@ -264,7 +324,7 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
         else:
             schema += f", {vector_col} {vec_type}"
     schema += ", cell BIGINT"
-    if n_cells > 1:
+    if n_cells > 1 and mass is None:
         schema += ", cell_rank INT"
     return df.select(id_col, vector_col).mapInPandas(run, schema=schema)
 
@@ -507,7 +567,8 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
              c_id_col: str = "id", c_vector_col: str = "vector",
              assigned: DataFrame | None = None,
              exclude_self: bool = True, method: str = "gemm",
-             shuffle_dtype: str = "double") -> DataFrame:
+             shuffle_dtype: str = "double",
+             probe_mass: int | None = None) -> DataFrame:
     """Distributed kNN self-join (the kNN-graph builder behind
     SemDeDup-style curation, graph-based dedup, and label propagation):
     for EVERY row, its k nearest neighbours among rows sharing one of
@@ -566,6 +627,22 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
     to the default; for arbitrary doubles it perturbs distances by
     ≤ 1e-7 relative (document per call site).  Default "double"
     keeps the oracle-gated entry byte-exact regardless of source.
+
+    ``probe_mass`` switches probing from fixed top-``nprobe`` cells to
+    per-row ADAPTIVE mass coverage (``nprobe`` is then ignored): each
+    row probes cells in ascending element-quantized distance order
+    while the cumulative member count of closer cells is below the
+    budget — the self-join twin of the query path's
+    :func:`_adaptive_probe_cells` (verdict r08 Next #5).  This
+    hard-bounds every prober's scanned candidate mass under cell-size
+    skew: with fixed nprobe a prober landing on a 10×-average cell
+    pays 10× in its cogroup (the measured p22 tail, SCALE.md §9g),
+    while a prober in a shattered region is capped at nprobe cells
+    regardless of need.  Map-side: the |C|-row cell census (one
+    map-combined count over ``assigned``) is collected and broadcast
+    into the probe kernel — no new shuffle in the graph plan itself.
+    Pass a persisted ``assigned`` at scale so the census pass reads
+    the cache instead of re-running the assign kernel.
     """
     from ..functions.distance import l2q_expr
     if shuffle_dtype not in ("double", "float"):
@@ -574,8 +651,14 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
     if assigned is None:
         assigned = ivf_assign(df, centroids, id_col, vector_col,
                               c_id_col, c_vector_col)
+    mass = None
+    if probe_mass is not None:
+        counts = {r["cell"]: r["count"] for r in
+                  assigned.groupBy("cell").count().collect()}
+        mass = (counts, probe_mass)
     probes = _nearest_cells(df, centroids, nprobe, id_col, vector_col,
-                            c_id_col, c_vector_col, keep_vector=True)
+                            c_id_col, c_vector_col, keep_vector=True,
+                            mass=mass)
     if "cell_rank" in probes.columns:
         probes = probes.drop("cell_rank")
     _vt = "array<float>" if shuffle_dtype == "float" else None
@@ -657,7 +740,8 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
                  exclude_self: bool = True,
                  shuffle_dtype: str = "double",
                  probe_groups: int = 1,
-                 checkpoint_mode: str = "local") -> DataFrame:
+                 checkpoint_mode: str = "local",
+                 probe_mass: int | None = None) -> DataFrame:
     """kNN self-join with SQ8 PROBE CODES — the high-nprobe scale
     variant of :func:`knn_join` (verdict r07 Next #2's "ascending
     ambition" option): the probe side ships each row's scalar-quantized
@@ -721,15 +805,30 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` +
     ``spark.checkpoint.compress=true`` superseded partials are
     deleted/compact.  Use "reliable" for corpus-scale staged runs.
+
+    ``probe_mass`` switches to per-row ADAPTIVE mass-budget probing —
+    identical rule and rationale as :func:`knn_join`'s ``probe_mass``
+    (cells in ascending element-quantized distance order while the
+    cumulative member count of closer cells is below the budget;
+    ``nprobe`` is then ignored).  This is the knob that bounds the
+    per-cell cogroup under cell-size skew at high coverage — the p22
+    tail flattener (SCALE.md §9g): a prober whose neighbourhood is
+    dense stops after one big cell instead of dragging nprobe
+    fixed-count cells through stage 1.
     """
     from ..functions.distance import l2q_expr
     spark = df.sparkSession
     if assigned is None:
         assigned = ivf_assign(df, centroids, id_col, vector_col,
                               c_id_col, c_vector_col)
+    mass = None
+    if probe_mass is not None:
+        counts = {r["cell"]: r["count"] for r in
+                  assigned.groupBy("cell").count().collect()}
+        mass = (counts, probe_mass)
     probes = _nearest_cells(df, centroids, nprobe, id_col, vector_col,
                             c_id_col, c_vector_col, keep_vector=True,
-                            sq8=(mins, maxs))
+                            sq8=(mins, maxs), mass=mass)
     if "cell_rank" in probes.columns:
         probes = probes.drop("cell_rank")
     _vt = "array<float>" if shuffle_dtype == "float" else None

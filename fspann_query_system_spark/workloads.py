@@ -3617,12 +3617,43 @@ def q_knn_join(spark, sf_dir):
                     F.col("rank").cast("int").alias("rank")))
 
 
-def _sql_knn_graph_ctes(k: int, name: str = "knn_g") -> str:
+def _sql_knn_graph_ctes(k: int, name: str = "knn_g",
+                        probe_mass: int | None = None) -> str:
     """The kNN self-join oracle as a reusable CTE chain: ``name``
     emits (q_id, id, dist, rank ≤ k) with dist UNROUNDED (element-
     quantized, bit-identical to Spark's knn_join) so chained oracles
     (label_propagation, hard_negatives) rank on the same value the
-    Spark side ranks on; callers round for display."""
+    Spark side ranks on; callers round for display.
+
+    ``probe_mass`` swaps the fixed top-nprobe probes CTE for the
+    ADAPTIVE mass-budget rule (mirrors knn_join(probe_mass=): cells
+    in element-quantized (dd, cid) order, kept while the cumulative
+    member count of PRIOR cells is < budget — one cumulative-sum
+    window, exactly the map-side kernel's rule)."""
+    if probe_mass is None:
+        probes = f"""probes AS (
+  SELECT id AS q_id, cell FROM (
+    SELECT e.id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn <= {IVF_NPROBE})"""
+    else:
+        probes = f"""ccnt AS (SELECT cell, count(*) AS cnt FROM assign GROUP BY 1),
+exq AS (SELECT id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e),
+qcd AS (SELECT q.id AS q_id, cn.id AS cell,
+               sum(CAST(round((q.x - cn.x) * (q.x - cn.x)
+                              * 1000000000.0) AS BIGINT)) AS dd
+        FROM exq q JOIN exq cn ON q.pos = cn.pos
+                               AND cn.id < {N_IVF_CENTROIDS}
+        GROUP BY 1, 2),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT qcd.q_id, qcd.cell,
+           coalesce(sum(ccnt.cnt) OVER (
+             PARTITION BY qcd.q_id ORDER BY qcd.dd, qcd.cell
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+    FROM qcd JOIN ccnt USING (cell))
+  WHERE prior < {probe_mass})"""
     return f"""e AS (SELECT vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -3633,12 +3664,7 @@ assign AS (
            row_number() OVER (PARTITION BY e.id
                               ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
     FROM e CROSS JOIN c) WHERE rn = 1),
-probes AS (
-  SELECT id AS q_id, cell FROM (
-    SELECT e.id, c.cid AS cell,
-           row_number() OVER (PARTITION BY e.id
-                              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
-    FROM e CROSS JOIN c) WHERE rn <= {IVF_NPROBE}),
+{probes},
 scored AS (
   -- element-quantized distance (the _q9 treatment): each squared diff
   -- is rounded to 1e-9 as BIGINT before the fold, so this sequential
@@ -3667,6 +3693,33 @@ FROM knn_g
 """
 
 
+KNN_ADAPTIVE_MASS = 64    # ~2 avg cells at the sf0.01 fixture's 500/16
+
+
+def q_knn_join_adaptive(spark, sf_dir):
+    """kNN self-join with ADAPTIVE mass-budget probing (beyond-
+    reference; verdict r08 Next #5): each row probes cells in
+    ascending quantized-distance order until the cumulative member
+    count of closer cells reaches the budget — per-prober scanned
+    mass is hard-bounded under cell-size skew, where fixed nprobe
+    gives dense-region probers wasted work and shattered-region
+    probers a coverage ceiling (ops/similarity.py:knn_join)."""
+    from .ops.similarity import knn_join
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    return (knn_join(base, centroids, k=KNN_JOIN_K,
+                     probe_mass=KNN_ADAPTIVE_MASS)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+SQL_KNN_JOIN_ADAPTIVE = f"""
+WITH {_sql_knn_graph_ctes(KNN_JOIN_K, probe_mass=KNN_ADAPTIVE_MASS)}
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM knn_g
+"""
+
+
 KNN_SQ8_RERANK = 2
 
 
@@ -3686,7 +3739,36 @@ def q_knn_join_sq8(spark, sf_dir):
                     F.col("rank").cast("int").alias("rank")))
 
 
-SQL_KNN_JOIN_SQ8 = f"""
+def _sql_knn_join_sq8(probe_mass: int | None = None) -> str:
+    """Generated oracle for knn_join_sq8 (three stages, see the
+    SQL comments).  ``probe_mass`` swaps the fixed top-nprobe probes
+    CTE for the adaptive mass-budget rule — the same cumulative-sum
+    window as ``_sql_knn_graph_ctes(probe_mass=)``, over the ``ex``
+    per-position table this oracle already builds."""
+    if probe_mass is None:
+        probes = f"""probes AS (
+  SELECT id AS q_id, cell FROM (
+    SELECT e.id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn <= {IVF_NPROBE})"""
+    else:
+        probes = f"""ccnt AS (SELECT cell, count(*) AS cnt FROM assign GROUP BY 1),
+qcd AS (SELECT q.id AS q_id, cn.id AS cell,
+               sum(CAST(round((q.x - cn.x) * (q.x - cn.x)
+                              * 1000000000.0) AS BIGINT)) AS dd
+        FROM ex q JOIN ex cn ON q.pos = cn.pos
+                             AND cn.id < {N_IVF_CENTROIDS}
+        GROUP BY 1, 2),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT qcd.q_id, qcd.cell,
+           coalesce(sum(ccnt.cnt) OVER (
+             PARTITION BY qcd.q_id ORDER BY qcd.dd, qcd.cell
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+    FROM qcd JOIN ccnt USING (cell))
+  WHERE prior < {probe_mass})"""
+    return f"""
 WITH e AS (SELECT vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -3707,12 +3789,7 @@ assign AS (
            row_number() OVER (PARTITION BY e.id
                               ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
     FROM e CROSS JOIN c) WHERE rn = 1),
-probes AS (
-  SELECT id AS q_id, cell FROM (
-    SELECT e.id, c.cid AS cell,
-           row_number() OVER (PARTITION BY e.id
-                              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
-    FROM e CROSS JOIN c) WHERE rn <= {IVF_NPROBE}),
+{probes},
 -- stage 1: element-quantized approx distance (reconstructed query x
 -- true member), per-(prober, cell) top-k by (ad2, id)
 ad AS (
@@ -3750,6 +3827,28 @@ FROM (SELECT q_id, id, dist,
       FROM scored)
 WHERE rnk <= {KNN_JOIN_K}
 """
+
+
+SQL_KNN_JOIN_SQ8 = _sql_knn_join_sq8()
+SQL_KNN_JOIN_SQ8_ADAPTIVE = _sql_knn_join_sq8(KNN_ADAPTIVE_MASS)
+
+
+def q_knn_join_sq8_adaptive(spark, sf_dir):
+    """knn_join_sq8 with ADAPTIVE mass-budget probing (beyond-
+    reference; verdict r08 Next #5): SQ8 probe codes bound the
+    per-probe-row bytes, probe_mass bounds the per-prober scanned
+    member mass — together the two knobs that hold the self-join's
+    footprint flat under high coverage AND cell-size skew
+    (ops/similarity.py:knn_join_sq8)."""
+    from .ops.similarity import knn_join_sq8, sq8_stats
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    mins, maxs = sq8_stats(base)
+    return (knn_join_sq8(base, centroids, mins, maxs, k=KNN_JOIN_K,
+                         rerank=KNN_SQ8_RERANK,
+                         probe_mass=KNN_ADAPTIVE_MASS)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
 
 
 LP_SEED_MOD = 5      # seeds = every 5th vector keeps its true label
@@ -4649,26 +4748,118 @@ WHERE rk <= {per_cell}
 #      rounds stand; they rotate back in as window budget allows.
 # SURVEY.md §8 records which entries are parked and why.
 QUERIES = {
-    # ======== ROUND-8 ROTATION (SURVEY.md §8) ========
+    # ======== ROUND-9 ROTATION (SURVEY.md §8) ========
     # Window = positions 1-50.  Composition this round:
-    #   1-10: the 10 entries whose newest driver cert is r05 — the last
-    #         stale tranche (verdict r07 Next #1); after this round no
-    #         entry's newest green row is older than 2 rounds.
-    #  11-19: the 9 events-typed entries (NEVER parked: the driver has
-    #         regenerated events.parquet with a different ts physical
-    #         type between rounds; a stale cert would rot silently).
-    #  20-24: entries whose ORACLE OR SEMANTICS changed this round
-    #         (r07-ADVICE quantization fixes: knn_join's emitted dist,
-    #         the kmeans assign chain, bloom's group-by-gram) — their
-    #         old certs no longer describe current code, so they
-    #         re-certify regardless of age.
-    #  25-50: 26 of the 41 r06-certified entries rotated back in
-    #         (flagship ANN/dedup family + the r07 sub-second-uptick
-    #         entries get priority; the remaining 13 rotate in r9).
-    # PARKED: 38 entries freshly certified in the r07 window and 13
-    # r06-certified entries (doc_quantiles .. gopher_filter tranche);
-    # all verified by this round's full local oracle_check run.
-    # -- 1-10: the r05-stale tranche --
+    #   1-11: never-driver-certified entries — the 9 born-parked
+    #         round-8 additions (graph family, JL, containment,
+    #         pii_scrub; each green in the r8 judge's full oracle run
+    #         but without a driver cert) plus the 2 NEW round-9
+    #         entries (knn_join_adaptive, knn_join_sq8_adaptive:
+    #         mass-budget adaptive probing for the self-join,
+    #         verdict r08 Next #5).
+    #  12-20: the 9 events-typed entries (NEVER parked: the driver
+    #         has regenerated events.parquet with a different ts
+    #         physical type between rounds; a stale cert would rot
+    #         silently).
+    #  21-35: the 15-entry r06-certified tranche (cardinality_kmv,
+    #         minhash, doc_quantiles .. gopher_filter) — the oldest
+    #         certs in the registry, scheduled for r9 since r8.
+    #  36-50: 15 of the 38 r07-certified entries (strict
+    #         oldest-cert-first cadence; priority to the pathology-#5
+    #         A/B-implicated entries source_kl / chunk_docs /
+    #         streaming_dedup and the flagship ANN/dedup composites).
+    # PARKED: the remaining 23 r07-certified entries (rotate r10) and
+    # the 41 non-events entries freshly certified in the r08 window.
+    # Steady-state note: 114 entries / 41 rotating slots means a full
+    # cycle takes ~2.6 rounds — an entry's newest cert can now age to
+    # 3 rounds at worst (the 23 parked r07 entries re-certify at r10);
+    # the full local oracle_check run still covers every parked entry
+    # on current fixtures each round.
+    # -- 1-11: first certifications --
+    "label_propagation": q_label_propagation,
+    "hard_negatives": q_hard_negatives,
+    "pagerank": q_pagerank,
+    "mutual_knn": q_mutual_knn,
+    "graph_coreset": q_graph_coreset,
+    "jl_project": q_jl_project,
+    "jl_ann": q_jl_ann,
+    "containment_pairs": q_containment_pairs,
+    "pii_scrub": q_pii_scrub,
+    "knn_join_adaptive": q_knn_join_adaptive,
+    "knn_join_sq8_adaptive": q_knn_join_sq8_adaptive,
+    # -- 12-20: events-typed entries, never parked --
+    "event_setops": q_event_setops,
+    "candidate_min_merge": q_candidate_min_merge,
+    "sessionization": q_sessionization,
+    "streaming_sessionization": q_streaming_sessionization,
+    "event_window_agg": q_event_window_agg,
+    "json_extract": q_json_extract,
+    "streaming_window_agg": q_streaming_window_agg,
+    "asof_enrich": q_asof_enrich,
+    "session_attribution": q_session_attribution,
+    # -- 21-35: the r06-certified tranche (oldest certs) --
+    "cardinality_kmv": q_cardinality_kmv,
+    "minhash": q_minhash,
+    "doc_quantiles": q_doc_quantiles,
+    "repetition_stats": q_repetition_stats,
+    "bm25_scores": q_bm25_scores,
+    "tfidf_topk": q_tfidf_topk,
+    "tombstone_anti_join": q_tombstone_anti_join,
+    "drift_audit": q_drift_audit,
+    "media_features": q_media_features,
+    "corpus_filter": q_corpus_filter,
+    "promo_revenue": q_promo_revenue,
+    "reservoir_sample": q_reservoir_sample,
+    "boilerplate_stats": q_boilerplate_stats,
+    "temperature_mix": q_temperature_mix,
+    "gopher_filter": q_gopher_filter,
+    # -- 36-50: 15 r07-certified entries (oldest-first cadence) --
+    "source_kl": q_source_kl,
+    "chunk_docs": q_chunk_docs,
+    "streaming_dedup": q_streaming_dedup,
+    "ivfbq_ann": q_ivfbq_ann,
+    "ivfbq_sq8_ann": q_ivfbq_sq8_ann,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_bands": q_minhash_bands,
+    "dedup_clusters": q_dedup_clusters,
+    "dup_census": q_dup_census,
+    "training_corpus_prep": q_training_corpus_prep,
+    "hybrid_retrieval": q_hybrid_retrieval,
+    "dsir_weights": q_dsir_weights,
+    "dsir_sample": q_dsir_sample,
+    "leakage_safe_split": q_leakage_safe_split,
+    "bm25_topk": q_bm25_topk,
+    # ---- position 50 ends here; entries below are PARKED ----
+    # -- 23 r07-certified entries, rotate in at r10 --
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "streaming_decontaminate": q_streaming_decontaminate,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "bigram_logprob": q_bigram_logprob,
+    "quality_curriculum": q_quality_curriculum,
+    "edit_near_dups": q_edit_near_dups,
+    "vocab_topk": q_vocab_topk,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "fingerprints": q_fingerprints,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "vocab_topk_salted": q_vocab_topk_salted,
+    "unigram_logprob": q_unigram_logprob,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "vocab_overlap": q_vocab_overlap,
+    "zipf_fit": q_zipf_fit,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "corpus_mix": q_corpus_mix,
+    "sequence_pack": q_sequence_pack,
+    "shard_assign": q_shard_assign,
+    "token_budget_mix": q_token_budget_mix,
+    "decontaminate": q_decontaminate,
+    "streaming_minhash": q_streaming_minhash,
+    # -- 41 entries freshly certified in the r08 gate window (rows in
+    # -- CORRECTNESS_r08.json on current fixtures, none events-typed;
+    # -- none touched by round-9 changes: the knn_join_sq8 oracle
+    # -- generator refactor is byte-identical at probe_mass=None, and
+    # -- the jl/lsh float() literal unwrap is a no-op under the
+    # -- pinned numpy) --
     "doc_stats": q_doc_stats,
     "lang_id": q_lang_id,
     "pricing_summary": q_pricing_summary,
@@ -4679,23 +4870,11 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
     "near_dup_lsh": q_near_dup_lsh,
-    # -- 11-19: events-typed entries, never parked --
-    "event_setops": q_event_setops,
-    "candidate_min_merge": q_candidate_min_merge,
-    "sessionization": q_sessionization,
-    "streaming_sessionization": q_streaming_sessionization,
-    "event_window_agg": q_event_window_agg,
-    "json_extract": q_json_extract,
-    "streaming_window_agg": q_streaming_window_agg,
-    "asof_enrich": q_asof_enrich,
-    "session_attribution": q_session_attribution,
-    # -- 20-24: oracle/semantics changed this round (r07 ADVICE) --
     "knn_join": q_knn_join,
     "kmeans_centroids": q_kmeans_centroids,
     "semantic_dedup": q_semantic_dedup,
     "cluster_sample": q_cluster_sample,
     "bloom_decontaminate": q_bloom_decontaminate,
-    # -- 25-50: r06-certified entries rotated back in --
     "version_census": q_version_census,
     "ann_search_filtered": q_ann_search_filtered,
     "dedup_exact": q_dedup_exact,
@@ -4720,81 +4899,8 @@ QUERIES = {
     "near_dup_key": q_near_dup_key,
     "near_dup_pipeline": q_near_dup_pipeline,
     "incremental_dedup": q_incremental_dedup,
-    # positions 49-50: NEW this round — adaptive-probe three-tier ANN
-    # and the SQ8-probe kNN self-join (first certifications; displace
-    # cardinality_kmv and minhash to the r9 tranche)
     "ivfbq_sq8_adaptive": q_ivfbq_sq8_adaptive,
     "knn_join_sq8": q_knn_join_sq8,
-    # ---- position 50 ends here; entries below are PARKED ----
-    # -- 15 r06-certified entries waiting for the r9 window --
-    "cardinality_kmv": q_cardinality_kmv,
-    "minhash": q_minhash,
-    "doc_quantiles": q_doc_quantiles,
-    "repetition_stats": q_repetition_stats,
-    "bm25_scores": q_bm25_scores,
-    "tfidf_topk": q_tfidf_topk,
-    "tombstone_anti_join": q_tombstone_anti_join,
-    "drift_audit": q_drift_audit,
-    "media_features": q_media_features,
-    "corpus_filter": q_corpus_filter,
-    "promo_revenue": q_promo_revenue,
-    "reservoir_sample": q_reservoir_sample,
-    "boilerplate_stats": q_boilerplate_stats,
-    "temperature_mix": q_temperature_mix,
-    "gopher_filter": q_gopher_filter,
-    # -- 38 entries freshly certified in the r07 gate window (rows in
-    # -- CORRECTNESS_r07.json, current fixtures, none events-typed,
-    # -- none touched by this round's changes)
-    "leakage_safe_split": q_leakage_safe_split,
-    "bm25_topk": q_bm25_topk,
-    "ivfbq_ann": q_ivfbq_ann,
-    "ivfbq_sq8_ann": q_ivfbq_sq8_ann,
-    "dsir_weights": q_dsir_weights,
-    "dsir_sample": q_dsir_sample,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "streaming_decontaminate": q_streaming_decontaminate,
-    "streaming_incremental_dedup": q_streaming_incremental_dedup,
-    "hybrid_retrieval": q_hybrid_retrieval,
-    "bigram_logprob": q_bigram_logprob,
-    "dup_census": q_dup_census,
-    "training_corpus_prep": q_training_corpus_prep,
-    "quality_curriculum": q_quality_curriculum,
-    "edit_near_dups": q_edit_near_dups,
-    "vocab_topk": q_vocab_topk,
-    "simhash": q_simhash,
-    "cosine_topk": q_cosine_topk,
-    "fingerprints": q_fingerprints,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "vocab_topk_salted": q_vocab_topk_salted,
-    "unigram_logprob": q_unigram_logprob,
-    "source_kl": q_source_kl,
-    "chunk_docs": q_chunk_docs,
-    "embedding_dim_stats": q_embedding_dim_stats,
-    "vocab_overlap": q_vocab_overlap,
-    "zipf_fit": q_zipf_fit,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "corpus_mix": q_corpus_mix,
-    "sequence_pack": q_sequence_pack,
-    "shard_assign": q_shard_assign,
-    "token_budget_mix": q_token_budget_mix,
-    "streaming_dedup": q_streaming_dedup,
-    "jaccard_pairs": q_jaccard_pairs,
-    "decontaminate": q_decontaminate,
-    "streaming_minhash": q_streaming_minhash,
-    "minhash_bands": q_minhash_bands,
-    "dedup_clusters": q_dedup_clusters,
-    # -- NEW round 8, parked from birth (no safe window slot left):
-    # -- kNN-graph consumers; verified by the local full oracle run,
-    # -- rotate into the driver window at r9 --
-    "label_propagation": q_label_propagation,
-    "hard_negatives": q_hard_negatives,
-    "containment_pairs": q_containment_pairs,
-    "pii_scrub": q_pii_scrub,
-    "pagerank": q_pagerank,
-    "mutual_knn": q_mutual_knn,
-    "jl_project": q_jl_project,
-    "jl_ann": q_jl_ann,
-    "graph_coreset": q_graph_coreset,
 }
 
 
@@ -4853,7 +4959,9 @@ def oracle_sql_map() -> dict[str, str]:
             N_IVF_CENTROIDS, IVFPQ_NPROBE,
             probe_mass=IVFBQSQ8_PROBE_MASS),
         "knn_join": SQL_KNN_JOIN,
+        "knn_join_adaptive": SQL_KNN_JOIN_ADAPTIVE,
         "knn_join_sq8": SQL_KNN_JOIN_SQ8,
+        "knn_join_sq8_adaptive": SQL_KNN_JOIN_SQ8_ADAPTIVE,
         "label_propagation": SQL_LABEL_PROPAGATION,
         "hard_negatives": SQL_HARD_NEGATIVES,
         "pagerank": SQL_PAGERANK,

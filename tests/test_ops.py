@@ -1996,6 +1996,102 @@ def test_knn_join_gemm_and_expr_emit_identical_values(spark, clustered):
     assert gemm == expr
 
 
+def test_knn_join_probe_mass_rule_and_bounds(spark, clustered):
+    """probe_mass adaptive probing (verdict r08 Next #5): (a) a budget
+    covering the whole corpus degenerates to the exhaustive join,
+    (b) gemm and expr agree bit-for-bit under a partial budget,
+    (c) the probe SET matches the numpy cumulative-mass rule exactly
+    — cells in element-quantized (dd, cid) order, kept while prior
+    member mass < budget — so every prober's scanned candidate mass
+    is hard-bounded (< budget + its last cell's size) AND sufficient
+    (>= budget when the corpus has that much)."""
+    import numpy as np
+    from fspann_query_system_spark.ops.similarity import (knn_join, _q9,
+                                                          _nearest_cells)
+    df, X = clustered
+    small = df.filter(F.col("id") < 300)
+    centroids = small.filter(F.col("id") % 50 == 0)   # 6 cells
+    # (a) whole-corpus budget == probe-all-cells exhaustive join
+    full = sorted(
+        (r.q_id, r.id, r.dist, r.rank) for r in
+        knn_join(small, centroids, k=5, probe_mass=10 ** 9).collect())
+    exh = sorted(
+        (r.q_id, r.id, r.dist, r.rank) for r in
+        knn_join(small, centroids, k=5, nprobe=6).collect())
+    assert full == exh
+    # (b) method equivalence under a partial budget
+    m = 120
+    gemm = sorted(
+        (r.q_id, r.id, r.dist, r.rank) for r in
+        knn_join(small, centroids, k=5, probe_mass=m,
+                 method="gemm").collect())
+    expr = sorted(
+        (r.q_id, r.id, r.dist, r.rank) for r in
+        knn_join(small, centroids, k=5, probe_mass=m,
+                 method="expr").collect())
+    assert gemm == expr
+    # (c) probe set == the numpy rule, with mass bounds both ways
+    Xs = X[:300]
+    crows = sorted((r.id, list(r.vector)) for r in centroids.collect())
+    cid = np.array([c[0] for c in crows])
+    C = np.array([c[1] for c in crows], dtype=np.float64)
+    assign = np.array([int(np.argmin(np.square(x - C).sum(axis=1)))
+                       for x in Xs])
+    cnt = np.bincount(assign, minlength=len(cid))
+    probes = {}
+    for r in _nearest_cells(small, centroids, 1, "id", "vector",
+                            "id", "vector", keep_vector=False,
+                            mass=({int(cid[j]): int(cnt[j])
+                                   for j in range(len(cid))}, m)).collect():
+        probes.setdefault(r.id, []).append(r.cell)
+    for q in range(300):
+        dd = np.array([_q9(np.square(Xs[q] - C[j])).sum()
+                       for j in range(len(cid))])
+        o = np.lexsort((cid, dd))
+        prior = np.concatenate(([0], np.cumsum(cnt[o])[:-1]))
+        want = list(cid[o[prior < m]])
+        assert probes[q] == want        # order AND set
+        got_mass = int(cnt[[int(np.where(cid == c)[0][0])
+                            for c in want]].sum())
+        assert got_mass >= min(m, len(Xs))          # sufficient
+        assert got_mass - int(cnt[np.where(cid == want[-1])[0][0]]) < m
+
+
+def test_knn_join_sq8_probe_mass_matches_fixed_on_uniform_cells(spark):
+    """knn_join_sq8(probe_mass=) shares the same probe rule; on a
+    fixture where every cell holds exactly the same mass, a budget of
+    2 cells' worth must reproduce fixed nprobe=2 bit-for-bit (same
+    probe sets -> same three-stage result)."""
+    import numpy as np
+    from fspann_query_system_spark.ops.similarity import (knn_join_sq8,
+                                                          sq8_stats)
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 6.0, (4, 12))
+    X = np.vstack([c + rng.normal(0, 0.5, (100, 12)) for c in centers])
+    X = X.astype(np.float32).astype(np.float64)
+    df = spark.createDataFrame([(i, X[i].tolist()) for i in range(len(X))],
+                               "id LONG, vector ARRAY<DOUBLE>")
+    cents = df.filter(F.col("id") % 100 == 0)    # one per true cluster
+    mins, maxs = sq8_stats(df)
+    # derive the budget from the ACTUAL census: budget = max_cell + 1
+    # forces >= 2 probed cells everywhere, and 2*min_cell >= budget
+    # (asserted) guarantees it stops at exactly 2 — the fixed plan.
+    from fspann_query_system_spark.ops.similarity import ivf_assign
+    census = (ivf_assign(df, cents).groupBy("cell").count()
+              .toPandas()["count"].to_numpy())
+    budget = int(census.max()) + 1
+    assert 2 * int(census.min()) >= budget
+    fixed = sorted(
+        (r.q_id, r.id, r.dist, r.rank) for r in
+        knn_join_sq8(df, cents, mins, maxs, k=5, nprobe=2,
+                     rerank=4).collect())
+    adaptive = sorted(
+        (r.q_id, r.id, r.dist, r.rank) for r in
+        knn_join_sq8(df, cents, mins, maxs, k=5, rerank=4,
+                     probe_mass=budget).collect())
+    assert fixed == adaptive
+
+
 def test_nearest_cells_gemm_topn_matches_exact_sweep(spark):
     """The tiled-GEMM top-nc probe path (large codebooks, |C| > 256)
     must return the same (cell, cell_rank) assignment as the exact

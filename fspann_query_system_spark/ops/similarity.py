@@ -175,21 +175,62 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
             B = np.vstack([np.asarray(v, dtype=np.float64)
                            for v in pdf[vector_col].to_numpy()])
             if mass_ is not None:
-                # adaptive mass-budget probing: quantized sweep, stable
-                # argsort on int64 dd over cid-ascending columns ==
-                # (dd, cid) order; keep cell i while the cumulative
-                # member count of cells BEFORE it is < budget.  Row
-                # chunks bound the (rows × |C|) working set.
+                # adaptive mass-budget probing: order cells by
+                # element-quantized (dd, cid); keep cell i while the
+                # cumulative member count of cells BEFORE it is <
+                # budget.  Row chunks bound the working set.
+                #
+                # Small codebook (<= 256, the oracle fixtures): exact
+                # quantized sweep over ALL cells + stable argsort on
+                # int64 dd over cid-ascending columns == (dd, cid)
+                # order, engine-reproducible at any tie density.
+                #
+                # Large codebook (the scale path): the full sweep is
+                # |C| python-loop passes + a (rows × |C|) sort per
+                # chunk — measured as kernel-dominating at |C| = 10⁴.
+                # Instead: T = the worst-case cell count that covers
+                # the budget (smallest prefix of ASCENDING cell counts
+                # ≥ budget — no prober can need more cells than the
+                # all-smallest-cells adversary), tiled-GEMM float
+                # prefilter to the T+8 nearest (same +8 margin and
+                # tie caveat as the nc>1 branch), quantized recompute
+                # of only those, then the same (dd, cid) cumulative
+                # rule within the shortlist.
                 cnt_, budget_ = mass_
                 ids_all = pdf[id_col].to_numpy()
                 vec_all = pdf[vector_col].to_numpy()
-                RB = 2048
+                T = len(cid_)
+                if len(cid_) > 256:
+                    asc = np.cumsum(np.sort(cnt_))
+                    T = min(len(cid_),
+                            int(np.searchsorted(asc, budget_)) + 1 + 8)
+                cn = np.square(C_).sum(axis=1)
+                # bound the (rows × |C|) GEMM buffer at ~32 MB/task
+                RB = max(256, min(2048, (4 << 20) // max(1, len(cid_))))
                 for r0 in range(0, len(B), RB):
                     Br = B[r0:r0 + RB]
-                    d2 = np.empty((len(Br), len(cid_)), dtype=np.int64)
-                    for j in range(len(cid_)):
-                        d2[:, j] = _q9(np.square(Br - C_[j])).sum(axis=1)
-                    perm = np.argsort(d2, axis=1, kind="stable")
+                    if T < len(cid_):
+                        # float GEMM prefilter (|q|² is row-constant,
+                        # cannot move the per-row order)
+                        d2g = Br @ C_.T
+                        d2g *= -2.0
+                        d2g += cn
+                        part = np.argpartition(d2g, T - 1,
+                                               axis=1)[:, :T]
+                        # column index == cid rank: pre-sort so the
+                        # later stable argsort ties break by cid
+                        part = np.sort(part, axis=1)
+                        diff = Br[:, None, :] - C_[part]
+                        dd = _q9(np.square(diff)).sum(axis=2)
+                        ordT = np.argsort(dd, axis=1, kind="stable")
+                        perm = np.take_along_axis(part, ordT, 1)
+                    else:
+                        d2 = np.empty((len(Br), len(cid_)),
+                                      dtype=np.int64)
+                        for j in range(len(cid_)):
+                            d2[:, j] = _q9(
+                                np.square(Br - C_[j])).sum(axis=1)
+                        perm = np.argsort(d2, axis=1, kind="stable")
                     run_cnt = np.cumsum(cnt_[perm], axis=1)
                     keep = np.empty(perm.shape, dtype=bool)
                     keep[:, 0] = True           # prior mass 0 < budget

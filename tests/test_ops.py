@@ -2092,6 +2092,41 @@ def test_knn_join_sq8_probe_mass_matches_fixed_on_uniform_cells(spark):
     assert fixed == adaptive
 
 
+def test_nearest_cells_mass_large_codebook_matches_exact_rule(spark):
+    """The large-|C| mass-probe fast path (tiled-GEMM prefilter to the
+    worst-case-T shortlist + quantized recompute) must produce the
+    SAME per-row probe lists as the exact rule — full quantized sort +
+    cumulative member mass < budget — verified against a numpy oracle
+    on a 300-centroid codebook (past the 256 crossover)."""
+    import numpy as np
+    from fspann_query_system_spark.ops.similarity import (_nearest_cells,
+                                                          _q9)
+    rng = np.random.default_rng(5)
+    X = rng.normal(0, 2, (800, 24))
+    C = rng.normal(0, 2, (300, 24))
+    df = spark.createDataFrame([(i, X[i].tolist()) for i in range(len(X))],
+                               "id LONG, vector ARRAY<DOUBLE>")
+    cents = spark.createDataFrame(
+        [(j, C[j].tolist()) for j in range(len(C))],
+        "id LONG, vector ARRAY<DOUBLE>")
+    # synthetic skewed census (mass rule must respect counts, not
+    # geometry): cell j holds (j % 7) + 1 members
+    counts = {j: (j % 7) + 1 for j in range(len(C))}
+    budget = 25
+    got = {}
+    for r in _nearest_cells(df, cents, 1, "id", "vector", "id", "vector",
+                            keep_vector=False,
+                            mass=(counts, budget)).collect():
+        got.setdefault(r.id, []).append(r.cell)
+    cnt = np.array([counts[j] for j in range(len(C))])
+    for q in range(0, 800, 37):          # sample rows
+        dd = np.array([_q9(np.square(X[q] - C[j])).sum()
+                       for j in range(len(C))])
+        o = np.lexsort((np.arange(len(C)), dd))
+        prior = np.concatenate(([0], np.cumsum(cnt[o])[:-1]))
+        assert got[q] == list(o[prior < budget])
+
+
 def test_nearest_cells_gemm_topn_matches_exact_sweep(spark):
     """The tiled-GEMM top-nc probe path (large codebooks, |C| > 256)
     must return the same (cell, cell_rank) assignment as the exact

@@ -50,6 +50,17 @@ Late-r8 consumer steps: KNN_PR=1 times 2 integer PageRank rounds over
 the persisted graph (the coreset/centrality pass) and reports the
 score spread; KNN_MUTUAL=1 times the mutual-kNN symmetrization and
 reports the reciprocated-edge fraction (the hubness diagnostic).
+
+Round-9 additions (verdict r08 Next #4/#5):
+  * KNN_PROBE_MASS=<m> switches probing (either dtype path) to the
+    per-row ADAPTIVE mass budget (knn_join(probe_mass=)): every
+    prober scans ≥ m candidate mass, cells in quantized-distance
+    order — nprobe is then only a label in the output.  The skew
+    premium fixed nprobe pays (the measured ×1.19–1.24 pair
+    expansion) collapses to the half-cell overshoot.
+  * KNN_LP_ITERS="4,6,8" measures label_propagate at each depth
+    (checkpoint_every=2) over the built graph: coverage + accuracy +
+    wall per depth — the iteration-depth law (§9h addendum).
 """
 
 from __future__ import annotations
@@ -146,15 +157,26 @@ def main():
                   F.expr("percentile(count, 0.99)").alias("p99"),
                   F.sum(F.col("count") * F.col("count")).alias("sum_sq"))
              .collect()[0])
-    pred_pairs = nprobe * n * n / n_cells
+    import os as _os
+    if _os.environ.get("KNN_PROBE_MASS"):
+        # adaptive budget: every prober scans >= probe_mass candidates
+        # (plus its last cell's overshoot) — prediction is n·mass
+        pred_pairs = n * int(_os.environ["KNN_PROBE_MASS"])
+    else:
+        pred_pairs = nprobe * n * n / n_cells
     print(f"cells hit {sizes.cells}/{n_cells}, size p50 {sizes.p50:.0f} "
           f"p99 {sizes.p99:.0f} max {sizes['max']}; Σ|cell|² = "
           f"{sizes.sum_sq:.3g} (balanced n²/|C| = {n*n/n_cells:.3g})",
           flush=True)
 
+    import os
+    probe_mass = (int(os.environ["KNN_PROBE_MASS"])
+                  if os.environ.get("KNN_PROBE_MASS") else None)
+    if probe_mass:
+        print(f"ADAPTIVE probing: probe_mass={probe_mass} "
+              f"(nprobe arg ignored)", flush=True)
     t0 = time.time()
     if shuffle_dtype == "sq8":
-        import os
         from fspann_query_system_spark.ops.similarity import (knn_join_sq8,
                                                               sq8_stats)
         mins, maxs = sq8_stats(emb)
@@ -163,11 +185,12 @@ def main():
                              rerank=2, c_id_col="cell", assigned=assigned,
                              shuffle_dtype="float", probe_groups=pg,
                              checkpoint_mode="reliable" if pg > 1
-                             else "local")
+                             else "local", probe_mass=probe_mass)
     else:
         graph = knn_join(emb, cent, k=k, nprobe=nprobe,
                          c_id_col="cell", assigned=assigned,
-                         shuffle_dtype=shuffle_dtype)
+                         shuffle_dtype=shuffle_dtype,
+                         probe_mass=probe_mass)
     # persist: the recall sample below joins against the graph — an
     # unpersisted graph RE-RUNS the entire join for it (measured ~17
     # wasted minutes at 10M).  The materialized graph is n·k skinny
@@ -181,8 +204,12 @@ def main():
 
     # actual candidate expansion: per-cell probers × members
     from fspann_query_system_spark.ops.similarity import _nearest_cells
+    _mass = None
+    if probe_mass:
+        _mass = ({r["cell"]: r["count"] for r in
+                  assigned.groupBy("cell").count().collect()}, probe_mass)
     pc = (_nearest_cells(emb, cent, nprobe, "id", "vector", "cell", "vector",
-                         keep_vector=False)
+                         keep_vector=False, mass=_mass)
           .groupBy("cell").agg(F.count("*").alias("np_")))
     mc = assigned.groupBy("cell").agg(F.count("*").alias("nm"))
     actual = (pc.join(mc, "cell")
@@ -225,7 +252,31 @@ def main():
           f"{float(np.mean(rec)):.4f} (oracle build {time.time()-t0:.0f}s)",
           flush=True)
 
-    import os
+    if os.environ.get("KNN_LP_ITERS"):
+        # iteration-depth law (verdict r08 Next #4): coverage/accuracy/
+        # wall at each depth, checkpoint_every=2 cutting the lineage
+        from fspann_query_system_spark.ops.graph import label_propagate
+        seeds = (emb.filter(F.col("id") % 100 == 0)
+                 .select("id", (F.col("id") % N_CENTERS).alias("label")))
+        g6 = (graph.select("q_id", "id", F.round("dist", 6).alias("dist"))
+              .persist())
+        g6.count()
+        for it in [int(x) for x in
+                   os.environ["KNN_LP_ITERS"].split(",")]:
+            t0 = time.time()
+            lp = label_propagate(g6, seeds, iters=it,
+                                 checkpoint_every=2).persist()
+            reached = lp.count()
+            lp_wall = time.time() - t0
+            correct = lp.filter(
+                F.col("label") == (F.col("id") % N_CENTERS)).count()
+            print(f"label_propagate iters={it} (checkpoint_every=2) over "
+                  f"{edges} edges, {n//100} seeds: {lp_wall:.1f}s -> "
+                  f"{reached} reached ({reached/n:.3f} of corpus), "
+                  f"accuracy {correct/reached:.4f}", flush=True)
+            lp.unpersist()
+        g6.unpersist()
+
     if os.environ.get("KNN_LP") == "1":
         from fspann_query_system_spark.ops.graph import label_propagate
         seeds = (emb.filter(F.col("id") % 100 == 0)

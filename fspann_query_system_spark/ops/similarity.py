@@ -570,7 +570,8 @@ def ivf_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 10, nprobe: int = 2,
              id_col: str = "id", vector_col: str = "vector",
              q_id_col: str = "q_id", q_vector_col: str = "vector",
-             assigned: DataFrame | None = None) -> DataFrame:
+             assigned: DataFrame | None = None,
+             probe_mass: int | None = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k: probe the ``nprobe``
     nearest cells per query, exact-rank only candidates in probed cells.
 
@@ -583,14 +584,32 @@ def ivf_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
 
     Pass ``assigned`` (from :func:`ivf_assign`, persisted or reloaded
     from an ``ivf_save`` layout) to reuse the ingest-time assignment;
-    when omitted it is derived on the fly (still map-side)."""
+    when omitted it is derived on the fly (still map-side).
+
+    ``probe_mass`` switches to per-query ADAPTIVE mass-budget probing
+    (``nprobe`` ignored): the same rule as :func:`knn_join` /
+    ``ivf_bq_sq8_topk(probe_mass=)`` — cells in element-quantized
+    distance order while the cumulative member count of closer cells
+    is below the budget — run MAP-SIDE over the (possibly distributed)
+    query table via :func:`_nearest_cells`, so unlike the
+    collected-batch ``_adaptive_probe_cells`` path it never needs the
+    queries on the driver.  Per-query scanned rows are hard-bounded
+    under cell-size skew; the broadcast probes table simply carries a
+    variable probe count per query."""
     from ..functions.distance import l2_expr
     if assigned is None:
         assigned = ivf_assign(base, centroids, id_col, vector_col,
                               id_col, vector_col)
+    mass = None
+    if probe_mass is not None:
+        counts = {r["cell"]: r["count"] for r in
+                  assigned.groupBy("cell").count().collect()}
+        mass = (counts, probe_mass)
     probes = _nearest_cells(
         queries, centroids, nprobe, q_id_col, q_vector_col,
-        id_col, vector_col, keep_vector=True).drop("cell_rank")
+        id_col, vector_col, keep_vector=True, mass=mass)
+    if "cell_rank" in probes.columns:
+        probes = probes.drop("cell_rank")
     qp = (probes.withColumnRenamed(q_vector_col, "_qv")
           if q_vector_col in probes.columns else probes)
     cand = (assigned.withColumnRenamed(vector_col, "_bv")

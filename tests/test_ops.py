@@ -403,6 +403,34 @@ def test_ivf_topk_subset_and_self_hit(spark, clustered):
     assert hits >= 45  # recall@5 >= 0.9 over 10 queries
 
 
+def test_ivf_topk_probe_mass_exhaustive_and_bounded(spark, clustered):
+    """ivf_topk(probe_mass=) — the bipartite query-vs-corpus twin of
+    knn_join's adaptive probing, map-side over the (possibly
+    distributed) query table: a whole-corpus budget equals probing
+    every cell, and a partial budget still returns dense k results
+    with the self-hit first (every query scans >= budget rows)."""
+    from fspann_query_system_spark.ops.similarity import ivf_topk
+    df, X = clustered
+    centroids = df.filter(F.col("id") % 250 == 0)   # 8 cells
+    q = df.filter(F.col("id") < 10).select(F.col("id").alias("q_id"),
+                                           "vector")
+    full = sorted((r.q_id, r.id, r.rank) for r in
+                  ivf_topk(df, q, centroids, k=5,
+                           probe_mass=10 ** 9).collect())
+    exh = sorted((r.q_id, r.id, r.rank) for r in
+                 ivf_topk(df, q, centroids, k=5, nprobe=8).collect())
+    assert full == exh
+    part = ivf_topk(df, q, centroids, k=5, probe_mass=300).collect()
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for q_id, rows in by_q.items():
+        ranked = sorted(rows, key=lambda r: r.rank)
+        assert len(ranked) == 5
+        assert ranked[0].id == q_id and ranked[0].dist == 0.0
+
+
 def test_kmeans_fit_improves_ivf(spark, clustered):
     """Lloyd training must move the coarse quantizer toward the true
     cluster structure: mean point-to-nearest-centroid distance strictly

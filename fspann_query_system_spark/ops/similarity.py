@@ -205,14 +205,20 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                     T = min(len(cid_),
                             int(np.searchsorted(asc, budget_)) + 1 + 8)
                 cn = np.square(C_).sum(axis=1)
-                # bound the (rows × |C|) GEMM buffer at ~32 MB/task
+                # bound the (rows × |C|) GEMM buffer at ~32 MB/task and
+                # PREALLOCATE it: a fresh allocation per chunk is the
+                # page-zeroing storm the nc==1 branch documents
+                # (measured: it dominated the 10M probe kernel)
                 RB = max(256, min(2048, (4 << 20) // max(1, len(cid_))))
+                gbuf = (np.empty((min(RB, len(B)), len(cid_)))
+                        if T < len(cid_) else None)
                 for r0 in range(0, len(B), RB):
                     Br = B[r0:r0 + RB]
                     if T < len(cid_):
                         # float GEMM prefilter (|q|² is row-constant,
                         # cannot move the per-row order)
-                        d2g = Br @ C_.T
+                        d2g = gbuf[:len(Br)]
+                        np.matmul(Br, C_.T, out=d2g)
                         d2g *= -2.0
                         d2g += cn
                         part = np.argpartition(d2g, T - 1,

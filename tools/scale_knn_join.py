@@ -202,25 +202,10 @@ def main():
           f"{wall:.1f}s -> {edges} edges "
           f"= {edges/wall:,.0f} edges/s ({n/wall:,.0f} rows/s)", flush=True)
 
-    # actual candidate expansion: per-cell probers × members
-    from fspann_query_system_spark.ops.similarity import _nearest_cells
-    _mass = None
-    if probe_mass:
-        _mass = ({r["cell"]: r["count"] for r in
-                  assigned.groupBy("cell").count().collect()}, probe_mass)
-    pc = (_nearest_cells(emb, cent, nprobe, "id", "vector", "cell", "vector",
-                         keep_vector=False, mass=_mass)
-          .groupBy("cell").agg(F.count("*").alias("np_")))
-    mc = assigned.groupBy("cell").agg(F.count("*").alias("nm"))
-    actual = (pc.join(mc, "cell")
-              .agg(F.sum(F.col("np_").cast("double") * F.col("nm")))
-              .collect()[0][0])
-    print(f"scored pairs {actual:.3g} vs balanced prediction "
-          f"{pred_pairs:.3g} -> expansion factor x{actual/pred_pairs:.2f} "
-          f"of prediction, {actual/(n*n):.2e} of n²", flush=True)
-
     # graph recall vs exact: sample rows, exact kNN by blocked BLAS over
-    # the deterministic generator (no corpus collect)
+    # the deterministic generator (no corpus collect).  Runs BEFORE the
+    # expansion census so the headline number survives a wall-clock
+    # kill of a long run.
     sample = np.random.default_rng(9).choice(n, 200, replace=False)
     rows = (graph.join(
         emb.sparkSession.createDataFrame([(int(s),) for s in sample],
@@ -251,6 +236,23 @@ def main():
     print(f"graph recall@{k} vs exact (200-row sample): "
           f"{float(np.mean(rec)):.4f} (oracle build {time.time()-t0:.0f}s)",
           flush=True)
+
+    # actual candidate expansion: per-cell probers × members
+    from fspann_query_system_spark.ops.similarity import _nearest_cells
+    _mass = None
+    if probe_mass:
+        _mass = ({r["cell"]: r["count"] for r in
+                  assigned.groupBy("cell").count().collect()}, probe_mass)
+    pc = (_nearest_cells(emb, cent, nprobe, "id", "vector", "cell", "vector",
+                         keep_vector=False, mass=_mass)
+          .groupBy("cell").agg(F.count("*").alias("np_")))
+    mc = assigned.groupBy("cell").agg(F.count("*").alias("nm"))
+    actual = (pc.join(mc, "cell")
+              .agg(F.sum(F.col("np_").cast("double") * F.col("nm")))
+              .collect()[0][0])
+    print(f"scored pairs {actual:.3g} vs balanced prediction "
+          f"{pred_pairs:.3g} -> expansion factor x{actual/pred_pairs:.2f} "
+          f"of prediction, {actual/(n*n):.2e} of n²", flush=True)
 
     if os.environ.get("KNN_LP_ITERS"):
         # iteration-depth law (verdict r08 Next #4): coverage/accuracy/

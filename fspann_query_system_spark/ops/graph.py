@@ -69,7 +69,8 @@ def label_propagate(edges: DataFrame, seeds: DataFrame, iters: int = 2,
                     q_col: str = "q_id", n_col: str = "id",
                     dist_col: str = "dist",
                     id_col: str = "id", label_col: str = "label",
-                    checkpoint_every: int = 0) -> DataFrame:
+                    checkpoint_every: int = 0,
+                    symmetric: bool = False) -> DataFrame:
     """Propagate seed labels over a kNN edge table for ``iters`` rounds.
 
     ``edges``: (q_col, n_col, dist_col) -- directed edges "q pulls from
@@ -99,6 +100,19 @@ def label_propagate(edges: DataFrame, seeds: DataFrame, iters: int = 2,
     ``checkpoint_every`` to cut the lineage like
     ``connected_components`` does (requires a checkpoint dir for
     non-local masters).
+
+    ``symmetric=True`` propagates along BOTH edge directions (each
+    directed edge also acts reversed, same weight) — the coverage
+    lever the measured 10M depth law calls for (SCALE.md §9h
+    addendum): directed kNN reach saturates at the seeds'
+    clique closure (0.250 at 1% seeds on the §9b geometry, no depth
+    recovers more) because a node only ever receives from its OWN
+    kNN list; symmetrizing lets mass also flow from a row to the
+    rows that COUNT it among their kNN, merging cliques the directed
+    frontier cannot cross.  Doubles the per-round edge rows, same
+    plan shape; a (u,v) pair present in both directions contributes
+    both reversed copies — intentional (reciprocated affinity counts
+    twice), same semantics as the standard W + Wᵀ symmetrization.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -106,6 +120,10 @@ def label_propagate(edges: DataFrame, seeds: DataFrame, iters: int = 2,
         F.col(q_col).alias("_dst"), F.col(n_col).alias("_src"),
         F.expr(f"CAST(round({W_SCALE}.0 / (1.0 + {dist_col})) AS BIGINT)")
         .alias("_w")))
+    if symmetric:
+        w_edges = w_edges.unionByName(
+            w_edges.select(F.col("_src").alias("_dst"),
+                           F.col("_dst").alias("_src"), "_w"))
 
     seed_mass = (seeds.select(
         F.col(id_col).alias("_node"),

@@ -140,6 +140,43 @@ def test_hard_negatives_k_gt_pool_raises(spark, clustered):
         hard_negatives(small, small.limit(2), labels, k=30, pool_k=10)
 
 
+def test_label_propagate_symmetric_reaches_upstream(spark):
+    """symmetric=True propagates along both edge directions (the
+    coverage lever of SCALE.md §9h's depth law): on a directed chain
+    0->1->2 with the seed at node 0, the directed pass can NEVER
+    label anything (mass flows q <- n, and no node pulls from 0's
+    upstream side... rather: nodes pull from their kNN; only nodes
+    whose edges point AT the seed are reached), while the symmetric
+    pass reaches the whole chain.  Equality with the directed pass
+    on an already-symmetric edge set pins that the option only adds
+    the reversed copies."""
+    # chain: q pulls from n — node 1 pulls from 0, node 2 pulls from 1
+    e = spark.createDataFrame([(1, 0, 1.0), (2, 1, 1.0)],
+                              "q_id LONG, id LONG, dist DOUBLE")
+    s = spark.createDataFrame([(0, 7)], "id LONG, label LONG")
+    directed = {r.id for r in label_propagate(e, s, iters=2).collect()}
+    assert directed == {0, 1, 2}          # downstream pulls work
+    # reverse the chain: 0 pulls from 1, 1 pulls from 2 — seed 0 now
+    # has no path TO anyone (nobody pulls from 0)
+    er = spark.createDataFrame([(0, 1, 1.0), (1, 2, 1.0)],
+                               "q_id LONG, id LONG, dist DOUBLE")
+    directed_r = {r.id for r in label_propagate(er, s, iters=2).collect()}
+    assert directed_r == {0}              # frontier dead on arrival
+    sym = {r.id: r for r in label_propagate(er, s, iters=2,
+                                            symmetric=True).collect()}
+    assert set(sym) == {0, 1, 2}          # symmetrization crosses it
+    assert sym[1].label == 7 and sym[2].label == 7
+    # on an already-symmetric edge set, symmetric=True only doubles
+    # each weight — same normalized masses, same output
+    both = e.unionByName(er)
+    a = sorted((r.id, r.label, r.confidence) for r in
+               label_propagate(both, s, iters=2).collect())
+    b = sorted((r.id, r.label, r.confidence) for r in
+               label_propagate(both, s, iters=2,
+                               symmetric=True).collect())
+    assert a == b
+
+
 def test_label_propagate_bad_iters_raises(spark):
     e, s = _hand_graph(spark)
     with pytest.raises(ValueError):

@@ -226,8 +226,20 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                         # column index == cid rank: pre-sort so the
                         # later stable argsort ties break by cid
                         part = np.sort(part, axis=1)
-                        diff = Br[:, None, :] - C_[part]
-                        dd = _q9(np.square(diff)).sum(axis=2)
+                        # quantized recompute of the shortlist, tiled
+                        # over rows: RB is sized only by |C|, so just
+                        # past the 256-centroid crossover a large
+                        # budget (T → |C|) would otherwise blow the
+                        # (RB × T × dim) cube to hundreds of MB/task
+                        # (r09 ADVICE) — cap the cube at ~32 MB
+                        sub = max(1, (32 << 20)
+                                  // max(1, T * Br.shape[1] * 8))
+                        dd = np.empty((len(Br), T), dtype=np.int64)
+                        for s0 in range(0, len(Br), sub):
+                            diff = (Br[s0:s0 + sub, None, :]
+                                    - C_[part[s0:s0 + sub]])
+                            dd[s0:s0 + sub] = _q9(
+                                np.square(diff)).sum(axis=2)
                         ordT = np.argsort(dd, axis=1, kind="stable")
                         perm = np.take_along_axis(part, ordT, 1)
                     else:
@@ -601,7 +613,11 @@ def ivf_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
     collected-batch ``_adaptive_probe_cells`` path it never needs the
     queries on the driver.  Per-query scanned rows are hard-bounded
     under cell-size skew; the broadcast probes table simply carries a
-    variable probe count per query."""
+    variable probe count per query.  NOTE (mirrors :func:`knn_join`):
+    with ``probe_mass`` the cell census is collected from ``assigned``,
+    so an on-the-fly (omitted) assignment runs the assign kernel over
+    the full base table TWICE (census collect + candidate join) — pass
+    a persisted ``assigned`` at scale (r09 ADVICE)."""
     from ..functions.distance import l2_expr
     if assigned is None:
         assigned = ivf_assign(base, centroids, id_col, vector_col,

@@ -207,7 +207,8 @@ def hard_negatives(df: DataFrame, centroids: DataFrame, labels: DataFrame,
 
 def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
              iters: int = 2, q_col: str = "q_id", n_col: str = "id",
-             id_col: str = "id", checkpoint_every: int = 0) -> DataFrame:
+             id_col: str = "id", checkpoint_every: int = 0,
+             release: bool = True) -> DataFrame:
     """Integer-exact PageRank (Page et al. 1999, damped-centrality
     form) over a directed edge table for ``iters`` rounds -- the
     unlabeled twin of ``label_propagate``.
@@ -255,11 +256,50 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
     entry: the degree aggregation and every round's join consume them
     through DIFFERENT plan subtrees, which would otherwise re-execute
     an expensive upstream (a fresh ``knn_join``) once per consumer.
-    Both caches are released before returning — the final rank table
-    (n skinny rows) is eagerly local-checkpointed so the returned
-    DataFrame no longer references them, and repeated calls in a
-    long-lived session leave no storage behind (r08 ADVICE).
+
+    ``release=True`` (default, the long-lived-session hygiene mode,
+    r08 ADVICE): the final rank table (n skinny rows) is eagerly
+    local-checkpointed, both caches are unpersisted before returning,
+    and the int64 budget guard runs as a count over the CHECKPOINTED
+    blocks (no recompute, no extra upstream job — the r09 regression
+    fix: the previous pre-count + in-call eager actions cost ×6 on a
+    sub-second query at bench scale).  The guard fires after the
+    arithmetic but before any value is returned, which preserves its
+    contract: fail loudly instead of handing back silently-wrapped
+    int64 sums.
+
+    ``release=False`` (for composition and benching — one caller
+    materializes the result exactly once): returns the LAZY plan;
+    the single downstream action fills and reuses both caches within
+    its one job (they stay registered afterwards — the caller owns
+    cleanup, e.g. ``spark.catalog.clearCache()`` at a pipeline
+    boundary), and the budget guard is skipped (a lazy return cannot
+    run a job) — callers above ~1e8 nodes must check the documented
+    budget themselves.
     """
+    out, caches = _pagerank_plan(edges, nodes, iters, q_col, n_col,
+                                 id_col, checkpoint_every)
+    if not release:
+        return out
+    out = out.localCheckpoint(eager=True)
+    n_nodes = out.count()        # checkpointed: scans local blocks only
+    for c in caches:
+        c.unpersist()
+    budget = (2 ** 63 - 1) // (PR_SCALE * PR_D_NUM)
+    if n_nodes > budget:
+        raise ValueError(
+            f"pagerank int64 overflow: {n_nodes} nodes exceeds the "
+            f"{budget}-node budget at PR_SCALE={PR_SCALE}; shrink "
+            "PR_SCALE (docstring 'Overflow budget')")
+    return out
+
+
+def _pagerank_plan(edges: DataFrame, nodes: DataFrame | None,
+                   iters: int, q_col: str, n_col: str, id_col: str,
+                   checkpoint_every: int):
+    """Build the lazy PageRank plan; returns (out, caches) so callers
+    that compose it (``graph_coreset``) can release the entry caches
+    at their own materialization boundary."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     src = (edges.select(F.col(q_col).alias("_src"),
@@ -272,19 +312,6 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
     else:
         node_set = nodes.select(F.col(id_col).alias("_node")).distinct()
     node_set = node_set.persist()
-    # Guard the documented int64 budget LOUDLY: every damped aggregate
-    # is <= PR_D_NUM * (total mass) = PR_D_NUM * n * PR_SCALE.  Spark's
-    # int64 F.sum wraps silently past that while the DuckDB oracle sums
-    # into HUGEINT — fail here instead of diverging (r08 ADVICE).  The
-    # count() reads the just-persisted node set, which every iteration
-    # reuses anyway.
-    n_nodes = node_set.count()
-    budget = (2 ** 63 - 1) // (PR_SCALE * PR_D_NUM)
-    if n_nodes > budget:
-        raise ValueError(
-            f"pagerank int64 overflow: {n_nodes} nodes exceeds the "
-            f"{budget}-node budget at PR_SCALE={PR_SCALE}; shrink "
-            "PR_SCALE (docstring 'Overflow budget')")
     deg = src.groupBy("_src").agg(F.count("*").alias("_deg"))
     base = PR_SCALE * (PR_D_DEN - PR_D_NUM) // PR_D_DEN
     rank = node_set.withColumn("_r", F.lit(PR_SCALE).cast("long"))
@@ -302,12 +329,9 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
         if checkpoint_every and (t + 1) % checkpoint_every == 0 \
                 and t + 1 < iters:
             rank = rank.localCheckpoint(eager=True)
-    out = (rank.select(F.col("_node").alias(id_col),
-                       F.round(F.col("_r") / PR_SCALE, 6).alias("score"))
-           .localCheckpoint(eager=True))
-    src.unpersist()
-    node_set.unpersist()
-    return out
+    out = rank.select(F.col("_node").alias(id_col),
+                      F.round(F.col("_r") / PR_SCALE, 6).alias("score"))
+    return out, (src, node_set)
 
 
 def mutual_knn(edges: DataFrame, q_col: str = "q_id", n_col: str = "id",
@@ -349,7 +373,7 @@ def graph_coreset(df: DataFrame, centroids: DataFrame,
                   keep_per_cell: int = 10, k: int = 10, nprobe: int = 2,
                   iters: int = 2, id_col: str = "id",
                   vector_col: str = "vector", c_id_col: str = "id",
-                  c_vector_col: str = "vector",
+                  c_vector_col: str = "vector", release: bool = True,
                   **knn_kwargs) -> DataFrame:
     """Prototypicality coreset selection: keep the ``keep_per_cell``
     most CENTRAL rows of each coarse cell, centrality = integer
@@ -372,6 +396,13 @@ def graph_coreset(df: DataFrame, centroids: DataFrame,
     int64-exact, and the final tie-break is by id.
 
     Returns (id, cell, score, cell_rank) for the kept rows.
+
+    ``release`` mirrors :func:`pagerank`'s knob, applied at THIS
+    composition's boundary: True (default) eagerly checkpoints the
+    tiny kept-rows table and unpersists the internal PageRank caches
+    (one materialization of the whole pipeline — not one per stage,
+    the r09 regression fix); False returns the lazy plan and leaves
+    the two skinny caches registered for the caller's single action.
     """
     from .similarity import ivf_assign, knn_join
     # assign ONCE: the same (id, vector, cell) table serves as
@@ -384,11 +415,16 @@ def graph_coreset(df: DataFrame, centroids: DataFrame,
                      vector_col=vector_col, c_id_col=c_id_col,
                      c_vector_col=c_vector_col, assigned=cells,
                      **knn_kwargs)
-    pr = pagerank(graph.select("q_id", "id"), nodes=df, iters=iters,
-                  id_col=id_col)
+    pr, caches = _pagerank_plan(graph.select("q_id", "id"), df, iters,
+                                "q_id", "id", id_col, 0)
     rank = Window.partitionBy("cell").orderBy(F.col("score").desc(), id_col)
-    return (pr.join(cells.select(id_col, "cell"), id_col)
-            .withColumn("cell_rank", F.row_number().over(rank))
-            .filter(F.col("cell_rank") <= keep_per_cell)
-            .select(id_col, "cell", "score",
-                    F.col("cell_rank").cast("int").alias("cell_rank")))
+    out = (pr.join(cells.select(id_col, "cell"), id_col)
+           .withColumn("cell_rank", F.row_number().over(rank))
+           .filter(F.col("cell_rank") <= keep_per_cell)
+           .select(id_col, "cell", "score",
+                   F.col("cell_rank").cast("int").alias("cell_rank")))
+    if release:
+        out = out.localCheckpoint(eager=True)
+        for c in caches:
+            c.unpersist()
+    return out

@@ -3966,8 +3966,12 @@ def q_pagerank(spark, sf_dir):
     base = _emb(spark, sf_dir)
     centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
     graph = knn_join(base, centroids, k=KNN_JOIN_K, nprobe=IVF_NPROBE)
+    # release=False: the driver/bench collects this exactly once —
+    # the lazy plan keeps the whole query ONE job (the r09 bench
+    # regression was pagerank's in-call eager actions at sub-second
+    # scale); the two skinny caches it leaves are session-bounded
     return pagerank(graph.select("q_id", "id"), nodes=base,
-                    iters=PR_ITERS)
+                    iters=PR_ITERS, release=False)
 
 
 def _sql_pagerank_ctes(iters: int = PR_ITERS) -> str:
@@ -4016,7 +4020,8 @@ def q_graph_coreset(spark, sf_dir):
     base = _emb(spark, sf_dir)
     centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
     return graph_coreset(base, centroids, keep_per_cell=CORESET_KEEP,
-                         k=KNN_JOIN_K, nprobe=IVF_NPROBE, iters=PR_ITERS)
+                         k=KNN_JOIN_K, nprobe=IVF_NPROBE, iters=PR_ITERS,
+                         release=False)   # one collect — see q_pagerank
 
 
 SQL_GRAPH_CORESET = f"""

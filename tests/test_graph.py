@@ -217,6 +217,36 @@ def test_pagerank_matches_integer_mirror(spark):
     assert out[3] > out[4]                      # hub outranks a leaf
 
 
+def test_pagerank_release_modes_equal(spark):
+    """release=False (lazy, composed/bench mode) returns the identical
+    integer-exact result as the default eager-hygiene mode, and the
+    lazy mode adds NO job before the caller's action (its plan is
+    unevaluated on return).  Same for graph_coreset's passthrough."""
+    edges = [(1, 3), (2, 3), (4, 3), (3, 1), (1, 2), (2, 1), (4, 1)]
+    e = spark.createDataFrame(edges, "q_id LONG, id LONG")
+    n = spark.createDataFrame([(v,) for v in range(1, 6)], "id LONG")
+    eager = {r.id: r.score
+             for r in pagerank(e, nodes=n, iters=2).collect()}
+    lazy_df = pagerank(e, nodes=n, iters=2, release=False)
+    # lazy mode must return a PLAN (joins still visible), not the
+    # eager mode's checkpointed scan — that laziness IS the fix
+    assert "Join" in lazy_df._jdf.queryExecution().optimizedPlan() \
+        .toString()
+    lazy = {r.id: r.score for r in lazy_df.collect()}
+    assert lazy == eager
+
+
+def test_graph_coreset_release_modes_equal(spark, clustered):
+    df, X = clustered
+    small = df.filter(F.col("id") < 600)
+    cents = small.filter(F.col("id") % 200 == 0)
+    kw = dict(keep_per_cell=2, k=5, nprobe=2, iters=2)
+    eager = sorted(map(tuple, graph_coreset(small, cents, **kw).collect()))
+    lazy = sorted(map(tuple, graph_coreset(small, cents, release=False,
+                                           **kw).collect()))
+    assert lazy == eager
+
+
 def test_pagerank_default_nodes_and_bad_iters(spark):
     """Without an explicit node set, the universe is the distinct edge
     endpoints; iters=0 raises."""

@@ -92,7 +92,8 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                    c_id_col: str, c_vector_col: str,
                    keep_vector: bool, quantize: bool = False,
                    sq8: tuple | None = None,
-                   mass: tuple | None = None) -> DataFrame:
+                   mass: tuple | None = None,
+                   cell_mod: tuple | None = None) -> DataFrame:
     """Shared coarse-quantizer kernel: for each row, the ``n_cells``
     nearest centroids by L2, ties broken by lowest centroid id →
     (id[, vector], cell[, cell_rank]).
@@ -131,7 +132,18 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
     quantized per-centroid sweep regardless of |C| so a SQL oracle's
     cumulative-sum window over the same (dd, cid) ordering picks
     IDENTICAL cells — at SemDeDup-scale |C| (≥ 10⁴) prefer fixed
-    probing or a coarser census."""
+    probing or a coarser census.
+
+    ``cell_mod=(g, gi)`` emits ONLY probe rows whose cell ≡ gi
+    (mod g) — the staged :func:`knn_join_sq8` fusion (verdict r09
+    Next #4): probe SELECTION runs unchanged (the mass rule still
+    sees every cell's cumulative count), but per-group emission means
+    the union over gi ∈ [0, g) equals the unfiltered output EXACTLY
+    while each group Arrow-encodes and shuffles only its slice.
+    Selection math re-runs per group (measured 53 s per pass over 10M
+    at |C|=10⁴, ×g) in exchange for dropping the persisted probe
+    table (measured ~20–25 min of Arrow encode + DISK_ONLY write of
+    ~226M code rows at 10M×p22) — the r9-profiled dominant sub-wall."""
     spark = df.sparkSession
     c_rows = centroids.select(c_id_col, c_vector_col).collect()
     cid = np.array([r[0] for r in c_rows], dtype=np.int64)
@@ -152,10 +164,10 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                        dtype=np.int64)
         mass_arrs = (cnt, int(budget))
     bc = spark.sparkContext.broadcast((cid[order], C[order], n_cells,
-                                       sq8_arrs, mass_arrs))
+                                       sq8_arrs, mass_arrs, cell_mod))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cid_, C_, nc_req, sq8_, mass_ = bc.value
+        cid_, C_, nc_req, sq8_, mass_, cmod_ = bc.value
         nc = min(nc_req, len(cid_))
 
         def payload(V: np.ndarray) -> list:
@@ -253,6 +265,10 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                     keep = np.empty(perm.shape, dtype=bool)
                     keep[:, 0] = True           # prior mass 0 < budget
                     keep[:, 1:] = run_cnt[:, :-1] < budget_
+                    if cmod_ is not None:
+                        # group slice AFTER the budget rule: selection
+                        # is global, emission per-group (union == all)
+                        keep &= (cid_[perm] % cmod_[0]) == cmod_[1]
                     nk = keep.sum(axis=1)
                     out = {id_col: np.repeat(ids_all[r0:r0 + RB], nk)}
                     if keep_vector:
@@ -303,13 +319,18 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                         bj[upd] = j[upd] + c0
                     best_d[r0:r0 + RB] = bd
                     best_j[r0:r0 + RB] = bj
-                out = {id_col: pdf[id_col].to_numpy()}
+                cells1 = cid_[best_j]
+                rows = (slice(None) if cmod_ is None else
+                        (cells1 % cmod_[0]) == cmod_[1])
+                out = {id_col: pdf[id_col].to_numpy()[rows]}
                 if keep_vector:
                     if sq8_ is not None:
-                        out["qcodes"] = payload(B)
+                        out["qcodes"] = (payload(B) if cmod_ is None else
+                                         payload(B[rows]))
                     else:
-                        out[vector_col] = pdf[vector_col].to_numpy()
-                out["cell"] = cid_[best_j]
+                        out[vector_col] = \
+                            pdf[vector_col].to_numpy()[rows]
+                out["cell"] = cells1[rows]
                 yield pd.DataFrame(out)
                 continue
             if nc_req > 1 and len(cid_) > 256:
@@ -356,22 +377,43 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                 for j in range(len(cid_)):
                     d2[:, j] = np.square(B - C_[j]).sum(axis=1)
                 near = None
-            out = {id_col: np.repeat(pdf[id_col].to_numpy(), nc)}
-            if keep_vector:
-                if sq8_ is not None:
-                    out["qcodes"] = list(np.repeat(
-                        np.array(payload(B), dtype=object), nc))
-                else:
-                    out[vector_col] = np.repeat(
-                        pdf[vector_col].to_numpy(), nc)
             if nc_req == 1:
                 # argmin returns the first (= lowest-cid) minimum
-                out["cell"] = cid_[np.argmin(d2, axis=1)]
+                cells_m = cid_[np.argmin(d2, axis=1)][:, None]
             else:
                 if near is None:
                     near = np.argsort(d2, axis=1, kind="stable")[:, :nc]
-                out["cell"] = cid_[near].ravel()
-                out["cell_rank"] = np.tile(np.arange(1, nc + 1), len(B))
+                cells_m = cid_[near]
+            if cmod_ is None:             # unfiltered fast path
+                out = {id_col: np.repeat(pdf[id_col].to_numpy(), nc)}
+                if keep_vector:
+                    if sq8_ is not None:
+                        out["qcodes"] = list(np.repeat(
+                            np.array(payload(B), dtype=object), nc))
+                    else:
+                        out[vector_col] = np.repeat(
+                            pdf[vector_col].to_numpy(), nc)
+                out["cell"] = cells_m.ravel()
+                if nc_req > 1:
+                    out["cell_rank"] = np.tile(np.arange(1, nc + 1),
+                                               len(B))
+                yield pd.DataFrame(out)
+                continue
+            kmask = (cells_m % cmod_[0]) == cmod_[1]
+            nk = kmask.sum(axis=1)
+            out = {id_col: np.repeat(pdf[id_col].to_numpy(), nk)}
+            if keep_vector:
+                if sq8_ is not None:
+                    out["qcodes"] = list(np.repeat(
+                        np.array(payload(B), dtype=object), nk))
+                else:
+                    out[vector_col] = np.repeat(
+                        pdf[vector_col].to_numpy(), nk)
+            out["cell"] = cells_m[kmask]
+            if nc_req > 1:
+                ranks_m = np.tile(np.arange(1, nc + 1),
+                                  (len(B), 1))
+                out["cell_rank"] = ranks_m[kmask]
             yield pd.DataFrame(out)
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -908,14 +950,16 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
         counts = {r["cell"]: r["count"] for r in
                   assigned.groupBy("cell").count().collect()}
         mass = (counts, probe_mass)
-    probes = _nearest_cells(df, centroids, nprobe, id_col, vector_col,
-                            c_id_col, c_vector_col, keep_vector=True,
-                            sq8=(mins, maxs), mass=mass)
-    if "cell_rank" in probes.columns:
-        probes = probes.drop("cell_rank")
+    def make_qp(cmod: tuple | None = None):
+        p = _nearest_cells(df, centroids, nprobe, id_col, vector_col,
+                           c_id_col, c_vector_col, keep_vector=True,
+                           sq8=(mins, maxs), mass=mass, cell_mod=cmod)
+        if "cell_rank" in p.columns:
+            p = p.drop("cell_rank")
+        return p.select(F.col(id_col).alias("q_id"), "qcodes", "cell")
+
     _vt = "array<float>" if shuffle_dtype == "float" else None
     _cast = (lambda c: c.cast(_vt)) if _vt else (lambda c: c)
-    qp = probes.select(F.col(id_col).alias("q_id"), "qcodes", "cell")
     bp = assigned.select(F.col(id_col).alias("id"),
                          _cast(F.col(vector_col)).alias("_bv"), "cell")
     mn8 = np.asarray(mins, dtype=np.float64)
@@ -970,22 +1014,24 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
     kk = k * rerank
     w_ap = Window.partitionBy("q_id").orderBy("ad2", "id")
     if probe_groups <= 1:
-        scored = (qp.groupBy("cell").cogroup(bp.groupBy("cell"))
+        scored = (make_qp().groupBy("cell").cogroup(bp.groupBy("cell"))
                   .applyInPandas(cell_topk, schema=sch))
         short = (scored.withColumn("_ar", F.row_number().over(w_ap))
                  .filter(F.col("_ar") <= kk).select("q_id", "id"))
     else:
-        from pyspark import StorageLevel
         from .dedup import _ckpt
-        # the probe table is a map-side kernel over the full corpus
-        # (top-nprobe GEMM vs the centroid matrix); without this each
-        # group re-runs it — persist SERIALIZED to disk once (n·nprobe
-        # skinny code rows) and let every group filter the same scan
-        qp = qp.persist(StorageLevel.DISK_ONLY)
+        # PER-GROUP probe emission fused into the kernel (verdict r09
+        # Next #4): each group re-runs the map-side probe SELECTION
+        # (cheap — 53 s/pass over 10M at |C|=10⁴) but Arrow-encodes
+        # and shuffles ONLY its cell ≡ gi (mod g) slice, so the total
+        # encode volume matches the single-pass plan while the
+        # previous DISK_ONLY probe-table persist (the r9-profiled
+        # dominant sub-wall: ~20–25 min of encode + disk write/read
+        # of ~226M code rows at 10M×p22) disappears entirely.
         running = None
         for gi in range(probe_groups):
             in_g = F.pmod(F.col("cell"), F.lit(probe_groups)) == gi
-            sg = (qp.filter(in_g).groupBy("cell")
+            sg = (make_qp((probe_groups, gi)).groupBy("cell")
                   .cogroup(bp.filter(in_g).groupBy("cell"))
                   .applyInPandas(cell_topk, schema=sch))
             # per-prober top-kk WITHIN the group, eagerly materialized:
@@ -1006,7 +1052,6 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
                                 .filter(F.col("_ar") <= kk)
                                 .select("q_id", "id", "ad2"),
                                 checkpoint_mode)
-        qp.unpersist()       # stages 1-2 ran eagerly; stage 3 only
         short = running.select("q_id", "id")  # reads the checkpoints
     # stage 3: exact re-rank.  The shortlist rows carry a TRUE vector
     # through the q_id join exchange — the one unavoidable vector-per-

@@ -4753,89 +4753,30 @@ WHERE rk <= {per_cell}
 #      rounds stand; they rotate back in as window budget allows.
 # SURVEY.md §8 records which entries are parked and why.
 QUERIES = {
-    # ======== ROUND-9 ROTATION (SURVEY.md §8) ========
+    # ======== ROUND-10 ROTATION (SURVEY.md §8) ========
     # Window = positions 1-50.  Composition this round:
-    #   1-11: never-driver-certified entries — the 9 born-parked
-    #         round-8 additions (graph family, JL, containment,
-    #         pii_scrub; each green in the r8 judge's full oracle run
-    #         but without a driver cert) plus the 2 NEW round-9
-    #         entries (knn_join_adaptive, knn_join_sq8_adaptive:
-    #         mass-budget adaptive probing for the self-join,
-    #         verdict r08 Next #5).
-    #  12-20: the 9 events-typed entries (NEVER parked: the driver
+    #   1-23: the 23 r07-certified entries parked since r8 — the
+    #         oldest certs in the registry (first tranche to age to
+    #         3 rounds under the ~2.6-round steady-state cycle;
+    #         scheduled for r10 since the r9 rotation).
+    #  24-32: the 9 events-typed entries (NEVER parked: the driver
     #         has regenerated events.parquet with a different ts
     #         physical type between rounds; a stale cert would rot
     #         silently).
-    #  21-35: the 15-entry r06-certified tranche (cardinality_kmv,
-    #         minhash, doc_quantiles .. gopher_filter) — the oldest
-    #         certs in the registry, scheduled for r9 since r8.
-    #  36-50: 15 of the 38 r07-certified entries (strict
-    #         oldest-cert-first cadence; priority to the pathology-#5
-    #         A/B-implicated entries source_kl / chunk_docs /
-    #         streaming_dedup and the flagship ANN/dedup composites).
-    # PARKED: the remaining 23 r07-certified entries (rotate r10) and
-    # the 41 non-events entries freshly certified in the r08 window.
-    # Steady-state note: 114 entries / 41 rotating slots means a full
-    # cycle takes ~2.6 rounds — an entry's newest cert can now age to
-    # 3 rounds at worst (the 23 parked r07 entries re-certify at r10);
-    # the full local oracle_check run still covers every parked entry
-    # on current fixtures each round.
-    # -- 1-11: first certifications --
-    "label_propagation": q_label_propagation,
-    "hard_negatives": q_hard_negatives,
-    "pagerank": q_pagerank,
-    "mutual_knn": q_mutual_knn,
-    "graph_coreset": q_graph_coreset,
-    "jl_project": q_jl_project,
-    "jl_ann": q_jl_ann,
-    "containment_pairs": q_containment_pairs,
-    "pii_scrub": q_pii_scrub,
-    "knn_join_adaptive": q_knn_join_adaptive,
-    "knn_join_sq8_adaptive": q_knn_join_sq8_adaptive,
-    # -- 12-20: events-typed entries, never parked --
-    "event_setops": q_event_setops,
-    "candidate_min_merge": q_candidate_min_merge,
-    "sessionization": q_sessionization,
-    "streaming_sessionization": q_streaming_sessionization,
-    "event_window_agg": q_event_window_agg,
-    "json_extract": q_json_extract,
-    "streaming_window_agg": q_streaming_window_agg,
-    "asof_enrich": q_asof_enrich,
-    "session_attribution": q_session_attribution,
-    # -- 21-35: the r06-certified tranche (oldest certs) --
-    "cardinality_kmv": q_cardinality_kmv,
-    "minhash": q_minhash,
-    "doc_quantiles": q_doc_quantiles,
-    "repetition_stats": q_repetition_stats,
-    "bm25_scores": q_bm25_scores,
-    "tfidf_topk": q_tfidf_topk,
-    "tombstone_anti_join": q_tombstone_anti_join,
-    "drift_audit": q_drift_audit,
-    "media_features": q_media_features,
-    "corpus_filter": q_corpus_filter,
-    "promo_revenue": q_promo_revenue,
-    "reservoir_sample": q_reservoir_sample,
-    "boilerplate_stats": q_boilerplate_stats,
-    "temperature_mix": q_temperature_mix,
-    "gopher_filter": q_gopher_filter,
-    # -- 36-50: 15 r07-certified entries (oldest-first cadence) --
-    "source_kl": q_source_kl,
-    "chunk_docs": q_chunk_docs,
-    "streaming_dedup": q_streaming_dedup,
-    "ivfbq_ann": q_ivfbq_ann,
-    "ivfbq_sq8_ann": q_ivfbq_sq8_ann,
-    "jaccard_pairs": q_jaccard_pairs,
-    "minhash_bands": q_minhash_bands,
-    "dedup_clusters": q_dedup_clusters,
-    "dup_census": q_dup_census,
-    "training_corpus_prep": q_training_corpus_prep,
-    "hybrid_retrieval": q_hybrid_retrieval,
-    "dsir_weights": q_dsir_weights,
-    "dsir_sample": q_dsir_sample,
-    "leakage_safe_split": q_leakage_safe_split,
-    "bm25_topk": q_bm25_topk,
-    # ---- position 50 ends here; entries below are PARKED ----
-    # -- 23 r07-certified entries, rotate in at r10 --
+    #  33-34: pagerank + graph_coreset — r09-certified but
+    #         CODE-TOUCHED this round (the release=False lazy-mode
+    #         regression fix): only freshly re-certified entries may
+    #         be parked, so they re-enter the window.
+    #  35-50: 16 of the 41 r08-certified entries (oldest-first
+    #         cadence: the classic-SQL family and the knn_join /
+    #         kmeans / semantic_dedup / cluster_sample /
+    #         bloom_decontaminate / version_census group; the
+    #         remaining 25 rotate at r11).
+    # PARKED: the 25 remaining r08-certified entries and the 39
+    # non-events r09-certified entries (none touched by round-10
+    # changes: the mass-probe recompute tiling only activates at
+    # |C| > 256, past every oracle fixture).
+    # -- 1-23: the r07-certified tranche (oldest certs) --
     "semantic_decontaminate": q_semantic_decontaminate,
     "streaming_decontaminate": q_streaming_decontaminate,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
@@ -4859,12 +4800,20 @@ QUERIES = {
     "token_budget_mix": q_token_budget_mix,
     "decontaminate": q_decontaminate,
     "streaming_minhash": q_streaming_minhash,
-    # -- 41 entries freshly certified in the r08 gate window (rows in
-    # -- CORRECTNESS_r08.json on current fixtures, none events-typed;
-    # -- none touched by round-9 changes: the knn_join_sq8 oracle
-    # -- generator refactor is byte-identical at probe_mass=None, and
-    # -- the jl/lsh float() literal unwrap is a no-op under the
-    # -- pinned numpy) --
+    # -- 24-32: events-typed entries, never parked --
+    "event_setops": q_event_setops,
+    "candidate_min_merge": q_candidate_min_merge,
+    "sessionization": q_sessionization,
+    "streaming_sessionization": q_streaming_sessionization,
+    "event_window_agg": q_event_window_agg,
+    "json_extract": q_json_extract,
+    "streaming_window_agg": q_streaming_window_agg,
+    "asof_enrich": q_asof_enrich,
+    "session_attribution": q_session_attribution,
+    # -- 33-34: code-touched this round (release-mode fix) --
+    "pagerank": q_pagerank,
+    "graph_coreset": q_graph_coreset,
+    # -- 35-50: 16 r08-certified entries (oldest-first cadence) --
     "doc_stats": q_doc_stats,
     "lang_id": q_lang_id,
     "pricing_summary": q_pricing_summary,
@@ -4881,6 +4830,8 @@ QUERIES = {
     "cluster_sample": q_cluster_sample,
     "bloom_decontaminate": q_bloom_decontaminate,
     "version_census": q_version_census,
+    # ---- position 50 ends here; entries below are PARKED ----
+    # -- 25 r08-certified entries, rotate in at r11 --
     "ann_search_filtered": q_ann_search_filtered,
     "dedup_exact": q_dedup_exact,
     "span_dedup": q_span_dedup,
@@ -4906,6 +4857,46 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "ivfbq_sq8_adaptive": q_ivfbq_sq8_adaptive,
     "knn_join_sq8": q_knn_join_sq8,
+    # -- 39 non-events entries freshly certified in the r09 window --
+    "label_propagation": q_label_propagation,
+    "hard_negatives": q_hard_negatives,
+    "mutual_knn": q_mutual_knn,
+    "jl_project": q_jl_project,
+    "jl_ann": q_jl_ann,
+    "containment_pairs": q_containment_pairs,
+    "pii_scrub": q_pii_scrub,
+    "knn_join_adaptive": q_knn_join_adaptive,
+    "knn_join_sq8_adaptive": q_knn_join_sq8_adaptive,
+    "cardinality_kmv": q_cardinality_kmv,
+    "minhash": q_minhash,
+    "doc_quantiles": q_doc_quantiles,
+    "repetition_stats": q_repetition_stats,
+    "bm25_scores": q_bm25_scores,
+    "tfidf_topk": q_tfidf_topk,
+    "tombstone_anti_join": q_tombstone_anti_join,
+    "drift_audit": q_drift_audit,
+    "media_features": q_media_features,
+    "corpus_filter": q_corpus_filter,
+    "promo_revenue": q_promo_revenue,
+    "reservoir_sample": q_reservoir_sample,
+    "boilerplate_stats": q_boilerplate_stats,
+    "temperature_mix": q_temperature_mix,
+    "gopher_filter": q_gopher_filter,
+    "source_kl": q_source_kl,
+    "chunk_docs": q_chunk_docs,
+    "streaming_dedup": q_streaming_dedup,
+    "ivfbq_ann": q_ivfbq_ann,
+    "ivfbq_sq8_ann": q_ivfbq_sq8_ann,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_bands": q_minhash_bands,
+    "dedup_clusters": q_dedup_clusters,
+    "dup_census": q_dup_census,
+    "training_corpus_prep": q_training_corpus_prep,
+    "hybrid_retrieval": q_hybrid_retrieval,
+    "dsir_weights": q_dsir_weights,
+    "dsir_sample": q_dsir_sample,
+    "leakage_safe_split": q_leakage_safe_split,
+    "bm25_topk": q_bm25_topk,
 }
 
 

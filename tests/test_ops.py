@@ -2155,6 +2155,68 @@ def test_nearest_cells_mass_large_codebook_matches_exact_rule(spark):
         assert got[q] == list(o[prior < budget])
 
 
+def test_nearest_cells_cell_mod_union_equals_unfiltered(spark):
+    """cell_mod=(g, gi) group slicing (the staged knn_join_sq8 probe
+    fusion): the UNION over gi of per-group outputs must equal the
+    unfiltered output exactly — per branch: fixed-nprobe small |C|,
+    fixed-nprobe large |C| (tiled GEMM), mass small |C|, mass large
+    |C|, and argmin (nc=1) large |C| — including payload columns."""
+    import numpy as np
+    from fspann_query_system_spark.ops.similarity import _nearest_cells
+    rng = np.random.default_rng(11)
+    X = rng.normal(0, 2, (300, 16))
+    df = spark.createDataFrame([(i, X[i].tolist()) for i in range(len(X))],
+                               "id LONG, vector ARRAY<DOUBLE>")
+    mins = X.min(axis=0).tolist()
+    maxs = X.max(axis=0).tolist()
+
+    def rows(dfx):
+        cols = dfx.columns
+        return sorted(tuple(r[c] for c in cols) for r in dfx.collect())
+
+    for n_c in (40, 300):                      # small and large codebook
+        C = rng.normal(0, 2, (n_c, 16))
+        cents = spark.createDataFrame(
+            [(j, C[j].tolist()) for j in range(n_c)],
+            "id LONG, vector ARRAY<DOUBLE>")
+        counts = {j: (j % 5) + 1 for j in range(n_c)}
+        for kw, nc in ((dict(), 1),                  # argmin branch
+                       (dict(), 3),                  # fixed nprobe=3
+                       (dict(mass=(counts, 8)), 3),  # adaptive budget
+                       (dict(sq8=(mins, maxs)), 3)):  # code payload
+            keep_vec = "sq8" in kw
+            base = rows(_nearest_cells(df, cents, nc, "id", "vector",
+                                       "id", "vector",
+                                       keep_vector=keep_vec, **kw))
+            g = 3
+            parts = []
+            for gi in range(g):
+                parts += rows(_nearest_cells(df, cents, nc, "id",
+                                             "vector", "id", "vector",
+                                             keep_vector=keep_vec,
+                                             cell_mod=(g, gi), **kw))
+            assert sorted(parts) == base, (n_c, kw, nc)
+
+
+def test_knn_join_sq8_probe_groups_identical_with_mass(spark, clustered):
+    """The staged path under an adaptive mass budget: per-group fused
+    probe emission (cell_mod) must leave results identical to the
+    single-pass adaptive plan."""
+    from fspann_query_system_spark.ops.similarity import (knn_join_sq8,
+                                                          sq8_stats)
+    df, X = clustered
+    small = df.filter(F.col("id") < 500)
+    cents = small.filter(F.col("id") % 100 == 0)
+    mins, maxs = sq8_stats(small)
+    base = sorted((r.q_id, r.id, r.dist, r.rank) for r in
+                  knn_join_sq8(small, cents, mins, maxs, k=5,
+                               nprobe=3, probe_mass=150).collect())
+    got = sorted((r.q_id, r.id, r.dist, r.rank) for r in
+                 knn_join_sq8(small, cents, mins, maxs, k=5, nprobe=3,
+                              probe_mass=150, probe_groups=2).collect())
+    assert got == base
+
+
 def test_nearest_cells_gemm_topn_matches_exact_sweep(spark):
     """The tiled-GEMM top-nc probe path (large codebooks, |C| > 256)
     must return the same (cell, cell_rank) assignment as the exact

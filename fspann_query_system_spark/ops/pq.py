@@ -359,7 +359,8 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
                q_id_col: str = "q_id", q_vector_col: str = "vector",
                assigned: DataFrame | None = None,
                codes: DataFrame | None = None,
-               by_residual: bool = False) -> DataFrame:
+               by_residual: bool = False,
+               probe_mass: int | None = None) -> DataFrame:
     """IVF-PQ (the canonical 100 TB ANN composition, faiss's
     ``IVFx,PQy`` with by_residual=false): coarse quantizer prunes each
     query to ``nprobe`` cells, ADC lookup tables score ONLY rows in
@@ -380,12 +381,27 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
     into ties (measured at 1M: the rerank budget needed for a given
     recall drops by an order of magnitude — SCALE.md §9c).  When set,
     ``codes``/``codebook`` must come from :func:`residual_table`
-    vectors (training included)."""
+    vectors (training included).
+
+    ``probe_mass`` switches the coarse stage to per-query ADAPTIVE
+    mass-budget probing (``nprobe`` ignored) — the same rule as
+    :func:`ivf_topk` / :func:`knn_join`: cells in element-quantized
+    distance order while the cumulative member count of closer cells
+    is below the budget, hard-bounding each query's ADC-scanned rows
+    under cell-size skew (completes the probe-based ANN family —
+    verdict r09 API nit).  Like the others, the cell census is one
+    |C|-bounded collect over ``assigned``; pass a persisted
+    ``assigned`` so the on-the-fly assign kernel does not run twice."""
     from .similarity import _nearest_cells, ivf_assign
     spark = base.sparkSession
     if assigned is None:
         assigned = ivf_assign(base, centroids, id_col, vector_col,
                               id_col, vector_col)
+    mass = None
+    if probe_mass is not None:
+        counts = {r["cell"]: r["count"] for r in
+                  assigned.groupBy("cell").count().collect()}
+        mass = (counts, probe_mass)
     if codes is None:
         src = (residual_table(base, centroids, id_col, vector_col,
                               id_col, vector_col, assigned=assigned)
@@ -400,7 +416,7 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
             [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
     probe_rows = _nearest_cells(
         queries, centroids, nprobe, q_id_col, q_vector_col,
-        id_col, vector_col, keep_vector=False).collect()
+        id_col, vector_col, keep_vector=False, mass=mass).collect()
     probed: dict[int, set] = {}
     for r in probe_rows:
         probed.setdefault(r[q_id_col], set()).add(r["cell"])

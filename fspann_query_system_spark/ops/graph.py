@@ -278,7 +278,8 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
     budget themselves.
     """
     out, caches = _pagerank_plan(edges, nodes, iters, q_col, n_col,
-                                 id_col, checkpoint_every)
+                                 id_col, checkpoint_every,
+                                 persist_nodes=release)
     if not release:
         return out
     out = out.localCheckpoint(eager=True)
@@ -296,10 +297,17 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
 
 def _pagerank_plan(edges: DataFrame, nodes: DataFrame | None,
                    iters: int, q_col: str, n_col: str, id_col: str,
-                   checkpoint_every: int):
+                   checkpoint_every: int, persist_nodes: bool = True):
     """Build the lazy PageRank plan; returns (out, caches) so callers
     that compose it (``graph_coreset``) can release the entry caches
-    at their own materialization boundary."""
+    at their own materialization boundary.
+
+    ``persist_nodes``: cache the distinct node set too.  Worth it in
+    the eager mode at scale (iters+1 subtrees re-shuffle the distinct
+    otherwise) but measured at +~60% wall on a sub-second bench query
+    (the cache-materialization stage costs more than the 4k-row
+    distinct it saves) — the lazy bench/composed mode skips it, which
+    is also exactly the r8 plan the bench bands were set on."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     src = (edges.select(F.col(q_col).alias("_src"),
@@ -311,7 +319,10 @@ def _pagerank_plan(edges: DataFrame, nodes: DataFrame | None,
                     .distinct())
     else:
         node_set = nodes.select(F.col(id_col).alias("_node")).distinct()
-    node_set = node_set.persist()
+    caches = [src]
+    if persist_nodes:
+        node_set = node_set.persist()
+        caches.append(node_set)
     deg = src.groupBy("_src").agg(F.count("*").alias("_deg"))
     base = PR_SCALE * (PR_D_DEN - PR_D_NUM) // PR_D_DEN
     rank = node_set.withColumn("_r", F.lit(PR_SCALE).cast("long"))
@@ -331,7 +342,7 @@ def _pagerank_plan(edges: DataFrame, nodes: DataFrame | None,
             rank = rank.localCheckpoint(eager=True)
     out = rank.select(F.col("_node").alias(id_col),
                       F.round(F.col("_r") / PR_SCALE, 6).alias("score"))
-    return out, (src, node_set)
+    return out, tuple(caches)
 
 
 def mutual_knn(edges: DataFrame, q_col: str = "q_id", n_col: str = "id",

@@ -93,7 +93,8 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                    keep_vector: bool, quantize: bool = False,
                    sq8: tuple | None = None,
                    mass: tuple | None = None,
-                   cell_mod: tuple | None = None) -> DataFrame:
+                   cell_mod: tuple | None = None,
+                   packed: bool = False) -> DataFrame:
     """Shared coarse-quantizer kernel: for each row, the ``n_cells``
     nearest centroids by L2, ties broken by lowest centroid id →
     (id[, vector], cell[, cell_rank]).
@@ -135,15 +136,23 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
     probing or a coarser census.
 
     ``cell_mod=(g, gi)`` emits ONLY probe rows whose cell ≡ gi
-    (mod g) — the staged :func:`knn_join_sq8` fusion (verdict r09
-    Next #4): probe SELECTION runs unchanged (the mass rule still
-    sees every cell's cumulative count), but per-group emission means
-    the union over gi ∈ [0, g) equals the unfiltered output EXACTLY
-    while each group Arrow-encodes and shuffles only its slice.
-    Selection math re-runs per group (measured 53 s per pass over 10M
-    at |C|=10⁴, ×g) in exchange for dropping the persisted probe
-    table (measured ~20–25 min of Arrow encode + DISK_ONLY write of
-    ~226M code rows at 10M×p22) — the r9-profiled dominant sub-wall."""
+    (mod g): probe SELECTION runs unchanged (the mass rule still sees
+    every cell's cumulative count), and the union over gi ∈ [0, g)
+    equals the unfiltered output EXACTLY.  Measured honestly at
+    10M×p16/g4 (SCALE.md §9j): re-running the fixed-nc selection per
+    group costs MORE than the persist cycle it avoids — kept for the
+    union-equality contract and small-g mass probing, but the staged
+    :func:`knn_join_sq8` uses ``packed`` instead.
+
+    ``packed=True`` (requires ``keep_vector=True``; the verdict r09
+    Next #4 fix) emits ONE ROW PER INPUT ROW — (id, payload,
+    cells ARRAY<BIGINT> in probe order) — instead of one row per
+    (row, cell).  This removes the n·nprobe payload REDUNDANCY from
+    the probe table (a 64-byte qcodes payload duplicated nprobe
+    times was the real bulk of the r9-profiled materialization
+    sub-wall: ~16 GB at 10M×p16 vs ~2.6 GB packed), so the staged
+    path persists the packed table once and each group explodes only
+    its cell ≡ gi slice JVM-side."""
     spark = df.sparkSession
     c_rows = centroids.select(c_id_col, c_vector_col).collect()
     cid = np.array([r[0] for r in c_rows], dtype=np.int64)
@@ -163,11 +172,18 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
         cnt = np.array([int(counts.get(int(c), 0)) for c in cid[order]],
                        dtype=np.int64)
         mass_arrs = (cnt, int(budget))
+    if packed and not keep_vector:
+        raise ValueError("packed=True requires keep_vector=True "
+                         "(the payload is the point of packing)")
+    if packed and cell_mod is not None:
+        raise ValueError("packed and cell_mod are mutually exclusive "
+                         "(slice the packed cells array downstream)")
     bc = spark.sparkContext.broadcast((cid[order], C[order], n_cells,
-                                       sq8_arrs, mass_arrs, cell_mod))
+                                       sq8_arrs, mass_arrs, cell_mod,
+                                       packed))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cid_, C_, nc_req, sq8_, mass_, cmod_ = bc.value
+        cid_, C_, nc_req, sq8_, mass_, cmod_, packed_ = bc.value
         nc = min(nc_req, len(cid_))
 
         def payload(V: np.ndarray) -> list:
@@ -270,6 +286,19 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                         # is global, emission per-group (union == all)
                         keep &= (cid_[perm] % cmod_[0]) == cmod_[1]
                     nk = keep.sum(axis=1)
+                    # perm[keep] flattens row-major: per-row cells in
+                    # (dd, cid) order, rows in input order
+                    flat_cells = cid_[perm[keep]]
+                    if packed_:
+                        out = {id_col: ids_all[r0:r0 + RB]}
+                        if sq8_ is not None:
+                            out["qcodes"] = payload(Br)
+                        else:
+                            out[vector_col] = vec_all[r0:r0 + RB]
+                        out["cells"] = np.split(flat_cells,
+                                                np.cumsum(nk)[:-1])
+                        yield pd.DataFrame(out)
+                        continue
                     out = {id_col: np.repeat(ids_all[r0:r0 + RB], nk)}
                     if keep_vector:
                         if sq8_ is not None:
@@ -278,9 +307,7 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                         else:
                             out[vector_col] = np.repeat(
                                 vec_all[r0:r0 + RB], nk)
-                    # perm[keep] flattens row-major: per-row cells in
-                    # (dd, cid) order, rows in input order
-                    out["cell"] = cid_[perm[keep]]
+                    out["cell"] = flat_cells
                     yield pd.DataFrame(out)
                 continue
             if nc_req == 1 and len(cid_) > 256:
@@ -320,6 +347,15 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                     best_d[r0:r0 + RB] = bd
                     best_j[r0:r0 + RB] = bj
                 cells1 = cid_[best_j]
+                if packed_:
+                    out = {id_col: pdf[id_col].to_numpy()}
+                    if sq8_ is not None:
+                        out["qcodes"] = payload(B)
+                    else:
+                        out[vector_col] = pdf[vector_col].to_numpy()
+                    out["cells"] = list(cells1[:, None])
+                    yield pd.DataFrame(out)
+                    continue
                 rows = (slice(None) if cmod_ is None else
                         (cells1 % cmod_[0]) == cmod_[1])
                 out = {id_col: pdf[id_col].to_numpy()[rows]}
@@ -384,6 +420,15 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                 if near is None:
                     near = np.argsort(d2, axis=1, kind="stable")[:, :nc]
                 cells_m = cid_[near]
+            if packed_:
+                out = {id_col: pdf[id_col].to_numpy()}
+                if sq8_ is not None:
+                    out["qcodes"] = payload(B)
+                else:
+                    out[vector_col] = pdf[vector_col].to_numpy()
+                out["cells"] = list(cells_m)
+                yield pd.DataFrame(out)
+                continue
             if cmod_ is None:             # unfiltered fast path
                 out = {id_col: np.repeat(pdf[id_col].to_numpy(), nc)}
                 if keep_vector:
@@ -424,9 +469,12 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
             schema += ", qcodes BINARY"
         else:
             schema += f", {vector_col} {vec_type}"
-    schema += ", cell BIGINT"
-    if n_cells > 1 and mass is None:
-        schema += ", cell_rank INT"
+    if packed:
+        schema += ", cells ARRAY<BIGINT>"
+    else:
+        schema += ", cell BIGINT"
+        if n_cells > 1 and mass is None:
+            schema += ", cell_rank INT"
     return df.select(id_col, vector_col).mapInPandas(run, schema=schema)
 
 
@@ -950,10 +998,10 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
         counts = {r["cell"]: r["count"] for r in
                   assigned.groupBy("cell").count().collect()}
         mass = (counts, probe_mass)
-    def make_qp(cmod: tuple | None = None):
+    def make_qp():
         p = _nearest_cells(df, centroids, nprobe, id_col, vector_col,
                            c_id_col, c_vector_col, keep_vector=True,
-                           sq8=(mins, maxs), mass=mass, cell_mod=cmod)
+                           sq8=(mins, maxs), mass=mass)
         if "cell_rank" in p.columns:
             p = p.drop("cell_rank")
         return p.select(F.col(id_col).alias("q_id"), "qcodes", "cell")
@@ -1019,19 +1067,32 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
         short = (scored.withColumn("_ar", F.row_number().over(w_ap))
                  .filter(F.col("_ar") <= kk).select("q_id", "id"))
     else:
+        from pyspark import StorageLevel
         from .dedup import _ckpt
-        # PER-GROUP probe emission fused into the kernel (verdict r09
-        # Next #4): each group re-runs the map-side probe SELECTION
-        # (cheap — 53 s/pass over 10M at |C|=10⁴) but Arrow-encodes
-        # and shuffles ONLY its cell ≡ gi (mod g) slice, so the total
-        # encode volume matches the single-pass plan while the
-        # previous DISK_ONLY probe-table persist (the r9-profiled
-        # dominant sub-wall: ~20–25 min of encode + disk write/read
-        # of ~226M code rows at 10M×p22) disappears entirely.
+        # PACKED probe table (verdict r09 Next #4, measured §9j): one
+        # row per PROBER — (q_id, qcodes, cells) — instead of one row
+        # per (prober, cell).  The old per-probe-row persist carried
+        # the 64-byte qcodes payload nprobe times (~16 GB at 10M×p16);
+        # packing stores it once (~2.6 GB), the selection kernel runs
+        # ONCE (a per-group kernel re-run was measured SLOWER than the
+        # persist it avoided — §9j's failed intermediate), and each
+        # group explodes only its cell ≡ gi slice JVM-side before the
+        # cogroup shuffle.
+        pk = _nearest_cells(df, centroids, nprobe, id_col, vector_col,
+                            c_id_col, c_vector_col, keep_vector=True,
+                            sq8=(mins, maxs), mass=mass, packed=True)
+        pk = (pk.select(F.col(id_col).alias("q_id"), "qcodes", "cells")
+              .persist(StorageLevel.DISK_ONLY))
         running = None
         for gi in range(probe_groups):
             in_g = F.pmod(F.col("cell"), F.lit(probe_groups)) == gi
-            sg = (make_qp((probe_groups, gi)).groupBy("cell")
+            qp_g = pk.select(
+                "q_id", "qcodes",
+                F.explode(F.filter(
+                    "cells",
+                    lambda c: c % F.lit(probe_groups) == F.lit(gi)))
+                .alias("cell"))
+            sg = (qp_g.groupBy("cell")
                   .cogroup(bp.filter(in_g).groupBy("cell"))
                   .applyInPandas(cell_topk, schema=sch))
             # per-prober top-kk WITHIN the group, eagerly materialized:
@@ -1052,6 +1113,7 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
                                 .filter(F.col("_ar") <= kk)
                                 .select("q_id", "id", "ad2"),
                                 checkpoint_mode)
+        pk.unpersist()       # stages 1-2 ran eagerly; stage 3 only
         short = running.select("q_id", "id")  # reads the checkpoints
     # stage 3: exact re-rank.  The shortlist rows carry a TRUE vector
     # through the q_id join exchange — the one unavoidable vector-per-

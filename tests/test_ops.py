@@ -2227,6 +2227,38 @@ def test_nearest_cells_cell_mod_union_equals_unfiltered(spark):
             assert sorted(parts) == base, (n_c, kw, nc)
 
 
+def test_nearest_cells_packed_equals_exploded(spark):
+    """packed=True emits one row per prober with (payload, cells) —
+    exploding it must reproduce the per-(row, cell) output exactly,
+    in probe order, for both fixed-nprobe and mass probing."""
+    import numpy as np
+    from fspann_query_system_spark.ops.similarity import _nearest_cells
+    rng = np.random.default_rng(13)
+    X = rng.normal(0, 2, (200, 16))
+    C = rng.normal(0, 2, (40, 16))
+    df = spark.createDataFrame([(i, X[i].tolist()) for i in range(len(X))],
+                               "id LONG, vector ARRAY<DOUBLE>")
+    cents = spark.createDataFrame(
+        [(j, C[j].tolist()) for j in range(len(C))],
+        "id LONG, vector ARRAY<DOUBLE>")
+    mins, maxs = X.min(axis=0).tolist(), X.max(axis=0).tolist()
+    counts = {j: (j % 5) + 1 for j in range(len(C))}
+    for kw in (dict(), dict(mass=(counts, 8))):
+        flat = _nearest_cells(df, cents, 3, "id", "vector", "id",
+                              "vector", keep_vector=True,
+                              sq8=(mins, maxs), **kw)
+        if "cell_rank" in flat.columns:
+            flat = flat.drop("cell_rank")
+        want = sorted((r.id, r.qcodes, r.cell) for r in flat.collect())
+        pk = _nearest_cells(df, cents, 3, "id", "vector", "id",
+                            "vector", keep_vector=True,
+                            sq8=(mins, maxs), packed=True, **kw)
+        got = []
+        for r in pk.collect():
+            got += [(r.id, r.qcodes, c) for c in r.cells]
+        assert sorted(got) == want, kw
+
+
 def test_knn_join_sq8_probe_groups_identical_with_mass(spark, clustered):
     """The staged path under an adaptive mass budget: per-group fused
     probe emission (cell_mod) must leave results identical to the

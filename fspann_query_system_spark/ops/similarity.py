@@ -913,7 +913,8 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
                  shuffle_dtype: str = "double",
                  probe_groups: int = 1,
                  checkpoint_mode: str = "local",
-                 probe_mass: int | None = None) -> DataFrame:
+                 probe_mass: int | None = None,
+                 probe_table: str = "flat") -> DataFrame:
     """kNN self-join with SQ8 PROBE CODES — the high-nprobe scale
     variant of :func:`knn_join` (verdict r07 Next #2's "ascending
     ambition" option): the probe side ships each row's scalar-quantized
@@ -1069,29 +1070,42 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
     else:
         from pyspark import StorageLevel
         from .dedup import _ckpt
-        # PACKED probe table (verdict r09 Next #4, measured §9j): one
-        # row per PROBER — (q_id, qcodes, cells) — instead of one row
-        # per (prober, cell).  The old per-probe-row persist carried
-        # the 64-byte qcodes payload nprobe times (~16 GB at 10M×p16);
-        # packing stores it once (~2.6 GB), the selection kernel runs
-        # ONCE (a per-group kernel re-run was measured SLOWER than the
-        # persist it avoided — §9j's failed intermediate), and each
-        # group explodes only its cell ≡ gi slice JVM-side before the
-        # cogroup shuffle.
-        pk = _nearest_cells(df, centroids, nprobe, id_col, vector_col,
-                            c_id_col, c_vector_col, keep_vector=True,
-                            sq8=(mins, maxs), mass=mass, packed=True)
-        pk = (pk.select(F.col(id_col).alias("q_id"), "qcodes", "cells")
-              .persist(StorageLevel.DISK_ONLY))
+        # Staged probe table.  All three layouts were built and
+        # measured back-to-back at 10M × p16/g4 (SCALE.md §9j):
+        #   flat persist (one row per probe, DISK_ONLY)   1847.7 s
+        #   packed persist (one row per prober + explode) 2036.1 s
+        #   per-group kernel recompute (cell_mod fusion)  2872.4 s
+        # so "flat" — the r8 plan — stays the default: disk reads of
+        # the redundant table are cheaper than either the per-group
+        # selection sweep or the per-group array explode + HOF filter.
+        # "packed" (probe_table="packed") trades ~10% wall for a ~6×
+        # smaller persisted footprint (~2.6 GB vs ~16 GB at p16) —
+        # the scratch-constrained-box option.
+        if probe_table == "packed":
+            pk = _nearest_cells(df, centroids, nprobe, id_col,
+                                vector_col, c_id_col, c_vector_col,
+                                keep_vector=True, sq8=(mins, maxs),
+                                mass=mass, packed=True)
+            pk = (pk.select(F.col(id_col).alias("q_id"), "qcodes",
+                            "cells")
+                  .persist(StorageLevel.DISK_ONLY))
+        elif probe_table == "flat":
+            pk = make_qp().persist(StorageLevel.DISK_ONLY)
+        else:
+            raise ValueError(f"probe_table must be 'flat' or 'packed', "
+                             f"got {probe_table!r}")
         running = None
         for gi in range(probe_groups):
             in_g = F.pmod(F.col("cell"), F.lit(probe_groups)) == gi
-            qp_g = pk.select(
-                "q_id", "qcodes",
-                F.explode(F.filter(
-                    "cells",
-                    lambda c: c % F.lit(probe_groups) == F.lit(gi)))
-                .alias("cell"))
+            if probe_table == "packed":
+                qp_g = pk.select(
+                    "q_id", "qcodes",
+                    F.explode(F.filter(
+                        "cells",
+                        lambda c: c % F.lit(probe_groups) == F.lit(gi)))
+                    .alias("cell"))
+            else:
+                qp_g = pk.filter(in_g)
             sg = (qp_g.groupBy("cell")
                   .cogroup(bp.filter(in_g).groupBy("cell"))
                   .applyInPandas(cell_topk, schema=sch))

@@ -2823,6 +2823,12 @@ def test_knn_join_sq8_probe_groups_identical(spark, clustered):
                      knn_join_sq8(small, cents, mins, maxs, k=5, nprobe=3,
                                   probe_groups=g).collect())
         assert got == base, f"probe_groups={g} diverged"
+    # the packed probe-table layout is the same physical rewrite
+    got = sorted((r.q_id, r.id, r.dist, r.rank) for r in
+                 knn_join_sq8(small, cents, mins, maxs, k=5, nprobe=3,
+                              probe_groups=2,
+                              probe_table="packed").collect())
+    assert got == base, "probe_table=packed diverged"
 
 
 def test_containment_pairs_finds_doc_in_doc(spark):

@@ -2954,10 +2954,18 @@ def q_ivfpq_ann(spark, sf_dir):
 
 
 def sql_ivfpq_ann(m_sub: int, k: int, iters: int, nq: int, kk: int,
-                  n_centroids: int, nprobe: int) -> str:
+                  n_centroids: int, nprobe: int,
+                  probe_mass: int | None = None) -> str:
     """Generated oracle: PQ Lloyd chain + encoding + ADC (as
     ``sql_pq_ann``) with the candidate set intersected against the
-    coarse quantizer's probed cells before the shortlist."""
+    coarse quantizer's probed cells before the shortlist.
+
+    ``probe_mass`` swaps the fixed top-nprobe ``cprobes`` CTE for the
+    adaptive mass-budget rule (round 10: completes the adaptive family
+    's oracle coverage after ``ivfpq_topk(probe_mass=)`` landed): the
+    same cumulative-sum window as ``_sql_knn_graph_ctes(probe_mass=)``,
+    over ELEMENT-QUANTIZED per-dim distances (the mass branch of
+    ``_nearest_cells`` orders by the quantized (dd, cid) exactly)."""
     parts, prev = _sql_pq_parts(m_sub, k, iters)
     parts.append(
         f"cc AS (SELECT id AS cid, v AS ccv FROM e WHERE id < {n_centroids})")
@@ -2969,12 +2977,32 @@ def sql_ivfpq_ann(m_sub: int, k: int, iters: int, nq: int, kk: int,
         "FROM e CROSS JOIN cc) WHERE rn = 1)")
     parts.append(
         f"qcv AS (SELECT id AS q_id, v AS qvec FROM e WHERE id < {nq})")
-    parts.append(
-        f"cprobes AS (SELECT q_id, ccell FROM ("
-        f"SELECT qcv.q_id, cc.cid AS ccell, "
-        f"row_number() OVER (PARTITION BY qcv.q_id "
-        f"ORDER BY list_distance(qcv.qvec, cc.ccv), cc.cid) AS rn "
-        f"FROM qcv CROSS JOIN cc) WHERE rn <= {nprobe})")
+    if probe_mass is None:
+        parts.append(
+            f"cprobes AS (SELECT q_id, ccell FROM ("
+            f"SELECT qcv.q_id, cc.cid AS ccell, "
+            f"row_number() OVER (PARTITION BY qcv.q_id "
+            f"ORDER BY list_distance(qcv.qvec, cc.ccv), cc.cid) AS rn "
+            f"FROM qcv CROSS JOIN cc) WHERE rn <= {nprobe})")
+    else:
+        parts.append(
+            "ccnt AS (SELECT ccell, count(*) AS cnt "
+            "FROM cassign GROUP BY 1)")
+        parts.append(
+            f"qcd AS (SELECT q.id AS q_id, cn.id AS ccell, "
+            f"sum(CAST(round((q.x - cn.x) * (q.x - cn.x) "
+            f"* 1000000000.0) AS BIGINT)) AS dd "
+            f"FROM ex q JOIN ex cn ON q.pos = cn.pos "
+            f"AND cn.id < {n_centroids} "
+            f"WHERE q.id < {nq} GROUP BY 1, 2)")
+        parts.append(
+            f"cprobes AS (SELECT q_id, ccell FROM ("
+            f"SELECT qcd.q_id, qcd.ccell, "
+            f"coalesce(sum(ccnt.cnt) OVER ("
+            f"PARTITION BY qcd.q_id ORDER BY qcd.dd, qcd.ccell "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            f"AS prior FROM qcd JOIN ccnt USING (ccell)) "
+            f"WHERE prior < {probe_mass})")
     parts.append(
         f"df AS (SELECT sx.id, sx.sub, p.cell, "
         f"sum(CAST(round((sx.x - p.cv) * (sx.x - p.cv) "
@@ -3012,6 +3040,30 @@ FROM (SELECT q_id, id, dist,
              row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS rnk
       FROM scored)
 WHERE rnk <= 10""")
+
+
+IVFPQ_ADAPTIVE_MASS = 64    # ~2 avg cells at the sf0.01 fixture's 500/16
+
+
+def q_ivfpq_adaptive(spark, sf_dir):
+    """IVF-PQ with ADAPTIVE mass-budget coarse probing (round 10,
+    completing the probe-based ANN family after the r09 API nit):
+    each query probes cells in ascending element-quantized distance
+    order until the cumulative member count of closer cells reaches
+    the budget, then ADC scores only those cells' rows — per-query
+    scanned mass hard-bounded under cell-size skew
+    (ops/pq.py:ivfpq_topk(probe_mass=))."""
+    from .ops.pq import pq_fit, ivfpq_topk
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    cb = pq_fit(base, m_sub=PQ_M_SUB, k=PQ_K, iters=PQ_ITERS)
+    queries = (base.filter(F.col("id") < N_VEC_QUERIES)
+               .select(F.col("id").alias("q_id"), "vector"))
+    return (ivfpq_topk(base, queries, centroids, cb, k=10,
+                       rerank=PQ_RERANK,
+                       probe_mass=IVFPQ_ADAPTIVE_MASS)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
 
 
 def q_ivfpq_residual_ann(spark, sf_dir):
@@ -4857,6 +4909,10 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "ivfbq_sq8_adaptive": q_ivfbq_sq8_adaptive,
     "knn_join_sq8": q_knn_join_sq8,
+    # -- NEW round 10, parked from birth (window frozen at 50): full
+    # -- generated oracle, verified by the local no-window run,
+    # -- rotates in at r11 with the rest of the r08 tranche --
+    "ivfpq_adaptive": q_ivfpq_adaptive,
     # -- 39 non-events entries freshly certified in the r09 window --
     "label_propagation": q_label_propagation,
     "hard_negatives": q_hard_negatives,
@@ -4942,6 +4998,10 @@ def oracle_sql_map() -> dict[str, str]:
         "ivfpq_ann": sql_ivfpq_ann(PQ_M_SUB, PQ_K, PQ_ITERS,
                                    N_VEC_QUERIES, 10 * PQ_RERANK,
                                    N_IVF_CENTROIDS, IVFPQ_NPROBE),
+        "ivfpq_adaptive": sql_ivfpq_ann(
+            PQ_M_SUB, PQ_K, PQ_ITERS, N_VEC_QUERIES, 10 * PQ_RERANK,
+            N_IVF_CENTROIDS, IVFPQ_NPROBE,
+            probe_mass=IVFPQ_ADAPTIVE_MASS),
         "ivfpq_residual_ann": sql_ivfpq_residual_ann(
             PQ_M_SUB, PQ_K, PQ_ITERS, N_VEC_QUERIES, 10 * PQ_RERANK,
             N_IVF_CENTROIDS, IVFPQ_NPROBE),

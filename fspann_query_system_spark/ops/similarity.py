@@ -740,7 +740,8 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
              assigned: DataFrame | None = None,
              exclude_self: bool = True, method: str = "gemm",
              shuffle_dtype: str = "double",
-             probe_mass: int | None = None) -> DataFrame:
+             probe_mass: int | None = None,
+             queries: DataFrame | None = None) -> DataFrame:
     """Distributed kNN self-join (the kNN-graph builder behind
     SemDeDup-style curation, graph-based dedup, and label propagation):
     for EVERY row, its k nearest neighbours among rows sharing one of
@@ -815,6 +816,13 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
     into the probe kernel — no new shuffle in the graph plan itself.
     Pass a persisted ``assigned`` at scale so the census pass reads
     the cache instead of re-running the assign kernel.
+
+    ``queries`` switches the PROBE side from ``df`` (the self-join)
+    to the given (id_col, vector_col) table — the bipartite form
+    :func:`knn_join_incremental` uses to probe only a new batch
+    against the full member side.  Same plan otherwise; with
+    ``exclude_self`` a query row sharing an id with a member row
+    still drops that pair (the self-edge when queries ⊆ df).
     """
     from ..functions.distance import l2q_expr
     if shuffle_dtype not in ("double", "float"):
@@ -828,7 +836,8 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
         counts = {r["cell"]: r["count"] for r in
                   assigned.groupBy("cell").count().collect()}
         mass = (counts, probe_mass)
-    probes = _nearest_cells(df, centroids, nprobe, id_col, vector_col,
+    probes = _nearest_cells(queries if queries is not None else df,
+                            centroids, nprobe, id_col, vector_col,
                             c_id_col, c_vector_col, keep_vector=True,
                             mass=mass)
     if "cell_rank" in probes.columns:
@@ -899,6 +908,97 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
     else:
         raise ValueError(f"method must be 'gemm' or 'expr', got {method!r}")
     return (scored.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "id", "dist", "rank"))
+
+
+def knn_join_incremental(old_graph: DataFrame, old_probes: DataFrame,
+                         assigned: DataFrame, new_batch: DataFrame,
+                         centroids: DataFrame, k: int = 10,
+                         nprobe: int = 2,
+                         id_col: str = "id", vector_col: str = "vector",
+                         c_id_col: str = "id",
+                         c_vector_col: str = "vector",
+                         method: str = "gemm",
+                         shuffle_dtype: str = "double") -> DataFrame:
+    """Incremental kNN-graph maintenance: fold a new batch into an
+    existing :func:`knn_join` graph WITHOUT rebuilding it — the
+    ingest-time operation a continuously-growing corpus runs (the
+    graph consumers — SemDeDup, label propagation, PageRank coresets
+    — then always see a current graph).
+
+    Inputs are the ingest-time materializations a production layout
+    already keeps (cite: the reference's ingest path persists its
+    bucket assignments the same way, `PartitionedIndexService`):
+
+    * ``old_graph``  — (q_id, id, dist, rank): knn_join over the old
+      corpus at the SAME (k, nprobe, centroids);
+    * ``old_probes`` — (id, cell): the old rows' probe sets
+      (:func:`_nearest_cells` with ``keep_vector=False``);
+    * ``assigned``   — (id, vector, cell): :func:`ivf_assign` of the
+      old corpus;
+    * ``new_batch``  — (id, vector): ids disjoint from the old corpus.
+
+    EXACT-EQUALITY contract (equality-tested): with the coarse
+    quantizer FROZEN (the production regime — retraining centroids
+    re-shuffles everything and is a rebuild by definition), the
+    result is bit-identical to ``knn_join(old ∪ new)`` at the same
+    knobs.  Why: probe sets are per-row functions of the frozen
+    centroids, cell membership is append-only, and a full-rebuild
+    top-k for an old row can only contain old members drawn from its
+    EXISTING top-k (any old member outside it is dominated by k
+    better old members that are still present) plus new members in
+    its probed cells.  Fixed ``nprobe`` only: a mass budget's probe
+    sets depend on the cell census, which the batch itself changes.
+
+    Scale: the work is proportional to the BATCH, not the corpus —
+    (1) new rows probe the union members (|new|·nprobe probe rows
+    against probed cells only, the knn_join bipartite path);
+    (2) old rows are re-examined only where it can matter: the
+    probes landing in cells that RECEIVED new rows (a broadcast
+    semi-join of the skinny probe table against the batch's cell
+    list) score against the NEW members of those cells only —
+    |affected probes| × |new cell members| pairs, never old × old;
+    (3) one (dist, id) window re-ranks the merged skinny edges.
+    Nothing corpus-sized shuffles: the old graph moves once (n·k
+    skinny rows), the member side of (1) is pruned to probed cells,
+    and (2) touches only affected probe rows joined id→vector
+    against the assigned table.
+    """
+    from ..functions.distance import l2q_expr
+    spark = new_batch.sparkSession
+    new_assigned = ivf_assign(new_batch, centroids, id_col, vector_col,
+                              c_id_col, c_vector_col)
+    union_assigned = assigned.select(id_col, vector_col, "cell") \
+        .unionByName(new_assigned.select(id_col, vector_col, "cell"))
+    # (1) new rows vs the union member side — the bipartite knn_join
+    new_edges = knn_join(union_assigned.select(id_col, vector_col),
+                         centroids, k=k, nprobe=nprobe, id_col=id_col,
+                         vector_col=vector_col, c_id_col=c_id_col,
+                         c_vector_col=c_vector_col,
+                         assigned=union_assigned, method=method,
+                         shuffle_dtype=shuffle_dtype,
+                         queries=new_batch).select("q_id", "id", "dist")
+    # (2) affected old probes vs NEW members of their probed cells.
+    # The batch's touched-cell list is |batch|-bounded — broadcast it.
+    touched = new_assigned.select("cell").distinct()
+    affected = (old_probes.join(F.broadcast(touched), "cell")
+                .select(F.col(id_col).alias("q_id"), "cell")
+                .join(assigned.select(F.col(id_col).alias("q_id"),
+                                      F.col(vector_col).alias("_qv")),
+                      "q_id"))
+    new_members = new_assigned.select(F.col(id_col).alias("id"),
+                                      F.col(vector_col).alias("_bv"),
+                                      "cell")
+    upd = (affected.join(new_members, "cell")
+           .withColumn("dist", l2q_expr("_qv", "_bv"))
+           .select("q_id", "id", "dist"))
+    # (3) merge + re-rank: unaffected rows pass through with their
+    # old edges; affected rows and new rows rank over the union
+    w_rank = Window.partitionBy("q_id").orderBy("dist", id_col)
+    return (old_graph.select("q_id", "id", "dist")
+            .unionByName(upd).unionByName(new_edges)
+            .withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= k)
             .select("q_id", "id", "dist", "rank"))
 

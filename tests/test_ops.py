@@ -2227,6 +2227,42 @@ def test_nearest_cells_cell_mod_union_equals_unfiltered(spark):
             assert sorted(parts) == base, (n_c, kw, nc)
 
 
+def test_knn_join_incremental_equals_full_rebuild(spark, clustered):
+    """Folding a new batch into an existing graph (frozen quantizer)
+    must equal the full rebuild bit-for-bit — including displacement
+    (a new row evicting an old row from some old row's top-k) — and
+    an empty batch must pass the old graph through unchanged."""
+    from fspann_query_system_spark.ops.similarity import (
+        _nearest_cells, ivf_assign, knn_join, knn_join_incremental)
+    df, X = clustered
+    full = df.filter(F.col("id") < 700)
+    old = full.filter(F.col("id") < 550)
+    new = full.filter(F.col("id") >= 550)
+    cents = full.filter((F.col("id") % 100 == 0) & (F.col("id") < 550))
+    assigned_old = ivf_assign(old, cents)
+    probes_old = _nearest_cells(old, cents, 2, "id", "vector", "id",
+                                "vector", keep_vector=False)
+    if "cell_rank" in probes_old.columns:
+        probes_old = probes_old.drop("cell_rank")
+    og = knn_join(old, cents, k=5, nprobe=2, assigned=assigned_old)
+    inc = sorted(map(tuple, knn_join_incremental(
+        og, probes_old, assigned_old, new, cents, k=5,
+        nprobe=2).collect()))
+    fullg = sorted(map(tuple, knn_join(full, cents, k=5,
+                                       nprobe=2).collect()))
+    assert inc == fullg
+    # displacement actually happened: some old row's edge set changed
+    old_rows = {(r.q_id, r.id) for r in og.collect()}
+    inc_old_side = {(q, i) for (q, i, d, rk) in inc if q < 550}
+    assert inc_old_side != old_rows
+    # empty batch: identity
+    empty = full.filter(F.col("id") < 0)
+    inc0 = sorted(map(tuple, knn_join_incremental(
+        og, probes_old, assigned_old, empty, cents, k=5,
+        nprobe=2).collect()))
+    assert inc0 == sorted(map(tuple, og.collect()))
+
+
 def test_nearest_cells_packed_equals_exploded(spark):
     """packed=True emits one row per prober with (payload, cells) —
     exploding it must reproduce the per-(row, cell) output exactly,

@@ -410,10 +410,16 @@ def graph_coreset(df: DataFrame, centroids: DataFrame,
 
     ``release`` mirrors :func:`pagerank`'s knob, applied at THIS
     composition's boundary: True (default) eagerly checkpoints the
-    tiny kept-rows table and unpersists the internal PageRank caches
-    (one materialization of the whole pipeline — not one per stage,
-    the r09 regression fix); False returns the lazy plan and leaves
-    the two skinny caches registered for the caller's single action.
+    tiny kept-rows table, runs pagerank's int64 budget guard over the
+    now-populated node-set cache (no recompute — advice r10: past
+    ~1.08e8 nodes at PR_SCALE=1e9 the damped sums would wrap and the
+    coreset would rank by garbage), and unpersists the internal
+    PageRank caches (one materialization of the whole pipeline — not
+    one per stage, the r09 regression fix); False returns the lazy
+    plan, leaves the two skinny caches registered for the caller's
+    single action, and SKIPS the guard (a lazy return cannot run a
+    job) — callers above ~1e8 nodes must check pagerank's documented
+    budget themselves, exactly as with ``pagerank(release=False)``.
     """
     from .similarity import ivf_assign, knn_join
     # assign ONCE: the same (id, vector, cell) table serves as
@@ -428,6 +434,7 @@ def graph_coreset(df: DataFrame, centroids: DataFrame,
                      **knn_kwargs)
     pr, caches = _pagerank_plan(graph.select("q_id", "id"), df, iters,
                                 "q_id", "id", id_col, 0)
+    node_cache = caches[1]       # the persisted node set (see below)
     rank = Window.partitionBy("cell").orderBy(F.col("score").desc(), id_col)
     out = (pr.join(cells.select(id_col, "cell"), id_col)
            .withColumn("cell_rank", F.row_number().over(rank))
@@ -436,6 +443,18 @@ def graph_coreset(df: DataFrame, centroids: DataFrame,
                    F.col("cell_rank").cast("int").alias("cell_rank")))
     if release:
         out = out.localCheckpoint(eager=True)
+        # pagerank's eager-mode int64 budget guard, at this
+        # composition's boundary (advice r10).  The checkpoint above
+        # populated the node-set cache, so the count scans cached
+        # skinny blocks only — no upstream recompute.
+        n_nodes = node_cache.count()
         for c in caches:
             c.unpersist()
+        budget = (2 ** 63 - 1) // (PR_SCALE * PR_D_NUM)
+        if n_nodes > budget:
+            raise ValueError(
+                f"graph_coreset int64 overflow: {n_nodes} nodes "
+                f"exceeds the {budget}-node budget at "
+                f"PR_SCALE={PR_SCALE}; shrink PR_SCALE (pagerank "
+                "docstring 'Overflow budget')")
     return out

@@ -967,6 +967,14 @@ def knn_join_incremental(old_graph: DataFrame, old_probes: DataFrame,
     """
     from ..functions.distance import l2q_expr
     spark = new_batch.sparkSession
+    if shuffle_dtype not in ("double", "float"):
+        raise ValueError(f"shuffle_dtype must be 'double' or 'float', "
+                         f"got {shuffle_dtype!r}")
+    # EXACT-EQUALITY with knn_join(old ∪ new) requires scoring the
+    # update edges on the SAME dtype knn_join shuffles: float mode
+    # casts both sides to array<float> before l2q_expr (advice r10).
+    _vt = "array<float>" if shuffle_dtype == "float" else None
+    _cast = (lambda c: c.cast(_vt)) if _vt else (lambda c: c)
     new_assigned = ivf_assign(new_batch, centroids, id_col, vector_col,
                               c_id_col, c_vector_col)
     union_assigned = assigned.select(id_col, vector_col, "cell") \
@@ -985,22 +993,85 @@ def knn_join_incremental(old_graph: DataFrame, old_probes: DataFrame,
     affected = (old_probes.join(F.broadcast(touched), "cell")
                 .select(F.col(id_col).alias("q_id"), "cell")
                 .join(assigned.select(F.col(id_col).alias("q_id"),
-                                      F.col(vector_col).alias("_qv")),
+                                      _cast(F.col(vector_col)).alias("_qv")),
                       "q_id"))
     new_members = new_assigned.select(F.col(id_col).alias("id"),
-                                      F.col(vector_col).alias("_bv"),
+                                      _cast(F.col(vector_col)).alias("_bv"),
                                       "cell")
     upd = (affected.join(new_members, "cell")
            .withColumn("dist", l2q_expr("_qv", "_bv"))
            .select("q_id", "id", "dist"))
     # (3) merge + re-rank: unaffected rows pass through with their
-    # old edges; affected rows and new rows rank over the union
-    w_rank = Window.partitionBy("q_id").orderBy("dist", id_col)
+    # old edges; affected rows and new rows rank over the union.
+    # The merged frame's neighbour column is literally "id" (the
+    # knn_join output schema) regardless of id_col (advice r10).
+    w_rank = Window.partitionBy("q_id").orderBy("dist", "id")
     return (old_graph.select("q_id", "id", "dist")
             .unionByName(upd).unionByName(new_edges)
             .withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= k)
             .select("q_id", "id", "dist", "rank"))
+
+
+def knn_graph_fold(graph: DataFrame, probes: DataFrame,
+                   assigned: DataFrame, new_batch: DataFrame,
+                   centroids: DataFrame, k: int = 10, nprobe: int = 2,
+                   id_col: str = "id", vector_col: str = "vector",
+                   c_id_col: str = "id", c_vector_col: str = "vector",
+                   method: str = "gemm",
+                   shuffle_dtype: str = "double",
+                   materialize: str = "local"
+                   ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One ingest-time fold of a micro-batch into the persisted
+    kNN-graph state triple — the ``foreachBatch`` body of a
+    continuously-maintained corpus graph (verdict r10 Next #4).
+
+    State = (graph, probes, assigned), exactly
+    :func:`knn_join_incremental`'s inputs; this helper advances all
+    three so the NEXT batch can fold against them:
+
+    * graph'    = ``knn_join_incremental(...)`` — ≡ the full rebuild
+      over (corpus ∪ batch) by the exact-equality contract;
+    * probes'   = probes ∪ the batch rows' probe sets;
+    * assigned' = assigned ∪ ``ivf_assign(batch)``.
+
+    ``materialize="local"`` (default) eagerly ``localCheckpoint``\\ s
+    each advanced table: lineage would otherwise grow by one fold per
+    batch and re-execute every prior fold on each action — the same
+    truncation discipline the staged :func:`knn_join_sq8` path uses
+    (in production, write the state to a table/Delta instead);
+    ``"reliable"`` uses the fault-tolerant ``checkpoint`` directory
+    (the cluster mode — see :func:`ops.dedup._ckpt`).
+    ``materialize="none"`` returns lazy plans (single-fold callers,
+    tests).  Per-batch cost is |batch|-proportional end to end: the
+    three appended deltas are batch-sized, and the incremental graph
+    update never scores old × old (see
+    :func:`knn_join_incremental`'s scale note).
+    """
+    if materialize not in ("local", "reliable", "none"):
+        raise ValueError(f"materialize must be 'local', 'reliable' "
+                         f"or 'none', got {materialize!r}")
+    from .dedup import _ckpt
+    keep = ((lambda d: d) if materialize == "none"
+            else (lambda d: _ckpt(d, materialize)))
+    g2 = knn_join_incremental(graph, probes, assigned, new_batch,
+                              centroids, k=k, nprobe=nprobe,
+                              id_col=id_col, vector_col=vector_col,
+                              c_id_col=c_id_col,
+                              c_vector_col=c_vector_col,
+                              method=method,
+                              shuffle_dtype=shuffle_dtype)
+    new_probes = _nearest_cells(new_batch, centroids, nprobe, id_col,
+                                vector_col, c_id_col, c_vector_col,
+                                keep_vector=False)
+    if "cell_rank" in new_probes.columns:
+        new_probes = new_probes.drop("cell_rank")
+    p2 = probes.select(id_col, "cell").unionByName(new_probes)
+    a2 = assigned.select(id_col, vector_col, "cell").unionByName(
+        ivf_assign(new_batch, centroids, id_col, vector_col,
+                   c_id_col, c_vector_col)
+        .select(id_col, vector_col, "cell"))
+    return keep(g2), keep(p2), keep(a2)
 
 
 def knn_join_sq8(df: DataFrame, centroids: DataFrame,
@@ -1201,8 +1272,12 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
                 qp_g = pk.select(
                     "q_id", "qcodes",
                     F.explode(F.filter(
+                        # pmod, not %: SQL '%' keeps the sign of the
+                        # dividend, so negative cell ids would match no
+                        # group and drop candidates vs the flat path
                         "cells",
-                        lambda c: c % F.lit(probe_groups) == F.lit(gi)))
+                        lambda c: F.pmod(c, F.lit(probe_groups))
+                        == F.lit(gi)))
                     .alias("cell"))
             else:
                 qp_g = pk.filter(in_g)

@@ -3772,6 +3772,97 @@ FROM knn_g
 """
 
 
+KNN_INC_BATCH_MOD = 10     # new batch = the id % 10 == 7 slice (10%)
+KNN_INC_BATCH_REM = 7
+
+
+def _knn_graph_state(spark, sf_dir, old_pred):
+    """Build the standing-corpus kNN-graph state triple
+    (graph, probes, assigned) over ``base.filter(old_pred)`` at the
+    registry's (k, nprobe, centroids) — the ingest-time
+    materializations :func:`knn_join_incremental` folds against."""
+    from .ops.similarity import _nearest_cells, ivf_assign, knn_join
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    old = base.filter(old_pred)
+    assigned = ivf_assign(old, centroids)
+    probes = _nearest_cells(old, centroids, IVF_NPROBE, "id", "vector",
+                            "id", "vector", keep_vector=False)
+    if "cell_rank" in probes.columns:
+        probes = probes.drop("cell_rank")
+    graph = knn_join(old, centroids, k=KNN_JOIN_K, nprobe=IVF_NPROBE,
+                     assigned=assigned)
+    return base, centroids, graph, probes, assigned
+
+
+def q_knn_join_incremental(spark, sf_dir):
+    """Incremental kNN-graph maintenance (beyond-reference; verdict
+    r10 Next #1): the standing corpus graph (90% of rows) absorbs the
+    remaining 10% as an arriving batch WITHOUT a rebuild — new rows
+    probe union members, old rows re-score only against NEW members of
+    the cells the batch touched, one skinny window re-ranks.  The
+    EXACT-EQUALITY contract (bit-identical to ``knn_join(old ∪ new)``
+    under a frozen quantizer) makes the full-rebuild SQL the oracle BY
+    DEFINITION (ops/similarity.py:knn_join_incremental; reference
+    ingest anchor PartitionedIndexService.insert:312-345)."""
+    from .ops.similarity import knn_join_incremental
+    is_new = (F.col("id") % KNN_INC_BATCH_MOD) == KNN_INC_BATCH_REM
+    base, centroids, graph, probes, assigned = _knn_graph_state(
+        spark, sf_dir, ~is_new)
+    return (knn_join_incremental(graph, probes, assigned,
+                                 base.filter(is_new), centroids,
+                                 k=KNN_JOIN_K, nprobe=IVF_NPROBE)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def q_streaming_knn_graph(spark, sf_dir):
+    """Continuously-maintained corpus kNN graph (verdict r10 Next #4):
+    the standing 80%-corpus state triple is materialized once, then a
+    ``foreachBatch`` sink folds arriving rows into it with
+    :func:`knn_graph_fold` — graph, probe table, and assignment all
+    advance per batch, so the graph consumers (SemDeDup, label
+    propagation, coreset) always see a current graph.  TWO sequential
+    folds run here (the id%10==3 slice, then the id%10==7 slice), so
+    the second consumes state the first produced — the state-carry
+    path, not a one-shot.  The exact-equality contract composes across
+    folds, hence the final graph ≡ ``knn_join(full)`` and the batch
+    twin's full-rebuild oracle gates this stream too (the established
+    streaming pattern: q_streaming_incremental_dedup)."""
+    import uuid
+    from .ops.similarity import knn_graph_fold
+    rems = (3, KNN_INC_BATCH_REM)
+    is_arriving = (F.col("id") % KNN_INC_BATCH_MOD).isin(list(rems))
+    base, centroids, graph, probes, assigned = _knn_graph_state(
+        spark, sf_dir, ~is_arriving)
+    state = {"g": graph.localCheckpoint(eager=True),
+             "p": probes.localCheckpoint(eager=True),
+             "a": assigned.localCheckpoint(eager=True)}
+
+    def fold(bdf, _bid):
+        for rem in rems:
+            batch = (bdf.filter((F.col("vec_id") % KNN_INC_BATCH_MOD)
+                                == rem)
+                     .select(F.col("vec_id").alias("id"),
+                             F.col("embedding").alias("vector")))
+            state["g"], state["p"], state["a"] = knn_graph_fold(
+                state["g"], state["p"], state["a"], batch, centroids,
+                k=KNN_JOIN_K, nprobe=IVF_NPROBE)
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "embeddings.parquet")
+              .parquet(sf_dir))
+    q = (stream.writeStream.foreachBatch(fold)
+         .queryName("stream_knn_graph_" + uuid.uuid4().hex[:8])
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (state["g"]
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
 KNN_SQ8_RERANK = 2
 
 
@@ -4805,85 +4896,35 @@ WHERE rk <= {per_cell}
 #      rounds stand; they rotate back in as window budget allows.
 # SURVEY.md §8 records which entries are parked and why.
 QUERIES = {
-    # ======== ROUND-10 ROTATION (SURVEY.md §8) ========
+    # ======== ROUND-11 ROTATION (SURVEY.md §8) ========
     # Window = positions 1-50.  Composition this round:
-    #   1-23: the 23 r07-certified entries parked since r8 — the
-    #         oldest certs in the registry (first tranche to age to
-    #         3 rounds under the ~2.6-round steady-state cycle;
-    #         scheduled for r10 since the r9 rotation).
-    #  24-32: the 9 events-typed entries (NEVER parked: the driver
+    #   1-26: the 25 r08-certified entries parked since r9 plus the
+    #         born-parked ivfpq_adaptive — the oldest certs in the
+    #         registry; after this round every entry's newest cert is
+    #         ≤ 3 rounds old again (scheduled since the r10 rotation).
+    #  27-35: the 9 events-typed entries (NEVER parked: the driver
     #         has regenerated events.parquet with a different ts
     #         physical type between rounds; a stale cert would rot
     #         silently).
-    #  33-34: pagerank + graph_coreset — r09-certified but
-    #         CODE-TOUCHED this round (the release=False lazy-mode
-    #         regression fix): only freshly re-certified entries may
-    #         be parked, so they re-enter the window.
-    #  35-50: 16 of the 41 r08-certified entries (oldest-first
-    #         cadence: the classic-SQL family and the knn_join /
-    #         kmeans / semantic_dedup / cluster_sample /
-    #         bloom_decontaminate / version_census group; the
-    #         remaining 25 rotate at r11).
-    # PARKED: the 25 remaining r08-certified entries and the 39
-    # non-events r09-certified entries (none touched by round-10
-    # changes: the mass-probe recompute tiling only activates at
-    # |C| > 256, past every oracle fixture).
-    # -- 1-23: the r07-certified tranche (oldest certs) --
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "streaming_decontaminate": q_streaming_decontaminate,
-    "streaming_incremental_dedup": q_streaming_incremental_dedup,
-    "bigram_logprob": q_bigram_logprob,
-    "quality_curriculum": q_quality_curriculum,
-    "edit_near_dups": q_edit_near_dups,
-    "vocab_topk": q_vocab_topk,
-    "simhash": q_simhash,
-    "cosine_topk": q_cosine_topk,
-    "fingerprints": q_fingerprints,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "vocab_topk_salted": q_vocab_topk_salted,
-    "unigram_logprob": q_unigram_logprob,
-    "embedding_dim_stats": q_embedding_dim_stats,
-    "vocab_overlap": q_vocab_overlap,
-    "zipf_fit": q_zipf_fit,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "corpus_mix": q_corpus_mix,
-    "sequence_pack": q_sequence_pack,
-    "shard_assign": q_shard_assign,
-    "token_budget_mix": q_token_budget_mix,
-    "decontaminate": q_decontaminate,
-    "streaming_minhash": q_streaming_minhash,
-    # -- 24-32: events-typed entries, never parked --
-    "event_setops": q_event_setops,
-    "candidate_min_merge": q_candidate_min_merge,
-    "sessionization": q_sessionization,
-    "streaming_sessionization": q_streaming_sessionization,
-    "event_window_agg": q_event_window_agg,
-    "json_extract": q_json_extract,
-    "streaming_window_agg": q_streaming_window_agg,
-    "asof_enrich": q_asof_enrich,
-    "session_attribution": q_session_attribution,
-    # -- 33-34: code-touched this round (release-mode fix) --
-    "pagerank": q_pagerank,
-    "graph_coreset": q_graph_coreset,
-    # -- 35-50: 16 r08-certified entries (oldest-first cadence) --
-    "doc_stats": q_doc_stats,
-    "lang_id": q_lang_id,
-    "pricing_summary": q_pricing_summary,
-    "shipping_priority": q_shipping_priority,
-    "region_revenue": q_region_revenue,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "order_priority_census": q_order_priority_census,
-    "rollup_revenue": q_rollup_revenue,
-    "cube_revenue": q_cube_revenue,
-    "near_dup_lsh": q_near_dup_lsh,
-    "knn_join": q_knn_join,
-    "kmeans_centroids": q_kmeans_centroids,
-    "semantic_dedup": q_semantic_dedup,
-    "cluster_sample": q_cluster_sample,
-    "bloom_decontaminate": q_bloom_decontaminate,
-    "version_census": q_version_census,
-    # ---- position 50 ends here; entries below are PARKED ----
-    # -- 25 r08-certified entries, rotate in at r11 --
+    #  36-37: NEW round-11 entries, first certification:
+    #         knn_join_incremental (the r10 verdict's one ungated
+    #         operator — oracle = the full-rebuild SQL, by the
+    #         exact-equality contract) and streaming_knn_graph (its
+    #         foreachBatch composition, two sequential state-carrying
+    #         folds, same oracle).
+    #     38: graph_coreset — r10-certified but CODE-TOUCHED this
+    #         round (the eager-mode int64 budget guard, advice r10):
+    #         only freshly re-certified entries may be parked, so it
+    #         re-enters.
+    #  39-50: 12 of the 39 r09-certified entries, kernel-bearing
+    #         first (the A/B-implicated knn_join_adaptive /
+    #         knn_join_sq8_adaptive share the touched _nearest_cells
+    #         kernel, then the graph/jl/dedup families).
+    # PARKED: the 23 r07-tranche + 16 r08-group entries freshly
+    # certified in the r10 window, pagerank (r10-certified in-window,
+    # untouched this round — graph_coreset's new guard lives outside
+    # it), and the remaining 27 r09-certified entries (rotate r12).
+    # -- 1-26: the r08-certified tranche + ivfpq_adaptive --
     "ann_search_filtered": q_ann_search_filtered,
     "dedup_exact": q_dedup_exact,
     "span_dedup": q_span_dedup,
@@ -4909,11 +4950,25 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "ivfbq_sq8_adaptive": q_ivfbq_sq8_adaptive,
     "knn_join_sq8": q_knn_join_sq8,
-    # -- NEW round 10, parked from birth (window frozen at 50): full
-    # -- generated oracle, verified by the local no-window run,
-    # -- rotates in at r11 with the rest of the r08 tranche --
     "ivfpq_adaptive": q_ivfpq_adaptive,
-    # -- 39 non-events entries freshly certified in the r09 window --
+    # -- 27-35: events-typed entries, never parked --
+    "event_setops": q_event_setops,
+    "candidate_min_merge": q_candidate_min_merge,
+    "sessionization": q_sessionization,
+    "streaming_sessionization": q_streaming_sessionization,
+    "event_window_agg": q_event_window_agg,
+    "json_extract": q_json_extract,
+    "streaming_window_agg": q_streaming_window_agg,
+    "asof_enrich": q_asof_enrich,
+    "session_attribution": q_session_attribution,
+    # -- 36-37: NEW round 11, first certification --
+    "knn_join_incremental": q_knn_join_incremental,
+    "streaming_knn_graph": q_streaming_knn_graph,
+    # -- 38: code-touched this round (int64 budget guard) --
+    "graph_coreset": q_graph_coreset,
+    # -- 39-50: 12 r09-certified entries (kernel-bearing first) --
+    "knn_join_adaptive": q_knn_join_adaptive,
+    "knn_join_sq8_adaptive": q_knn_join_sq8_adaptive,
     "label_propagation": q_label_propagation,
     "hard_negatives": q_hard_negatives,
     "mutual_knn": q_mutual_knn,
@@ -4921,11 +4976,11 @@ QUERIES = {
     "jl_ann": q_jl_ann,
     "containment_pairs": q_containment_pairs,
     "pii_scrub": q_pii_scrub,
-    "knn_join_adaptive": q_knn_join_adaptive,
-    "knn_join_sq8_adaptive": q_knn_join_sq8_adaptive,
     "cardinality_kmv": q_cardinality_kmv,
     "minhash": q_minhash,
     "doc_quantiles": q_doc_quantiles,
+    # ---- position 50 ends here; entries below are PARKED ----
+    # -- 27 r09-certified entries, rotate in at r12 --
     "repetition_stats": q_repetition_stats,
     "bm25_scores": q_bm25_scores,
     "tfidf_topk": q_tfidf_topk,
@@ -4953,6 +5008,49 @@ QUERIES = {
     "dsir_sample": q_dsir_sample,
     "leakage_safe_split": q_leakage_safe_split,
     "bm25_topk": q_bm25_topk,
+    # -- the 23 r07-tranche entries freshly certified in the r10
+    # -- window (rotate as budget allows) --
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "streaming_decontaminate": q_streaming_decontaminate,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "bigram_logprob": q_bigram_logprob,
+    "quality_curriculum": q_quality_curriculum,
+    "edit_near_dups": q_edit_near_dups,
+    "vocab_topk": q_vocab_topk,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "fingerprints": q_fingerprints,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "vocab_topk_salted": q_vocab_topk_salted,
+    "unigram_logprob": q_unigram_logprob,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "vocab_overlap": q_vocab_overlap,
+    "zipf_fit": q_zipf_fit,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "corpus_mix": q_corpus_mix,
+    "sequence_pack": q_sequence_pack,
+    "shard_assign": q_shard_assign,
+    "token_budget_mix": q_token_budget_mix,
+    "decontaminate": q_decontaminate,
+    "streaming_minhash": q_streaming_minhash,
+    # -- the 16 r08-group + pagerank, freshly r10-certified --
+    "pagerank": q_pagerank,
+    "doc_stats": q_doc_stats,
+    "lang_id": q_lang_id,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "region_revenue": q_region_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "order_priority_census": q_order_priority_census,
+    "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
+    "near_dup_lsh": q_near_dup_lsh,
+    "knn_join": q_knn_join,
+    "kmeans_centroids": q_kmeans_centroids,
+    "semantic_dedup": q_semantic_dedup,
+    "cluster_sample": q_cluster_sample,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "version_census": q_version_census,
 }
 
 
@@ -5015,6 +5113,12 @@ def oracle_sql_map() -> dict[str, str]:
             N_IVF_CENTROIDS, IVFPQ_NPROBE,
             probe_mass=IVFBQSQ8_PROBE_MASS),
         "knn_join": SQL_KNN_JOIN,
+        # The exact-equality contract (incremental ≡ full rebuild at a
+        # frozen quantizer) makes the full-rebuild SQL the oracle BY
+        # DEFINITION — for the one-batch fold and for the two-fold
+        # streaming composition alike.
+        "knn_join_incremental": SQL_KNN_JOIN,
+        "streaming_knn_graph": SQL_KNN_JOIN,
         "knn_join_adaptive": SQL_KNN_JOIN_ADAPTIVE,
         "knn_join_sq8": SQL_KNN_JOIN_SQ8,
         "knn_join_sq8_adaptive": SQL_KNN_JOIN_SQ8_ADAPTIVE,

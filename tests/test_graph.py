@@ -336,3 +336,33 @@ def test_mutual_knn_subset_of_knn_join(spark, clustered):
     for r in mut:
         assert (r.id_a, r.id_b) in directed and (r.id_b, r.id_a) in directed
         assert r.id_a < r.id_b and 1 <= r.rank_ab <= 5 and 1 <= r.rank_ba <= 5
+
+
+def test_graph_coreset_eager_mode_runs_overflow_guard(spark, clustered,
+                                                      monkeypatch):
+    """release=True must run pagerank's int64 budget guard at the
+    composition boundary (advice r10: it previously inherited the
+    guard by calling pagerank(), then lost it with the release= split).
+    The guard exists for the SILENT-WRAP regime — under ANSI mode
+    Spark already fails loudly on long overflow — so ANSI is disabled
+    here and a huge PR_SCALE (budget → 0 nodes) must make the guard
+    itself raise; the lazy mode documents the skipped guard instead."""
+    import pytest
+    from fspann_query_system_spark.ops import graph as G
+    df, X = clustered
+    small = df.filter(F.col("id") < 300)
+    cents = small.filter(F.col("id") % 100 == 0)
+    monkeypatch.setattr(G, "PR_SCALE", 2 ** 62)   # budget -> 0 nodes
+    old_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(ValueError, match="overflow"):
+            G.graph_coreset(small, cents, keep_per_cell=3, k=5,
+                            nprobe=2, iters=1)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old_ansi)
+    # lazy mode: no guard, returns a plan (caller owns the check)
+    out = G.graph_coreset(small, cents, keep_per_cell=3, k=5, nprobe=2,
+                          iters=1, release=False)
+    assert out.columns == ["id", "cell", "score", "cell_rank"]
+    spark.catalog.clearCache()

@@ -2263,6 +2263,99 @@ def test_knn_join_incremental_equals_full_rebuild(spark, clustered):
     assert inc0 == sorted(map(tuple, og.collect()))
 
 
+def test_knn_join_incremental_float_dtype_equals_full(spark, clustered):
+    """shuffle_dtype='float' must keep the exact-equality contract:
+    the update edges score on the SAME array<float> cast knn_join
+    shuffles (advice r10 — the raw-double path diverged), so the fold
+    equals the float-mode full rebuild bit-for-bit."""
+    from fspann_query_system_spark.ops.similarity import (
+        _nearest_cells, ivf_assign, knn_join, knn_join_incremental)
+    import pytest
+    df, X = clustered
+    full = df.filter(F.col("id") < 600)
+    old = full.filter(F.col("id") < 480)
+    new = full.filter(F.col("id") >= 480)
+    cents = full.filter((F.col("id") % 100 == 0) & (F.col("id") < 480))
+    assigned_old = ivf_assign(old, cents)
+    probes_old = _nearest_cells(old, cents, 2, "id", "vector", "id",
+                                "vector", keep_vector=False)
+    if "cell_rank" in probes_old.columns:
+        probes_old = probes_old.drop("cell_rank")
+    og = knn_join(old, cents, k=5, nprobe=2, assigned=assigned_old,
+                  shuffle_dtype="float")
+    inc = sorted(map(tuple, knn_join_incremental(
+        og, probes_old, assigned_old, new, cents, k=5, nprobe=2,
+        shuffle_dtype="float").collect()))
+    fullg = sorted(map(tuple, knn_join(
+        full, cents, k=5, nprobe=2, shuffle_dtype="float").collect()))
+    assert inc == fullg
+    with pytest.raises(ValueError, match="shuffle_dtype"):
+        knn_join_incremental(og, probes_old, assigned_old, new, cents,
+                             k=5, nprobe=2, shuffle_dtype="f16")
+
+
+def test_knn_graph_fold_two_file_stream_state_carry(spark, clustered,
+                                                    tmp_path):
+    """The continuous-corpus composition (verdict r10 Next #4): two
+    parquet files dropped into a streamed directory arrive as TWO
+    micro-batches (maxFilesPerTrigger=1); foreachBatch folds each into
+    the state triple via knn_graph_fold, so the second fold consumes
+    state the first produced.  Final graph must equal the full
+    rebuild over corpus ∪ batch1 ∪ batch2 bit-for-bit, and the
+    advanced probe/assign tables must equal freshly-built ones."""
+    import uuid
+    from fspann_query_system_spark.ops.similarity import (
+        _nearest_cells, ivf_assign, knn_join, knn_graph_fold)
+    df, X = clustered
+    full = df.filter(F.col("id") < 700)
+    old = full.filter(F.col("id") < 500)
+    b1 = full.filter((F.col("id") >= 500) & (F.col("id") < 600))
+    b2 = full.filter(F.col("id") >= 600)
+    cents = full.filter((F.col("id") % 100 == 0) & (F.col("id") < 500))
+    drop_dir = str(tmp_path / "drops")
+    b1.coalesce(1).write.parquet(f"{drop_dir}/f1.parquet")
+    b2.coalesce(1).write.parquet(f"{drop_dir}/f2.parquet")
+    assigned = ivf_assign(old, cents)
+    probes = _nearest_cells(old, cents, 2, "id", "vector", "id",
+                            "vector", keep_vector=False)
+    if "cell_rank" in probes.columns:
+        probes = probes.drop("cell_rank")
+    og = knn_join(old, cents, k=5, nprobe=2, assigned=assigned)
+    state = {"g": og.localCheckpoint(eager=True),
+             "p": probes.localCheckpoint(eager=True),
+             "a": assigned.localCheckpoint(eager=True),
+             "batches": 0}
+
+    def fold(bdf, _bid):
+        if bdf.isEmpty():
+            return
+        state["g"], state["p"], state["a"] = knn_graph_fold(
+            state["g"], state["p"], state["a"], bdf, cents,
+            k=5, nprobe=2)
+        state["batches"] += 1
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{drop_dir}/*.parquet"))
+    q = (stream.writeStream.foreachBatch(fold)
+         .queryName("t_knn_fold_" + uuid.uuid4().hex[:8])
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert state["batches"] == 2          # the state-carry condition
+    got = sorted(map(tuple, state["g"].collect()))
+    want = sorted(map(tuple, knn_join(full, cents, k=5,
+                                      nprobe=2).collect()))
+    assert got == want
+    # the advanced side tables equal freshly-built ones over the union
+    fresh_a = ivf_assign(full, cents)
+    assert (sorted((r.id, r.cell) for r in state["a"].collect())
+            == sorted((r.id, r.cell) for r in fresh_a.collect()))
+    fresh_p = _nearest_cells(full, cents, 2, "id", "vector", "id",
+                             "vector", keep_vector=False)
+    assert (sorted((r.id, r.cell) for r in state["p"].collect())
+            == sorted((r.id, r.cell) for r in fresh_p.collect()))
+
+
 def test_nearest_cells_packed_equals_exploded(spark):
     """packed=True emits one row per prober with (payload, cells) —
     exploding it must reproduce the per-(row, cell) output exactly,
@@ -2931,3 +3024,32 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "999.1.1.1" in out[2].text_clean        # rejected octet kept
     with _pytest.raises(ValueError):
         pii_scrub(docs, kinds=("email", "ssn")).collect()
+
+
+def test_knn_join_sq8_packed_negative_cells_match_flat(spark):
+    """Negative cell ids through the staged packed layout: the group
+    filter must use pmod like the flat path (advice r10 — SQL '%'
+    keeps the dividend's sign, silently dropping every negative cell's
+    candidates), so packed/flat/single-pass all agree."""
+    import numpy as np
+    from fspann_query_system_spark.ops.similarity import (knn_join_sq8,
+                                                          sq8_stats)
+    rng = np.random.default_rng(7)
+    X = rng.normal(0, 2, (300, 16))
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "id LONG, vector ARRAY<DOUBLE>")
+    # centroid ids deliberately negative (user-supplied id space)
+    cents = spark.createDataFrame(
+        [(-(j + 1), X[j * 50].tolist()) for j in range(6)],
+        "id LONG, vector ARRAY<DOUBLE>")
+    mins, maxs = sq8_stats(df)
+    base = sorted((r.q_id, r.id, r.dist, r.rank) for r in
+                  knn_join_sq8(df, cents, mins, maxs, k=5,
+                               nprobe=3).collect())
+    for layout in ("flat", "packed"):
+        got = sorted((r.q_id, r.id, r.dist, r.rank) for r in
+                     knn_join_sq8(df, cents, mins, maxs, k=5, nprobe=3,
+                                  probe_groups=2,
+                                  probe_table=layout).collect())
+        assert got == base, layout

@@ -1,0 +1,138 @@
+"""Incremental kNN-graph maintenance scale measurement — SCALE.md §9k.
+
+Verdict r10 Next #1: `knn_join_incremental` (ops/similarity.py) landed
+with an exact-equality contract and a batch-proportional cost argument
+but no measured point.  This script measures, at a standing corpus of
+n rows (the §9b deterministic generator, frozen quantizer trained on
+the corpus):
+
+  * the STANDING-STATE build cost (graph + probe table + assignment —
+    what a production layout already persists at ingest time);
+  * the FOLD wall for each batch size b: knn_join_incremental of the
+    ids [n, n+b) into the persisted state — the per-batch cost a
+    continuously-growing corpus pays;
+  * the FULL-REBUILD wall at n+b_max — the cost the fold avoids — and
+    the fold:rebuild ratio vs the b/n proportionality prediction;
+  * an EXACT-EQUALITY audit at b_max: (q_id, id, rank) symmetric
+    anti-join count between fold and rebuild must be 0 (the contract,
+    cross-checked at scale, not just at the sf0.01 oracle fixture).
+
+Usage: python3 tools/scale_knn_incremental.py [n] [k] [nprobe]
+                                              [b_list] [shuffle_dtype]
+       b_list comma-separated, default "10000,100000"
+(10M needs SPARK_GRAFT_DRIVER_MEM=96g.)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from pyspark.sql import functions as F                               # noqa: E402
+
+from fspann_query_system_spark.session import get_spark              # noqa: E402
+from scale_knn_join import TARGET_CELL, gen_embeddings               # noqa: E402
+
+
+def _mat(df) -> float:
+    """Materialize via the noop sink (full compute, nothing collected)
+    and return the wall."""
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    b_list = ([int(x) for x in sys.argv[4].split(",")]
+              if len(sys.argv) > 4 else [10_000, 100_000])
+    shuffle_dtype = sys.argv[5] if len(sys.argv) > 5 else "float"
+    b_max = max(b_list)
+    n_cells = max(64, n // TARGET_CELL)
+    spark = get_spark("scale-knn-incremental",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from fspann_query_system_spark.ops.similarity import (
+        _nearest_cells, ivf_assign, kmeans_fit, knn_join,
+        knn_join_incremental)
+
+    t0 = time.time()
+    allv = gen_embeddings(spark, n + b_max)
+    allv.count()
+    old = allv.filter(F.col("id") < n)
+    print(f"materialize {n}+{b_max} embeddings: {time.time()-t0:.1f}s",
+          flush=True)
+
+    t0 = time.time()
+    fit_fraction = 0.1 if n > 1_000_000 else 1.0
+    cent = kmeans_fit(old, k=n_cells, iters=2,
+                      fit_fraction=fit_fraction).persist()
+    cent.count()
+    print(f"kmeans_fit |C|={n_cells} on the OLD corpus (frozen "
+          f"quantizer, fit_fraction={fit_fraction}): "
+          f"{time.time()-t0:.1f}s", flush=True)
+
+    # -- standing state: what ingest already persists --------------------
+    t0 = time.time()
+    assigned = ivf_assign(old, cent, c_id_col="cell").persist()
+    assigned.count()
+    probes = _nearest_cells(old, cent, nprobe, "id", "vector", "cell",
+                            "vector", keep_vector=False)
+    if "cell_rank" in probes.columns:
+        probes = probes.drop("cell_rank")
+    probes = probes.persist()
+    probes.count()
+    t_side = time.time() - t0
+    t0 = time.time()
+    graph = knn_join(old, cent, k=k, nprobe=nprobe, c_id_col="cell",
+                     assigned=assigned,
+                     shuffle_dtype=shuffle_dtype).persist()
+    n_edges = graph.count()
+    t_graph = time.time() - t0
+    print(f"standing state: graph {n_edges} edges {t_graph:.1f}s; "
+          f"assign+probe tables {t_side:.1f}s", flush=True)
+
+    # -- the folds -------------------------------------------------------
+    fold_walls = {}
+    for b in sorted(b_list):
+        batch = allv.filter((F.col("id") >= n) & (F.col("id") < n + b))
+        inc = knn_join_incremental(graph, probes, assigned, batch, cent,
+                                   k=k, nprobe=nprobe, c_id_col="cell",
+                                   shuffle_dtype=shuffle_dtype)
+        fold_walls[b] = _mat(inc)
+        print(f"fold b={b}: {fold_walls[b]:.1f}s "
+              f"(b/n = {b/n:.3f})", flush=True)
+
+    # -- the rebuild the fold avoids (at b_max) ---------------------------
+    t0 = time.time()
+    full = knn_join(allv, cent, k=k, nprobe=nprobe, c_id_col="cell",
+                    shuffle_dtype=shuffle_dtype).persist()
+    full.count()
+    t_rebuild = time.time() - t0
+    print(f"full rebuild at n+b_max={n+b_max}: {t_rebuild:.1f}s; "
+          f"fold:rebuild = {fold_walls[b_max]/t_rebuild:.3f} "
+          f"(b/n prediction {b_max/n:.3f})", flush=True)
+
+    # -- exact-equality audit at b_max ------------------------------------
+    t0 = time.time()
+    batch = allv.filter(F.col("id") < n + b_max)
+    inc = knn_join_incremental(
+        graph, probes, assigned,
+        allv.filter((F.col("id") >= n) & (F.col("id") < n + b_max)),
+        cent, k=k, nprobe=nprobe, c_id_col="cell",
+        shuffle_dtype=shuffle_dtype).select("q_id", "id", "rank")
+    fl = full.select("q_id", "id", "rank")
+    diff = (inc.exceptAll(fl).count() + fl.exceptAll(inc).count())
+    print(f"equality audit (q_id,id,rank) symmetric diff: {diff} rows "
+          f"({time.time()-t0:.1f}s) -> "
+          f"{'EXACT' if diff == 0 else 'MISMATCH'}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,7 @@ HEADLINE = [
     "ivfbq_sq8_adaptive",
     "knn_join",
     "knn_join_adaptive",
+    "knn_join_incremental",
     "knn_join_sq8",
     "knn_join_sq8_adaptive",
     "label_propagation",

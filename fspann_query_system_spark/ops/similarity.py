@@ -848,6 +848,17 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
                        _cast(F.col(vector_col)).alias("_qv"), "cell")
     bp = assigned.select(F.col(id_col).alias("id"),
                          _cast(F.col(vector_col)).alias("_bv"), "cell")
+    if queries is not None:
+        # bipartite case (incremental fold, external query set):
+        # members in cells NO query probes cannot score — semi-join
+        # the member side down to the probed-cell list before it
+        # ships.  The list is |queries|·nprobe-bounded and skinny;
+        # when queries ≪ |C| (the streaming micro-batch regime) this
+        # cuts the dominant member-side exchange to the probed
+        # fraction of the corpus.  Self-join (queries=None) probes
+        # every occupied cell by construction — skipped there.
+        bp = bp.join(F.broadcast(qp.select("cell").distinct()),
+                     "cell", "semi")
     w_rank = Window.partitionBy("q_id").orderBy("dist", "id")
 
     if method == "expr":
@@ -856,60 +867,74 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
             cand = cand.filter(F.col("id") != F.col("q_id"))
         scored = cand.withColumn("dist", l2q_expr("_qv", "_bv"))
     elif method == "gemm":
-        excl = bool(exclude_self)
-
-        def cell_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0 or len(right) == 0 or k <= 0:
-                return pd.DataFrame({"q_id": [], "id": [], "dist": []})
-            qids = left["q_id"].to_numpy()
-            Q = np.vstack([np.asarray(v, dtype=np.float64)
-                           for v in left["_qv"].to_numpy()])
-            ids = right["id"].to_numpy()
-            B = np.vstack([np.asarray(v, dtype=np.float64)
-                           for v in right["_bv"].to_numpy()])
-            order = np.argsort(ids, kind="stable")
-            ids, B = ids[order], B[order]
-            sqb = (B * B).sum(axis=1)
-            kk = min(k + 8 + (1 if excl else 0), len(ids))
-            oq, oi, od = [], [], []
-            for lo in range(0, len(qids), 512):
-                Qb, qb = Q[lo:lo + 512], qids[lo:lo + 512]
-                # |q|² is row-constant: cannot move the per-row cut
-                d2 = sqb[None, :] - 2.0 * (Qb @ B.T)
-                if kk < len(ids):
-                    sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                else:
-                    sel = np.tile(np.arange(len(ids)), (len(Qb), 1))
-                # exact shortlist recompute, element-quantized (_q9):
-                # int64 sums are merge-order-free, so this matches the
-                # expr path's l2q_expr fold AND the oracle's sequential
-                # list_reduce bit-for-bit (an unquantized numpy pairwise
-                # sum differs from both at ulp level)
-                diff = Qb[:, None, :] - B[sel]
-                ex = np.sqrt(_q9(np.square(diff)).sum(axis=2) / 1e9)
-                for r in range(len(Qb)):
-                    cids, dr = ids[sel[r]], ex[r]
-                    if excl:
-                        keep = cids != qb[r]
-                        cids, dr = cids[keep], dr[keep]
-                    top = np.lexsort((cids, dr))[:k]
-                    oq.append(np.full(len(top), qb[r], dtype=qids.dtype))
-                    oi.append(cids[top])
-                    od.append(dr[top])
-            return pd.DataFrame({"q_id": np.concatenate(oq),
-                                 "id": np.concatenate(oi),
-                                 "dist": np.concatenate(od)})
-
         id_t = df.schema[id_col].dataType.simpleString()
-        scored = (qp.groupBy("cell").cogroup(bp.groupBy("cell"))
-                  .applyInPandas(cell_topk,
-                                 schema=f"q_id {id_t}, id {id_t}, "
-                                        f"dist DOUBLE"))
+        scored = _gemm_cell_topk(qp, bp, k, exclude_self, id_t)
     else:
         raise ValueError(f"method must be 'gemm' or 'expr', got {method!r}")
     return (scored.withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= k)
             .select("q_id", "id", "dist", "rank"))
+
+
+def _gemm_cell_topk(qp: DataFrame, bp: DataFrame, k: int,
+                    exclude_self: bool, id_t: str) -> DataFrame:
+    """The cell-cogrouped BLAS scoring kernel shared by
+    :func:`knn_join` (query side vs full member side) and
+    :func:`knn_join_incremental` (affected old probes vs new members):
+    per probed cell, each query's top-k members by element-quantized
+    L2 → (q_id, id, dist).  ``qp`` = (q_id, _qv, cell), ``bp`` =
+    (id, _bv, cell); per-cell top-k is sufficient for every caller
+    because a global (dist, id) window re-ranks the union downstream
+    and any member outside a query's per-cell top-k is dominated by k
+    better members of the same cell that ARE emitted."""
+    excl = bool(exclude_self)
+
+    def cell_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0 or k <= 0:
+            return pd.DataFrame({"q_id": [], "id": [], "dist": []})
+        qids = left["q_id"].to_numpy()
+        Q = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in left["_qv"].to_numpy()])
+        ids = right["id"].to_numpy()
+        B = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in right["_bv"].to_numpy()])
+        order = np.argsort(ids, kind="stable")
+        ids, B = ids[order], B[order]
+        sqb = (B * B).sum(axis=1)
+        kk = min(k + 8 + (1 if excl else 0), len(ids))
+        oq, oi, od = [], [], []
+        for lo in range(0, len(qids), 512):
+            Qb, qb = Q[lo:lo + 512], qids[lo:lo + 512]
+            # |q|² is row-constant: cannot move the per-row cut
+            d2 = sqb[None, :] - 2.0 * (Qb @ B.T)
+            if kk < len(ids):
+                sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            else:
+                sel = np.tile(np.arange(len(ids)), (len(Qb), 1))
+            # exact shortlist recompute, element-quantized (_q9):
+            # int64 sums are merge-order-free, so this matches the
+            # expr path's l2q_expr fold AND the oracle's sequential
+            # list_reduce bit-for-bit (an unquantized numpy pairwise
+            # sum differs from both at ulp level)
+            diff = Qb[:, None, :] - B[sel]
+            ex = np.sqrt(_q9(np.square(diff)).sum(axis=2) / 1e9)
+            for r in range(len(Qb)):
+                cids, dr = ids[sel[r]], ex[r]
+                if excl:
+                    keep = cids != qb[r]
+                    cids, dr = cids[keep], dr[keep]
+                top = np.lexsort((cids, dr))[:k]
+                oq.append(np.full(len(top), qb[r], dtype=qids.dtype))
+                oi.append(cids[top])
+                od.append(dr[top])
+        return pd.DataFrame({"q_id": np.concatenate(oq),
+                             "id": np.concatenate(oi),
+                             "dist": np.concatenate(od)})
+
+    return (qp.groupBy("cell").cogroup(bp.groupBy("cell"))
+            .applyInPandas(cell_topk,
+                           schema=f"q_id {id_t}, id {id_t}, "
+                                  f"dist DOUBLE"))
 
 
 def knn_join_incremental(old_graph: DataFrame, old_probes: DataFrame,
@@ -934,7 +959,10 @@ def knn_join_incremental(old_graph: DataFrame, old_probes: DataFrame,
     * ``old_graph``  — (q_id, id, dist, rank): knn_join over the old
       corpus at the SAME (k, nprobe, centroids);
     * ``old_probes`` — (id, cell): the old rows' probe sets
-      (:func:`_nearest_cells` with ``keep_vector=False``);
+      (:func:`_nearest_cells` with ``keep_vector=False``); may
+      instead carry ``vector_col`` (``keep_vector=True``), which
+      skips the per-fold corpus-sized id→vector join — persist it
+      pre-partitioned by cell and the fold exchanges NO old vectors;
     * ``assigned``   — (id, vector, cell): :func:`ivf_assign` of the
       old corpus;
     * ``new_batch``  — (id, vector): ids disjoint from the old corpus.
@@ -958,7 +986,8 @@ def knn_join_incremental(old_graph: DataFrame, old_probes: DataFrame,
     probes landing in cells that RECEIVED new rows (a broadcast
     semi-join of the skinny probe table against the batch's cell
     list) score against the NEW members of those cells only —
-    |affected probes| × |new cell members| pairs, never old × old;
+    |affected probes| × |new cell members| pairs through the same
+    cell-cogrouped BLAS kernel the rebuild uses, never old × old;
     (3) one (dist, id) window re-ranks the merged skinny edges.
     Nothing corpus-sized shuffles: the old graph moves once (n·k
     skinny rows), the member side of (1) is pruned to probed cells,
@@ -989,22 +1018,55 @@ def knn_join_incremental(old_graph: DataFrame, old_probes: DataFrame,
                          queries=new_batch).select("q_id", "id", "dist")
     # (2) affected old probes vs NEW members of their probed cells.
     # The batch's touched-cell list is |batch|-bounded — broadcast it.
+    # When the standing probe table CARRIES vectors (keep_vector=True
+    # at build time — the continuously-ingesting deployment shape),
+    # the corpus-sized id→vector join is skipped entirely: a probe
+    # table persisted pre-partitioned by cell then feeds the cogroup
+    # with NO per-fold exchange of old vectors at all (the
+    # n-proportional residual the skinny layout pays).
     touched = new_assigned.select("cell").distinct()
-    affected = (old_probes.join(F.broadcast(touched), "cell")
-                .select(F.col(id_col).alias("q_id"), "cell")
-                .join(assigned.select(F.col(id_col).alias("q_id"),
-                                      _cast(F.col(vector_col)).alias("_qv")),
-                      "q_id"))
+    if vector_col in old_probes.columns:
+        affected = (old_probes.join(F.broadcast(touched), "cell")
+                    .select(F.col(id_col).alias("q_id"),
+                            _cast(F.col(vector_col)).alias("_qv"),
+                            "cell"))
+    else:
+        affected = (old_probes.join(F.broadcast(touched), "cell")
+                    .select(F.col(id_col).alias("q_id"), "cell")
+                    .join(assigned.select(
+                        F.col(id_col).alias("q_id"),
+                        _cast(F.col(vector_col)).alias("_qv")),
+                        "q_id")
+                    .select("q_id", "_qv", "cell"))
     new_members = new_assigned.select(F.col(id_col).alias("id"),
                                       _cast(F.col(vector_col)).alias("_bv"),
                                       "cell")
-    upd = (affected.join(new_members, "cell")
-           .withColumn("dist", l2q_expr("_qv", "_bv"))
-           .select("q_id", "id", "dist"))
+    if method == "gemm":
+        # the same BLAS kernel knn_join scores with — the expr HOF
+        # fold pays ~2 orders more per pair, and the affected×new
+        # pair count is where the fold's wall actually lives (no
+        # self-pairs possible: old and new ids are disjoint).  Dist
+        # values are bit-identical (_q9 element quantization both
+        # ways), so the EXACT-EQUALITY contract is dtype-independent.
+        id_t = new_batch.schema[id_col].dataType.simpleString()
+        upd = _gemm_cell_topk(affected, new_members, k, False, id_t)
+    elif method == "expr":
+        upd = (affected.join(new_members, "cell")
+               .withColumn("dist", l2q_expr("_qv", "_bv"))
+               .select("q_id", "id", "dist"))
+    else:
+        raise ValueError(f"method must be 'gemm' or 'expr', "
+                         f"got {method!r}")
     # (3) merge + re-rank: unaffected rows pass through with their
     # old edges; affected rows and new rows rank over the union.
     # The merged frame's neighbour column is literally "id" (the
     # knn_join output schema) regardless of id_col (advice r10).
+    # Measured note (r11, the §9j discipline): an affected-only
+    # re-rank — anti/semi-splitting the old graph on the changed-q
+    # set so untouched rows skip the window — LOST to this plain
+    # union+window at every batch size on the 1M fixture (b=1k:
+    # 12.5 s vs 8.7 s; b=100k: 45.3 vs 26.4): the two extra passes
+    # over the n·k edge table cost more than the window they avoid.
     w_rank = Window.partitionBy("q_id").orderBy("dist", "id")
     return (old_graph.select("q_id", "id", "dist")
             .unionByName(upd).unionByName(new_edges)

@@ -4978,9 +4978,13 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "cardinality_kmv": q_cardinality_kmv,
     "minhash": q_minhash,
-    "doc_quantiles": q_doc_quantiles,
+    # knn_join re-enters (r10-certified but CODE-TOUCHED this round:
+    # the _gemm_cell_topk kernel extraction + the bipartite-case
+    # member semi-join), displacing doc_quantiles to the r12 tranche
+    "knn_join": q_knn_join,
     # ---- position 50 ends here; entries below are PARKED ----
-    # -- 27 r09-certified entries, rotate in at r12 --
+    # -- 28 r09-certified entries, rotate in at r12 --
+    "doc_quantiles": q_doc_quantiles,
     "repetition_stats": q_repetition_stats,
     "bm25_scores": q_bm25_scores,
     "tfidf_topk": q_tfidf_topk,
@@ -5045,7 +5049,6 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
     "near_dup_lsh": q_near_dup_lsh,
-    "knn_join": q_knn_join,
     "kmeans_centroids": q_kmeans_centroids,
     "semantic_dedup": q_semantic_dedup,
     "cluster_sample": q_cluster_sample,

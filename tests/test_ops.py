@@ -2251,6 +2251,16 @@ def test_knn_join_incremental_equals_full_rebuild(spark, clustered):
     fullg = sorted(map(tuple, knn_join(full, cents, k=5,
                                        nprobe=2).collect()))
     assert inc == fullg
+    # vector-carrying probe table (skips the id->vector join): same
+    # exact equality
+    probes_v = _nearest_cells(old, cents, 2, "id", "vector", "id",
+                              "vector", keep_vector=True)
+    if "cell_rank" in probes_v.columns:
+        probes_v = probes_v.drop("cell_rank")
+    inc_v = sorted(map(tuple, knn_join_incremental(
+        og, probes_v, assigned_old, new, cents, k=5,
+        nprobe=2).collect()))
+    assert inc_v == fullg
     # displacement actually happened: some old row's edge set changed
     old_rows = {(r.q_id, r.id) for r in og.collect()}
     inc_old_side = {(q, i) for (q, i, d, rk) in inc if q < 550}

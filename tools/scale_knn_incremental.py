@@ -25,11 +25,16 @@ Usage: python3 tools/scale_knn_incremental.py [n] [k] [nprobe]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
+# executor python workers must import the generator module too
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    ["/root/repo", "/root/repo/tools"]
+    + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else []))
 
 from pyspark.sql import functions as F                               # noqa: E402
 
@@ -88,6 +93,14 @@ def main():
         probes = probes.drop("cell_rank")
     probes = probes.persist()
     probes.count()
+    # the vector-carrying layout, pre-partitioned by cell: the fold's
+    # cogroup then consumes it with NO exchange of old vectors
+    probes_v = _nearest_cells(old, cent, nprobe, "id", "vector",
+                              "cell", "vector", keep_vector=True)
+    if "cell_rank" in probes_v.columns:
+        probes_v = probes_v.drop("cell_rank")
+    probes_v = probes_v.repartition("cell").persist()
+    probes_v.count()
     t_side = time.time() - t0
     t0 = time.time()
     graph = knn_join(old, cent, k=k, nprobe=nprobe, c_id_col="cell",
@@ -98,16 +111,20 @@ def main():
     print(f"standing state: graph {n_edges} edges {t_graph:.1f}s; "
           f"assign+probe tables {t_side:.1f}s", flush=True)
 
-    # -- the folds -------------------------------------------------------
+    # -- the folds, both probe-table layouts ------------------------------
     fold_walls = {}
     for b in sorted(b_list):
         batch = allv.filter((F.col("id") >= n) & (F.col("id") < n + b))
-        inc = knn_join_incremental(graph, probes, assigned, batch, cent,
-                                   k=k, nprobe=nprobe, c_id_col="cell",
-                                   shuffle_dtype=shuffle_dtype)
-        fold_walls[b] = _mat(inc)
-        print(f"fold b={b}: {fold_walls[b]:.1f}s "
-              f"(b/n = {b/n:.3f})", flush=True)
+        for label, ptab in (("skinny", probes),
+                            ("vec-carrying", probes_v)):
+            inc = knn_join_incremental(graph, ptab, assigned, batch,
+                                       cent, k=k, nprobe=nprobe,
+                                       c_id_col="cell",
+                                       shuffle_dtype=shuffle_dtype)
+            w = _mat(inc)
+            fold_walls[(b, label)] = w
+            print(f"fold b={b} [{label}]: {w:.1f}s "
+                  f"(b/n = {b/n:.3f})", flush=True)
 
     # -- the rebuild the fold avoids (at b_max) ---------------------------
     t0 = time.time()
@@ -115,23 +132,26 @@ def main():
                     shuffle_dtype=shuffle_dtype).persist()
     full.count()
     t_rebuild = time.time() - t0
-    print(f"full rebuild at n+b_max={n+b_max}: {t_rebuild:.1f}s; "
-          f"fold:rebuild = {fold_walls[b_max]/t_rebuild:.3f} "
-          f"(b/n prediction {b_max/n:.3f})", flush=True)
+    print(f"full rebuild at n+b_max={n+b_max}: {t_rebuild:.1f}s",
+          flush=True)
+    for label in ("skinny", "vec-carrying"):
+        print(f"fold:rebuild [{label}] = "
+              f"{fold_walls[(b_max, label)]/t_rebuild:.3f} "
+              f"(b/n prediction {b_max/n:.3f})", flush=True)
 
-    # -- exact-equality audit at b_max ------------------------------------
-    t0 = time.time()
-    batch = allv.filter(F.col("id") < n + b_max)
-    inc = knn_join_incremental(
-        graph, probes, assigned,
-        allv.filter((F.col("id") >= n) & (F.col("id") < n + b_max)),
-        cent, k=k, nprobe=nprobe, c_id_col="cell",
-        shuffle_dtype=shuffle_dtype).select("q_id", "id", "rank")
+    # -- exact-equality audit at b_max, both layouts -----------------------
     fl = full.select("q_id", "id", "rank")
-    diff = (inc.exceptAll(fl).count() + fl.exceptAll(inc).count())
-    print(f"equality audit (q_id,id,rank) symmetric diff: {diff} rows "
-          f"({time.time()-t0:.1f}s) -> "
-          f"{'EXACT' if diff == 0 else 'MISMATCH'}", flush=True)
+    bmx = allv.filter((F.col("id") >= n) & (F.col("id") < n + b_max))
+    for label, ptab in (("skinny", probes), ("vec-carrying", probes_v)):
+        t0 = time.time()
+        inc = knn_join_incremental(
+            graph, ptab, assigned, bmx, cent, k=k, nprobe=nprobe,
+            c_id_col="cell",
+            shuffle_dtype=shuffle_dtype).select("q_id", "id", "rank")
+        diff = (inc.exceptAll(fl).count() + fl.exceptAll(inc).count())
+        print(f"equality audit [{label}] (q_id,id,rank) symmetric "
+              f"diff: {diff} rows ({time.time()-t0:.1f}s) -> "
+              f"{'EXACT' if diff == 0 else 'MISMATCH'}", flush=True)
 
 
 if __name__ == "__main__":

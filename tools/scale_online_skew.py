@@ -34,6 +34,10 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
+# executor python workers must import the generator module too
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    ["/root/repo", "/root/repo/tools"]
+    + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else []))
 
 from pyspark.sql import functions as F                               # noqa: E402
 

@@ -93,14 +93,19 @@ def main():
         probes = probes.drop("cell_rank")
     probes = probes.persist()
     probes.count()
-    # the vector-carrying layout, pre-partitioned by cell: the fold's
-    # cogroup then consumes it with NO exchange of old vectors
-    probes_v = _nearest_cells(old, cent, nprobe, "id", "vector",
-                              "cell", "vector", keep_vector=True)
-    if "cell_rank" in probes_v.columns:
-        probes_v = probes_v.drop("cell_rank")
-    probes_v = probes_v.repartition("cell").persist()
-    probes_v.count()
+    layouts = [("skinny", probes)]
+    if not os.environ.get("KNN_INC_SKIP_VEC"):
+        # the vector-carrying layout, pre-partitioned by cell: the
+        # fold's cogroup then consumes it with NO exchange of old
+        # vectors.  ~n·nprobe·(8·dim) bytes persisted (22 GB at
+        # 10M×p4×64d) — skip via KNN_INC_SKIP_VEC=1 on tight disks.
+        probes_v = _nearest_cells(old, cent, nprobe, "id", "vector",
+                                  "cell", "vector", keep_vector=True)
+        if "cell_rank" in probes_v.columns:
+            probes_v = probes_v.drop("cell_rank")
+        probes_v = probes_v.repartition("cell").persist()
+        probes_v.count()
+        layouts.append(("vec-carrying", probes_v))
     t_side = time.time() - t0
     t0 = time.time()
     graph = knn_join(old, cent, k=k, nprobe=nprobe, c_id_col="cell",
@@ -115,8 +120,7 @@ def main():
     fold_walls = {}
     for b in sorted(b_list):
         batch = allv.filter((F.col("id") >= n) & (F.col("id") < n + b))
-        for label, ptab in (("skinny", probes),
-                            ("vec-carrying", probes_v)):
+        for label, ptab in layouts:
             inc = knn_join_incremental(graph, ptab, assigned, batch,
                                        cent, k=k, nprobe=nprobe,
                                        c_id_col="cell",
@@ -134,24 +138,50 @@ def main():
     t_rebuild = time.time() - t0
     print(f"full rebuild at n+b_max={n+b_max}: {t_rebuild:.1f}s",
           flush=True)
-    for label in ("skinny", "vec-carrying"):
+    for label, _ in layouts:
         print(f"fold:rebuild [{label}] = "
               f"{fold_walls[(b_max, label)]/t_rebuild:.3f} "
               f"(b/n prediction {b_max/n:.3f})", flush=True)
 
-    # -- exact-equality audit at b_max, both layouts -----------------------
+    # -- exact-equality audit at b_max, all built layouts ------------------
+    # KNN_INC_AUDIT=hash compares order-free per-row xxhash64 folded
+    # with bit_xor (xor: commutative, no int64 overflow under ANSI —
+    # a SUM of 1e8 hashes overflows) + counts: two streaming agg
+    # scans, no sort-merge exceptAll — the 100M-row exceptAll pair
+    # spilled past the disk budget at 10M.  Multiset caveat: xor
+    # cancels DUPLICATE rows pairwise, but (q_id, id, rank) rows are
+    # unique by construction (rank is a row_number), so xor+count is
+    # an exact set compare here.
+    hash_mode = os.environ.get("KNN_INC_AUDIT") == "hash"
+
+    def fingerprint(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(q_id, id, rank))").alias("h")
+        ).collect()[0]
+
     fl = full.select("q_id", "id", "rank")
+    if hash_mode:
+        want = fingerprint(fl)
     bmx = allv.filter((F.col("id") >= n) & (F.col("id") < n + b_max))
-    for label, ptab in (("skinny", probes), ("vec-carrying", probes_v)):
+    for label, ptab in layouts:
         t0 = time.time()
         inc = knn_join_incremental(
             graph, ptab, assigned, bmx, cent, k=k, nprobe=nprobe,
             c_id_col="cell",
             shuffle_dtype=shuffle_dtype).select("q_id", "id", "rank")
-        diff = (inc.exceptAll(fl).count() + fl.exceptAll(inc).count())
-        print(f"equality audit [{label}] (q_id,id,rank) symmetric "
-              f"diff: {diff} rows ({time.time()-t0:.1f}s) -> "
-              f"{'EXACT' if diff == 0 else 'MISMATCH'}", flush=True)
+        if hash_mode:
+            got = fingerprint(inc)
+            ok = (got.n, got.h) == (want.n, want.h)
+            print(f"equality audit [{label}] xxhash64-sum+count: "
+                  f"inc ({got.n}, {got.h}) vs rebuild "
+                  f"({want.n}, {want.h}) ({time.time()-t0:.1f}s) -> "
+                  f"{'EXACT' if ok else 'MISMATCH'}", flush=True)
+        else:
+            diff = (inc.exceptAll(fl).count() + fl.exceptAll(inc).count())
+            print(f"equality audit [{label}] (q_id,id,rank) symmetric "
+                  f"diff: {diff} rows ({time.time()-t0:.1f}s) -> "
+                  f"{'EXACT' if diff == 0 else 'MISMATCH'}", flush=True)
 
 
 if __name__ == "__main__":

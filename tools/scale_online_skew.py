@@ -17,7 +17,7 @@ median / tail thirds by the actual census), because that is the axis
 the skew attacks — a dense-region query under fixed nprobe scans the
 huge cell end to end; the mass budget hard-bounds it.
 
-Usage: python3 tools/scale_online_skew.py [n] [k] [nprobe] [mass]
+Usage: python3 tools/scale_online_skew.py [n] [k] [nprobe] [mass,mass...]
                                           [zipf_s] [per_stratum]
        PQ=1 additionally measures ivfpq_topk (codebook fit + encode
        add ~minutes of setup).
@@ -57,7 +57,8 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     nprobe = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    mass = int(sys.argv[4]) if len(sys.argv) > 4 else 8000
+    masses = ([int(x) for x in sys.argv[4].split(",")]
+              if len(sys.argv) > 4 else [8000])
     zipf_s = float(sys.argv[5]) if len(sys.argv) > 5 else 0.7
     per_stratum = int(sys.argv[6]) if len(sys.argv) > 6 else 12
     n_cells = max(64, n // TARGET_CELL)
@@ -147,10 +148,10 @@ def main():
                  assigned=assigned, **knobs).collect()
         return time.time() - t0
 
-    for label, knobs in (("FIXED  nprobe=%d" % nprobe,
-                          dict(nprobe=nprobe)),
-                         ("ADAPTIVE mass=%d" % mass,
-                          dict(probe_mass=mass))):
+    modes = [("FIXED  nprobe=%d" % nprobe, dict(nprobe=nprobe))]
+    modes += [("ADAPTIVE mass=%d" % m, dict(probe_mass=m))
+              for m in masses]
+    for label, knobs in modes:
         all_walls = []
         for s, ids in strata.items():
             walls = [one_query(i, **knobs) for i in ids]
@@ -170,16 +171,13 @@ def main():
                        codes=pq_extra["codes"], **knobs).collect()
             return time.time() - t0
 
-        for label, knobs in (("PQ FIXED  nprobe=%d" % nprobe,
-                              dict(nprobe=nprobe)),
-                             ("PQ ADAPTIVE mass=%d" % mass,
-                              dict(probe_mass=mass))):
+        for label, knobs in modes:
             all_walls = []
             for s, ids in strata.items():
                 walls = [one_pq(i, **knobs) for i in ids]
                 all_walls += walls
-                print(f"{label}  {s:>6}: {_tails(walls)}", flush=True)
-            print(f"{label}  ALL   : {_tails(all_walls)}", flush=True)
+                print(f"PQ {label}  {s:>6}: {_tails(walls)}", flush=True)
+            print(f"PQ {label}  ALL   : {_tails(all_walls)}", flush=True)
 
 
 if __name__ == "__main__":

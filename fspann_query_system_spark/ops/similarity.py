@@ -1075,6 +1075,67 @@ def knn_join_incremental(old_graph: DataFrame, old_probes: DataFrame,
             .select("q_id", "id", "dist", "rank"))
 
 
+def knn_join_decremental(old_graph: DataFrame, assigned: DataFrame,
+                         deleted: DataFrame, centroids: DataFrame,
+                         k: int = 10, nprobe: int = 2,
+                         id_col: str = "id",
+                         vector_col: str = "vector",
+                         c_id_col: str = "id",
+                         c_vector_col: str = "vector",
+                         method: str = "gemm",
+                         shuffle_dtype: str = "double") -> DataFrame:
+    """Incremental kNN-graph DELETION: remove a set of rows from an
+    existing :func:`knn_join` graph WITHOUT rebuilding it — the
+    tombstone/GDPR-erasure twin of :func:`knn_join_incremental`
+    (reference tombstone semantics: F3 / `mark_deleted`'s anti-join
+    discipline, `index/metadata.py`).
+
+    Inputs: ``old_graph`` (q_id, id, dist, rank) and ``assigned``
+    (id, vector, cell) over the OLD corpus at the same frozen
+    (k, nprobe, centroids); ``deleted`` — one column of ids to
+    remove (need not all exist).
+
+    EXACT-EQUALITY contract (equality-tested): the result is
+    bit-identical to ``knn_join(old ∖ deleted)`` at the same knobs.
+    Why: deletion only REMOVES candidates — a surviving query's
+    top-k changes iff it currently holds a deleted neighbour (its
+    other members all survive, and anything better would already be
+    in it), and a changed query's new top-k is exactly the rebuild's
+    top-k over the REMAINING members of its probed cells (probe sets
+    are per-row functions of the frozen centroids, untouched by
+    membership).  Fixed ``nprobe`` only, as with the insert fold.
+
+    Scale: work is proportional to the DELETION'S BLAST RADIUS, not
+    the corpus — (1) dropping deleted queries and finding affected
+    queries are two semi/anti joins of the skinny n·k edge table
+    against the broadcast-size deleted list; (2) only the affected
+    queries (≤ in-degree of the deleted set, ≤ k·|deleted|) re-score,
+    through the same bipartite :func:`knn_join` path the insert fold
+    uses — their probed cells' members ship via the probed-cell
+    semi-join, everything else passes through verbatim with its
+    existing rank.
+    """
+    del_ids = deleted.select(F.col(deleted.columns[0]).alias(id_col)) \
+        .distinct()
+    surv = old_graph.join(
+        del_ids.select(F.col(id_col).alias("q_id")), "q_id", "anti")
+    aff_q = (surv.join(del_ids.select(F.col(id_col).alias("id")),
+                       "id", "semi")
+             .select("q_id").distinct())
+    clean = (surv.join(aff_q, "q_id", "anti")
+             .select("q_id", "id", "dist", "rank"))
+    assigned2 = assigned.join(del_ids, id_col, "anti")
+    aff_vec = (aff_q.select(F.col("q_id").alias(id_col))
+               .join(assigned.select(id_col, vector_col), id_col))
+    rescored = knn_join(assigned2.select(id_col, vector_col),
+                        centroids, k=k, nprobe=nprobe, id_col=id_col,
+                        vector_col=vector_col, c_id_col=c_id_col,
+                        c_vector_col=c_vector_col,
+                        assigned=assigned2, method=method,
+                        shuffle_dtype=shuffle_dtype, queries=aff_vec)
+    return clean.unionByName(rescored)
+
+
 def knn_graph_fold(graph: DataFrame, probes: DataFrame,
                    assigned: DataFrame, new_batch: DataFrame,
                    centroids: DataFrame, k: int = 10, nprobe: int = 2,
@@ -1082,7 +1143,8 @@ def knn_graph_fold(graph: DataFrame, probes: DataFrame,
                    c_id_col: str = "id", c_vector_col: str = "vector",
                    method: str = "gemm",
                    shuffle_dtype: str = "double",
-                   materialize: str = "local"
+                   materialize: str = "local",
+                   deletes: DataFrame | None = None
                    ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One ingest-time fold of a micro-batch into the persisted
     kNN-graph state triple — the ``foreachBatch`` body of a
@@ -1109,6 +1171,15 @@ def knn_graph_fold(graph: DataFrame, probes: DataFrame,
     three appended deltas are batch-sized, and the incremental graph
     update never scores old × old (see
     :func:`knn_join_incremental`'s scale note).
+
+    ``deletes`` (optional, one id column) makes the fold an UPSERT:
+    tombstoned rows are removed FIRST via
+    :func:`knn_join_decremental` (blast-radius-bounded) and dropped
+    from the probe/assign state, then ``new_batch`` folds in — so
+    fold(deletes=D, batch=B) ≡ ``knn_join((corpus ∖ D) ∪ B)`` by the
+    composition of the two exact-equality contracts.  ``new_batch``
+    ids must be disjoint from the SURVIVING corpus; re-using a
+    just-deleted id (an in-place update) is therefore valid.
     """
     if materialize not in ("local", "reliable", "none"):
         raise ValueError(f"materialize must be 'local', 'reliable' "
@@ -1116,6 +1187,19 @@ def knn_graph_fold(graph: DataFrame, probes: DataFrame,
     from .dedup import _ckpt
     keep = ((lambda d: d) if materialize == "none"
             else (lambda d: _ckpt(d, materialize)))
+    if deletes is not None:
+        del_ids = deletes.select(
+            F.col(deletes.columns[0]).alias(id_col)).distinct()
+        graph = knn_join_decremental(graph, assigned, del_ids,
+                                     centroids, k=k, nprobe=nprobe,
+                                     id_col=id_col,
+                                     vector_col=vector_col,
+                                     c_id_col=c_id_col,
+                                     c_vector_col=c_vector_col,
+                                     method=method,
+                                     shuffle_dtype=shuffle_dtype)
+        probes = probes.join(del_ids, id_col, "anti")
+        assigned = assigned.join(del_ids, id_col, "anti")
     g2 = knn_join_incremental(graph, probes, assigned, new_batch,
                               centroids, k=k, nprobe=nprobe,
                               id_col=id_col, vector_col=vector_col,

@@ -3670,7 +3670,8 @@ def q_knn_join(spark, sf_dir):
 
 
 def _sql_knn_graph_ctes(k: int, name: str = "knn_g",
-                        probe_mass: int | None = None) -> str:
+                        probe_mass: int | None = None,
+                        corpus_pred: str | None = None) -> str:
     """The kNN self-join oracle as a reusable CTE chain: ``name``
     emits (q_id, id, dist, rank ≤ k) with dist UNROUNDED (element-
     quantized, bit-identical to Spark's knn_join) so chained oracles
@@ -3681,7 +3682,12 @@ def _sql_knn_graph_ctes(k: int, name: str = "knn_g",
     ADAPTIVE mass-budget rule (mirrors knn_join(probe_mass=): cells
     in element-quantized (dd, cid) order, kept while the cumulative
     member count of PRIOR cells is < budget — one cumulative-sum
-    window, exactly the map-side kernel's rule)."""
+    window, exactly the map-side kernel's rule).
+
+    ``corpus_pred`` filters the corpus rows (the decremental oracle:
+    the graph over the survivors) — it must NOT exclude any
+    ``id < N_IVF_CENTROIDS`` row, since the frozen centroid set is
+    derived from the filtered ``e`` here."""
     if probe_mass is None:
         probes = f"""probes AS (
   SELECT id AS q_id, cell FROM (
@@ -3706,9 +3712,10 @@ probes AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
     FROM qcd JOIN ccnt USING (cell))
   WHERE prior < {probe_mass})"""
+    where = f"\n           WHERE {corpus_pred}" if corpus_pred else ""
     return f"""e AS (SELECT vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
+           FROM embeddings{where}),
 c AS (SELECT id AS cid, v AS cv FROM e WHERE id < {N_IVF_CENTROIDS}),
 assign AS (
   SELECT id, cell FROM (
@@ -3861,6 +3868,48 @@ def q_streaming_knn_graph(spark, sf_dir):
     return (state["g"]
             .select("q_id", "id", F.round("dist", 6).alias("dist"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+KNN_DEC_MOD = 17     # tombstoned rows: id % 17 == 3, centroids exempt
+KNN_DEC_REM = 3
+
+
+def q_knn_join_decremental(spark, sf_dir):
+    """Incremental kNN-graph DELETION (beyond-reference, round 11):
+    a ~6% tombstone set is removed from the standing graph without a
+    rebuild — deleted queries drop via anti-join, queries holding a
+    deleted neighbour re-score against their probed cells' remaining
+    members through the shared bipartite path, everything else passes
+    through verbatim.  The EXACT-EQUALITY contract (bit-identical to
+    ``knn_join(survivors)``) makes the survivors-only rebuild SQL the
+    oracle BY DEFINITION (ops/similarity.py:knn_join_decremental;
+    reference tombstone anchor: F3 `mark_deleted` anti-join,
+    `index/metadata.py`)."""
+    from .ops.similarity import (ivf_assign, knn_join,
+                                 knn_join_decremental)
+    base = _emb(spark, sf_dir)
+    centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
+    is_del = ((F.col("id") % KNN_DEC_MOD) == KNN_DEC_REM) & \
+        (F.col("id") >= N_IVF_CENTROIDS)
+    assigned = ivf_assign(base, centroids)
+    og = knn_join(base, centroids, k=KNN_JOIN_K, nprobe=IVF_NPROBE,
+                  assigned=assigned)
+    return (knn_join_decremental(og, assigned,
+                                 base.filter(is_del).select("id"),
+                                 centroids, k=KNN_JOIN_K,
+                                 nprobe=IVF_NPROBE)
+            .select("q_id", "id", F.round("dist", 6).alias("dist"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+SQL_KNN_JOIN_DECREMENTAL = f"""
+WITH {_sql_knn_graph_ctes(
+    KNN_JOIN_K,
+    corpus_pred=(f"NOT (vec_id % {KNN_DEC_MOD} = {KNN_DEC_REM} "
+                 f"AND vec_id >= {N_IVF_CENTROIDS})"))}
+SELECT q_id, id, round(dist, 6) AS dist, CAST(rank AS INT) AS rank
+FROM knn_g
+"""
 
 
 KNN_SQ8_RERANK = 2
@@ -5054,6 +5103,11 @@ QUERIES = {
     "cluster_sample": q_cluster_sample,
     "bloom_decontaminate": q_bloom_decontaminate,
     "version_census": q_version_census,
+    # -- NEW round 11, parked from birth (window frozen at 50): the
+    # -- tombstone-deletion twin of knn_join_incremental, full
+    # -- survivors-rebuild oracle, verified by the local no-window
+    # -- run, rotates in at r12 --
+    "knn_join_decremental": q_knn_join_decremental,
 }
 
 
@@ -5122,6 +5176,8 @@ def oracle_sql_map() -> dict[str, str]:
         # streaming composition alike.
         "knn_join_incremental": SQL_KNN_JOIN,
         "streaming_knn_graph": SQL_KNN_JOIN,
+        # deletion twin: the survivors-only rebuild IS the oracle
+        "knn_join_decremental": SQL_KNN_JOIN_DECREMENTAL,
         "knn_join_adaptive": SQL_KNN_JOIN_ADAPTIVE,
         "knn_join_sq8": SQL_KNN_JOIN_SQ8,
         "knn_join_sq8_adaptive": SQL_KNN_JOIN_SQ8_ADAPTIVE,

@@ -3063,3 +3063,65 @@ def test_knn_join_sq8_packed_negative_cells_match_flat(spark):
                                   probe_groups=2,
                                   probe_table=layout).collect())
         assert got == base, layout
+
+
+def test_knn_join_decremental_equals_full_rebuild(spark, clustered):
+    """Deleting rows from a standing graph (frozen quantizer) must
+    equal the rebuild over the survivors bit-for-bit — including
+    REPLACEMENT (an affected query pulling a new neighbour from
+    beyond its old top-k) — and an empty deletion must be identity."""
+    from fspann_query_system_spark.ops.similarity import (
+        ivf_assign, knn_join, knn_join_decremental)
+    df, X = clustered
+    full = df.filter(F.col("id") < 700)
+    cents = full.filter(F.col("id") % 100 == 0)
+    is_del = (F.col("id") % 13 == 5) & (F.col("id") % 100 != 0)
+    assigned = ivf_assign(full, cents)
+    og = knn_join(full, cents, k=5, nprobe=2, assigned=assigned)
+    dec = sorted(map(tuple, knn_join_decremental(
+        og, assigned, full.filter(is_del).select("id"), cents,
+        k=5, nprobe=2).collect()))
+    want = sorted(map(tuple, knn_join(
+        full.filter(~is_del), cents, k=5, nprobe=2).collect()))
+    assert dec == want
+    # replacement happened: some surviving query gained a neighbour
+    # it did not have before the deletion
+    old_edges = {(r.q_id, r.id) for r in og.collect()}
+    gained = {(q, i) for (q, i, d, rk) in dec} - old_edges
+    assert gained
+    # empty deletion: identity (ranks included)
+    empty = full.filter(F.col("id") < 0).select("id")
+    dec0 = sorted(map(tuple, knn_join_decremental(
+        og, assigned, empty, cents, k=5, nprobe=2).collect()))
+    assert dec0 == sorted(map(tuple, og.collect()))
+
+
+def test_knn_graph_fold_upsert_delete_then_reinsert_identity(
+        spark, clustered):
+    """The upsert fold's composed contract: deleting a set and
+    re-inserting the SAME rows in one fold(deletes=, new_batch=) is
+    the identity on the graph, and the probe/assign state round-trips
+    — the in-place-update path a continuously-maintained corpus
+    uses."""
+    from fspann_query_system_spark.ops.similarity import (
+        _nearest_cells, ivf_assign, knn_join, knn_graph_fold)
+    df, X = clustered
+    full = df.filter(F.col("id") < 600)
+    cents = full.filter(F.col("id") % 100 == 0)
+    is_mut = (F.col("id") % 11 == 4) & (F.col("id") % 100 != 0)
+    assigned = ivf_assign(full, cents)
+    probes = _nearest_cells(full, cents, 2, "id", "vector", "id",
+                            "vector", keep_vector=False)
+    if "cell_rank" in probes.columns:
+        probes = probes.drop("cell_rank")
+    og = knn_join(full, cents, k=5, nprobe=2, assigned=assigned)
+    g2, p2, a2 = knn_graph_fold(
+        og, probes, assigned, full.filter(is_mut), cents, k=5,
+        nprobe=2, materialize="none",
+        deletes=full.filter(is_mut).select("id"))
+    assert (sorted(map(tuple, g2.collect()))
+            == sorted(map(tuple, og.collect())))
+    assert (sorted((r.id, r.cell) for r in p2.collect())
+            == sorted((r.id, r.cell) for r in probes.collect()))
+    assert (sorted((r.id, r.cell) for r in a2.collect())
+            == sorted((r.id, r.cell) for r in assigned.collect()))

@@ -183,6 +183,38 @@ def main():
                   f"diff: {diff} rows ({time.time()-t0:.1f}s) -> "
                   f"{'EXACT' if diff == 0 else 'MISMATCH'}", flush=True)
 
+    # -- KNN_DEC=<d>: the deletion twin — tombstone ~d rows out of the
+    # -- standing graph, wall vs the survivors-only rebuild, hash-
+    # -- fingerprint equality (blast radius = in-degree of the deleted
+    # -- set; each affected query re-scores its probed cells once)
+    if os.environ.get("KNN_DEC"):
+        from fspann_query_system_spark.ops.similarity import (
+            knn_join_decremental)
+        d = int(os.environ["KNN_DEC"])
+        is_del = (F.col("id") % (n // d) == 5) & (F.col("id") < n)
+        del_ids = old.filter(is_del).select("id")
+        n_del = del_ids.count()
+        t0 = time.time()
+        dec = knn_join_decremental(graph, assigned, del_ids, cent,
+                                   k=k, nprobe=nprobe,
+                                   c_id_col="cell",
+                                   shuffle_dtype=shuffle_dtype)
+        w_dec = _mat(dec)
+        print(f"delete fold d={n_del}: {w_dec:.1f}s", flush=True)
+        t0 = time.time()
+        surv = knn_join(old.filter(~is_del), cent, k=k, nprobe=nprobe,
+                        c_id_col="cell", shuffle_dtype=shuffle_dtype)
+        w_srv = _mat(surv)
+        print(f"survivors rebuild at {n - n_del}: {w_srv:.1f}s; "
+              f"delete:rebuild = {w_dec/w_srv:.3f} "
+              f"(d/n = {n_del/n:.4f})", flush=True)
+        a = fingerprint(dec.select("q_id", "id", "rank"))
+        b2 = fingerprint(surv.select("q_id", "id", "rank"))
+        ok = (a.n, a.h) == (b2.n, b2.h)
+        print(f"delete equality audit xxhash64-xor+count: "
+              f"({a.n}, {a.h}) vs ({b2.n}, {b2.h}) -> "
+              f"{'EXACT' if ok else 'MISMATCH'}", flush=True)
+
 
 if __name__ == "__main__":
     main()

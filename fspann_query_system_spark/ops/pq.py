@@ -488,7 +488,18 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
                 yield pd.concat(frames, ignore_index=True)
 
     id_type = base.schema[id_col].dataType.simpleString()
+    # JVM-side pre-filter on the probed-cell UNION (Q·nprobe-bounded,
+    # ≪ |C| for online query batches): rows in unprobed cells
+    # contribute nothing, so dropping them BEFORE the Arrow kernel
+    # cuts the Python-side ADC exchange from corpus-sized to
+    # probed-cells-sized — measured ×2.4 p50 / ×3.1 max on
+    # single-query latency at 10M (SCALE.md §9i addendum); the
+    # remaining floor is the codes⋈assigned id-join probe scan and
+    # the exact-rerank base join, both JVM-side hash probes that an
+    # `ivf_save` cell-partitioned layout file-prunes further.
+    all_cells = sorted({int(c) for s in probed.values() for c in s})
     partial = (codes.select("id", "codes", "cell")
+               .filter(F.col("cell").isin(all_cells))
                .mapInPandas(run, schema=f"q_id BIGINT, id {id_type}, d2 DOUBLE"))
     return _exact_rerank(partial, base, queries, k, kk,
                          id_col, vector_col, q_id_col, q_vector_col)

@@ -180,35 +180,72 @@ def pq_fit(df: DataFrame, m_sub: int = 4, k: int = 8, iters: int = 2,
 
 
 def pq_encode(df: DataFrame, codebook: DataFrame,
-              id_col: str = "id", vector_col: str = "vector") -> DataFrame:
+              id_col: str = "id", vector_col: str = "vector",
+              carry_cell: bool = False,
+              assign_centroids: DataFrame | None = None) -> DataFrame:
     """Encode each vector as its per-subspace nearest cells →
     (id, codes ARRAY<INT> length m_sub).  Strictly map-side against the
     broadcast codebook tensor — encoding 10^9 vectors is one scan with
-    no shuffle; ties break toward the lowest cell id."""
+    no shuffle; ties break toward the lowest cell id.
+
+    Two optional fusions (r12 optimization round) let `ivfpq_topk`
+    derive its (id, codes, cell) table in THIS one pass instead of
+    joining a separate `ivf_assign` pass on id:
+
+    * ``carry_cell=True`` — ``df`` already carries a ``cell`` column
+      (e.g. :func:`residual_table` output); pass it through.
+    * ``assign_centroids=<coarse centroid table>`` — compute each
+      row's coarse cell inline with the exact `ivf_assign` semantics
+      (:func:`~.similarity._assign_cells_float`: float sweep, ties →
+      lowest centroid id).
+
+    Both emit (id, codes, cell); mutually exclusive."""
+    if carry_cell and assign_centroids is not None:
+        raise ValueError("carry_cell and assign_centroids are mutually "
+                         "exclusive")
+    from .similarity import _assign_cells_float
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(_codebook_tensor(codebook))
+    assign_state = None
+    if assign_centroids is not None:
+        c_rows = assign_centroids.select(id_col, vector_col).collect()
+        a_cid = np.array([r[0] for r in c_rows], dtype=np.int64)
+        a_C = np.array([list(r[1]) for r in c_rows], dtype=np.float64)
+        a_ord = np.argsort(a_cid, kind="stable")
+        assign_state = (a_cid[a_ord], a_C[a_ord])
+    bc = spark.sparkContext.broadcast((_codebook_tensor(codebook),
+                                       assign_state))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        T_ = bc.value
+        T_, assign_ = bc.value
         m_, k_, d_ = T_.shape
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            B = np.vstack([np.asarray(v, dtype=np.float64)
-                           for v in pdf[vector_col].to_numpy()]
-                          ).reshape(-1, m_, d_)
+            V = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vector_col].to_numpy()])
+            B = V.reshape(-1, m_, d_)
             codes = np.empty((len(B), m_), dtype=np.int32)
             for s in range(m_):
                 d2 = np.empty((len(B), k_), dtype=np.int64)
                 for j in range(k_):
                     d2[:, j] = _q9(np.square(B[:, s, :] - T_[s, j])).sum(axis=1)
                 codes[:, s] = np.argmin(d2, axis=1)
-            yield pd.DataFrame({"id": pdf[id_col].to_numpy(),
-                                "codes": list(codes)})
+            out = {"id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            if assign_ is not None:
+                out["cell"] = _assign_cells_float(V, assign_[0], assign_[1])
+            elif carry_cell:
+                out["cell"] = pdf["cell"].to_numpy()
+            yield pd.DataFrame(out)
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, vector_col).mapInPandas(
-        run, schema=f"id {id_type}, codes ARRAY<INT>")
+    schema = f"id {id_type}, codes ARRAY<INT>"
+    in_cols = [id_col, vector_col]
+    if carry_cell:
+        schema += ", cell BIGINT"
+        in_cols.append("cell")
+    elif assign_state is not None:
+        schema += ", cell BIGINT"
+    return df.select(*in_cols).mapInPandas(run, schema=schema)
 
 
 def pq_topk(base: DataFrame, queries: DataFrame, codebook: DataFrame,
@@ -392,44 +429,65 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
     verdict r09 API nit).  Like the others, the cell census is one
     |C|-bounded collect over ``assigned``; pass a persisted
     ``assigned`` so the on-the-fly assign kernel does not run twice."""
-    from .similarity import _nearest_cells, ivf_assign
+    from .similarity import _probe_cells_local, ivf_assign
     spark = base.sparkSession
-    if assigned is None:
-        assigned = ivf_assign(base, centroids, id_col, vector_col,
-                              id_col, vector_col)
+    assigned_given = assigned is not None
     mass = None
     if probe_mass is not None:
+        # census-only assign, kept LOCAL when derived on the fly so
+        # the codes path below still fuses (see _ivf_bq_partial)
+        census_src = assigned if assigned_given else ivf_assign(
+            base, centroids, id_col, vector_col, id_col, vector_col)
         counts = {r["cell"]: r["count"] for r in
-                  assigned.groupBy("cell").count().collect()}
+                  census_src.groupBy("cell").count().collect()}
         mass = (counts, probe_mass)
     if codes is None:
-        src = (residual_table(base, centroids, id_col, vector_col,
-                              id_col, vector_col, assigned=assigned)
-               if by_residual else base)
-        codes = pq_encode(src, codebook, id_col=id_col,
-                          vector_col=vector_col)
-    codes = codes.join(assigned.select(F.col(id_col).alias("id"), "cell"),
-                       on="id")
+        if by_residual:
+            # residual_table's output already carries the coarse cell:
+            # pass it through the encode kernel instead of re-joining
+            # the assigned table on id (one exchange + one assign
+            # consumption saved per call — r12 optimization round)
+            src = residual_table(base, centroids, id_col, vector_col,
+                                 id_col, vector_col, assigned=assigned)
+            codes = pq_encode(src, codebook, id_col=id_col,
+                              vector_col=vector_col, carry_cell=True)
+        elif not assigned_given:
+            # fused encode+assign: ONE corpus pass emits
+            # (id, codes, cell) — the separate ivf_assign pass and the
+            # codes⋈assigned id-join are gone (guide §2.4/§4)
+            codes = pq_encode(base, codebook, id_col=id_col,
+                              vector_col=vector_col,
+                              assign_centroids=centroids)
+        else:
+            codes = pq_encode(base, codebook, id_col=id_col,
+                              vector_col=vector_col)
+            codes = codes.join(assigned.select(F.col(id_col).alias("id"),
+                                               "cell"), on="id")
+    else:
+        if assigned is None:
+            assigned = ivf_assign(base, centroids, id_col, vector_col,
+                                  id_col, vector_col)
+        codes = codes.join(assigned.select(F.col(id_col).alias("id"),
+                                           "cell"), on="id")
     q_rows = queries.select(q_id_col, q_vector_col).collect()
     if not q_rows:
         return spark.createDataFrame(
             [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
-    probe_rows = _nearest_cells(
-        queries, centroids, nprobe, q_id_col, q_vector_col,
-        id_col, vector_col, keep_vector=False, mass=mass).collect()
-    probed: dict[int, set] = {}
-    for r in probe_rows:
-        probed.setdefault(r[q_id_col], set()).add(r["cell"])
+    # probe sets DRIVER-SIDE on the already-collected query batch (the
+    # _nc_batches kernel body verbatim): removes the probe-kernel
+    # Spark job this call previously ran per invocation, and the
+    # centroid collect it needs is shared with the by_residual LUTs
+    c_rows = centroids.select(id_col, vector_col).collect()
+    probed = _probe_cells_local(q_rows, c_rows, nprobe, mass=mass)
     T = _codebook_tensor(codebook)
     m, kc, d_sub = T.shape
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = (np.array([list(r[1]) for r in q_rows], dtype=np.float64)
          .reshape(len(q_rows), m, d_sub))
     kk = k * rerank
-    cell_lists = [np.array(sorted(probed.get(int(q), ())), dtype=np.int64)
+    cell_lists = [probed.get(int(q), np.empty(0, dtype=np.int64))
                   for q in q_ids]
     if by_residual:
-        c_rows = centroids.select(id_col, vector_col).collect()
         coarse = {int(r[0]): np.asarray(list(r[1]), dtype=np.float64)
                   for r in c_rows}
         # per-(query, probed cell) LUT over the residual query
@@ -494,12 +552,24 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
     # cuts the Python-side ADC exchange from corpus-sized to
     # probed-cells-sized — measured ×2.4 p50 / ×3.1 max on
     # single-query latency at 10M (SCALE.md §9i addendum); the
-    # remaining floor is the codes⋈assigned id-join probe scan and
-    # the exact-rerank base join, both JVM-side hash probes that an
-    # `ivf_save` cell-partitioned layout file-prunes further.
+    # remaining floor is the exact-rerank base join (a JVM-side hash
+    # probe an `ivf_save` cell-partitioned layout file-prunes further).
+    # Spelling picked by the union's size (r11 ADVICE / verdict item):
+    # skip when the batch collectively probes EVERY cell (the filter
+    # is then pure overhead, no pruning possible); a literal isin list
+    # while it is small (static file-pruning sees through it); a
+    # broadcast semi-join past ~1k cells, where a giant In-list bloats
+    # plan serialization linearly (the knn_join bipartite pattern).
     all_cells = sorted({int(c) for s in probed.values() for c in s})
-    partial = (codes.select("id", "codes", "cell")
-               .filter(F.col("cell").isin(all_cells))
-               .mapInPandas(run, schema=f"q_id BIGINT, id {id_type}, d2 DOUBLE"))
+    sel = codes.select("id", "codes", "cell")
+    if len(all_cells) < len(c_rows):
+        if len(all_cells) <= 1024:
+            sel = sel.filter(F.col("cell").isin(all_cells))
+        else:
+            cells_df = spark.createDataFrame(
+                [(int(c),) for c in all_cells], "cell BIGINT")
+            sel = sel.join(F.broadcast(cells_df), "cell", "semi")
+    partial = sel.mapInPandas(
+        run, schema=f"q_id BIGINT, id {id_type}, d2 DOUBLE")
     return _exact_rerank(partial, base, queries, k, kk,
                          id_col, vector_col, q_id_col, q_vector_col)

@@ -183,283 +183,8 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
                                        packed))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cid_, C_, nc_req, sq8_, mass_, cmod_, packed_ = bc.value
-        nc = min(nc_req, len(cid_))
-
-        def payload(V: np.ndarray) -> list:
-            # sq8 packing: HALF_UP rounding (floor(x+0.5) on the
-            # non-negative normalized value — mirrors sq8_quantize's
-            # F.round and the oracle's round())
-            mn8, rg8 = sq8_
-            x = np.zeros_like(V)
-            nz = rg8 > 0
-            x[:, nz] = (V[:, nz] - mn8[nz]) / rg8[nz] * 255.0
-            codes = np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
-            return [c.tobytes() for c in codes]
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            B = np.vstack([np.asarray(v, dtype=np.float64)
-                           for v in pdf[vector_col].to_numpy()])
-            if mass_ is not None:
-                # adaptive mass-budget probing: order cells by
-                # element-quantized (dd, cid); keep cell i while the
-                # cumulative member count of cells BEFORE it is <
-                # budget.  Row chunks bound the working set.
-                #
-                # Small codebook (<= 256, the oracle fixtures): exact
-                # quantized sweep over ALL cells + stable argsort on
-                # int64 dd over cid-ascending columns == (dd, cid)
-                # order, engine-reproducible at any tie density.
-                #
-                # Large codebook (the scale path): the full sweep is
-                # |C| python-loop passes + a (rows × |C|) sort per
-                # chunk — measured as kernel-dominating at |C| = 10⁴.
-                # Instead: T = the worst-case cell count that covers
-                # the budget (smallest prefix of ASCENDING cell counts
-                # ≥ budget — no prober can need more cells than the
-                # all-smallest-cells adversary), tiled-GEMM float
-                # prefilter to the T+8 nearest (same +8 margin and
-                # tie caveat as the nc>1 branch), quantized recompute
-                # of only those, then the same (dd, cid) cumulative
-                # rule within the shortlist.
-                cnt_, budget_ = mass_
-                ids_all = pdf[id_col].to_numpy()
-                vec_all = pdf[vector_col].to_numpy()
-                T = len(cid_)
-                if len(cid_) > 256:
-                    asc = np.cumsum(np.sort(cnt_))
-                    T = min(len(cid_),
-                            int(np.searchsorted(asc, budget_)) + 1 + 8)
-                cn = np.square(C_).sum(axis=1)
-                # bound the (rows × |C|) GEMM buffer at ~32 MB/task and
-                # PREALLOCATE it: a fresh allocation per chunk is the
-                # page-zeroing storm the nc==1 branch documents
-                # (measured: it dominated the 10M probe kernel)
-                RB = max(256, min(2048, (4 << 20) // max(1, len(cid_))))
-                gbuf = (np.empty((min(RB, len(B)), len(cid_)))
-                        if T < len(cid_) else None)
-                for r0 in range(0, len(B), RB):
-                    Br = B[r0:r0 + RB]
-                    if T < len(cid_):
-                        # float GEMM prefilter (|q|² is row-constant,
-                        # cannot move the per-row order)
-                        d2g = gbuf[:len(Br)]
-                        np.matmul(Br, C_.T, out=d2g)
-                        d2g *= -2.0
-                        d2g += cn
-                        part = np.argpartition(d2g, T - 1,
-                                               axis=1)[:, :T]
-                        # column index == cid rank: pre-sort so the
-                        # later stable argsort ties break by cid
-                        part = np.sort(part, axis=1)
-                        # quantized recompute of the shortlist, tiled
-                        # over rows: RB is sized only by |C|, so just
-                        # past the 256-centroid crossover a large
-                        # budget (T → |C|) would otherwise blow the
-                        # (RB × T × dim) cube to hundreds of MB/task
-                        # (r09 ADVICE) — cap the cube at ~32 MB
-                        sub = max(1, (32 << 20)
-                                  // max(1, T * Br.shape[1] * 8))
-                        dd = np.empty((len(Br), T), dtype=np.int64)
-                        for s0 in range(0, len(Br), sub):
-                            diff = (Br[s0:s0 + sub, None, :]
-                                    - C_[part[s0:s0 + sub]])
-                            dd[s0:s0 + sub] = _q9(
-                                np.square(diff)).sum(axis=2)
-                        ordT = np.argsort(dd, axis=1, kind="stable")
-                        perm = np.take_along_axis(part, ordT, 1)
-                    else:
-                        d2 = np.empty((len(Br), len(cid_)),
-                                      dtype=np.int64)
-                        for j in range(len(cid_)):
-                            d2[:, j] = _q9(
-                                np.square(Br - C_[j])).sum(axis=1)
-                        perm = np.argsort(d2, axis=1, kind="stable")
-                    run_cnt = np.cumsum(cnt_[perm], axis=1)
-                    keep = np.empty(perm.shape, dtype=bool)
-                    keep[:, 0] = True           # prior mass 0 < budget
-                    keep[:, 1:] = run_cnt[:, :-1] < budget_
-                    if cmod_ is not None:
-                        # group slice AFTER the budget rule: selection
-                        # is global, emission per-group (union == all)
-                        keep &= (cid_[perm] % cmod_[0]) == cmod_[1]
-                    nk = keep.sum(axis=1)
-                    # perm[keep] flattens row-major: per-row cells in
-                    # (dd, cid) order, rows in input order
-                    flat_cells = cid_[perm[keep]]
-                    if packed_:
-                        out = {id_col: ids_all[r0:r0 + RB]}
-                        if sq8_ is not None:
-                            out["qcodes"] = payload(Br)
-                        else:
-                            out[vector_col] = vec_all[r0:r0 + RB]
-                        out["cells"] = np.split(flat_cells,
-                                                np.cumsum(nk)[:-1])
-                        yield pd.DataFrame(out)
-                        continue
-                    out = {id_col: np.repeat(ids_all[r0:r0 + RB], nk)}
-                    if keep_vector:
-                        if sq8_ is not None:
-                            out["qcodes"] = list(np.repeat(
-                                np.array(payload(Br), dtype=object), nk))
-                        else:
-                            out[vector_col] = np.repeat(
-                                vec_all[r0:r0 + RB], nk)
-                    out["cell"] = flat_cells
-                    yield pd.DataFrame(out)
-                continue
-            if nc_req == 1 and len(cid_) > 256:
-                # large codebook (SemDeDup-scale k ~ n/64): GEMM form
-                # -2 b·c + |c|^2 (the |b|^2 term is row-constant, so it
-                # cannot move the argmin), computed in (row, centroid)
-                # TILES with preallocated buffers and a running argmin.
-                # Materializing the full batch×k distance matrix (and
-                # the GEMM expression's temporaries) at k=15625 means
-                # several ~1.25 GB allocations per 10k-row batch ×32
-                # concurrent workers — measured as a kernel-time
-                # page-zeroing storm that was SLOWER than the python
-                # loop.  Tiles bound the working set at ~64 MB/task.
-                # fp summation order differs from the exact sweep only
-                # within ~1 ulp; oracle-gated small-k entries keep the
-                # exact per-centroid sweep below.
-                cn = np.square(C_).sum(axis=1)
-                RB, CB = 2048, 4096
-                buf = np.empty((RB, CB), dtype=np.float64)
-                best_d = np.empty(len(B), dtype=np.float64)
-                best_j = np.empty(len(B), dtype=np.int64)
-                for r0 in range(0, len(B), RB):
-                    Br = B[r0:r0 + RB]
-                    bd = np.full(len(Br), np.inf)
-                    bj = np.zeros(len(Br), dtype=np.int64)
-                    for c0 in range(0, len(cid_), CB):
-                        Ct = C_[c0:c0 + CB]
-                        t = buf[:len(Br), :len(Ct)]
-                        np.matmul(Br, Ct.T, out=t)
-                        t *= -2.0
-                        t += cn[c0:c0 + CB]
-                        j = t.argmin(axis=1)
-                        d = t[np.arange(len(Br)), j]
-                        upd = d < bd      # strict: ties keep lower cid
-                        bd[upd] = d[upd]
-                        bj[upd] = j[upd] + c0
-                    best_d[r0:r0 + RB] = bd
-                    best_j[r0:r0 + RB] = bj
-                cells1 = cid_[best_j]
-                if packed_:
-                    out = {id_col: pdf[id_col].to_numpy()}
-                    if sq8_ is not None:
-                        out["qcodes"] = payload(B)
-                    else:
-                        out[vector_col] = pdf[vector_col].to_numpy()
-                    out["cells"] = list(cells1[:, None])
-                    yield pd.DataFrame(out)
-                    continue
-                rows = (slice(None) if cmod_ is None else
-                        (cells1 % cmod_[0]) == cmod_[1])
-                out = {id_col: pdf[id_col].to_numpy()[rows]}
-                if keep_vector:
-                    if sq8_ is not None:
-                        out["qcodes"] = (payload(B) if cmod_ is None else
-                                         payload(B[rows]))
-                    else:
-                        out[vector_col] = \
-                            pdf[vector_col].to_numpy()[rows]
-                out["cell"] = cells1[rows]
-                yield pd.DataFrame(out)
-                continue
-            if nc_req > 1 and len(cid_) > 256:
-                # large codebook, top-nc probes (the IVF query path at
-                # SemDeDup-scale |C|): same tiled GEMM as the nc==1
-                # branch, with a per-tile top-(nc+8) candidate cut and
-                # one final per-row (d, cid) merge — O(|C|) GEMM work
-                # per row instead of |C| python sweeps per batch
-                # (measured: |C|=10k probes at 10M went from hours to
-                # minutes).  The +8 margin absorbs within-tile float
-                # ties at the cut; a >8-deep cohort of bit-identical
-                # GEMM distances straddling the boundary (duplicate
-                # centroids) could still resolve differently than the
-                # exact path's lowest-cid order — small-|C| oracle
-                # fixtures keep the exact sweep below.
-                cn = np.square(C_).sum(axis=1)
-                RB, CB = 2048, 4096
-                kk = min(nc + 8, len(cid_))
-                near = np.empty((len(B), nc), dtype=np.int64)
-                for r0 in range(0, len(B), RB):
-                    Br = B[r0:r0 + RB]
-                    cd, cj = [], []
-                    for c0 in range(0, len(cid_), CB):
-                        Ct = C_[c0:c0 + CB]
-                        t = Br @ Ct.T
-                        t *= -2.0
-                        t += cn[c0:c0 + CB]
-                        w = min(kk, t.shape[1])
-                        part = np.argpartition(t, w - 1, axis=1)[:, :w]
-                        cd.append(np.take_along_axis(t, part, 1))
-                        cj.append(part + c0)
-                    md = np.concatenate(cd, axis=1)
-                    mj = np.concatenate(cj, axis=1)
-                    for r in range(len(Br)):
-                        order = np.lexsort((mj[r], md[r]))[:nc]
-                        near[r0 + r] = mj[r][order]
-            elif quantize:
-                d2 = np.empty((len(B), len(cid_)), dtype=np.int64)
-                for j in range(len(cid_)):
-                    d2[:, j] = _q9(np.square(B - C_[j])).sum(axis=1)
-                near = None
-            else:
-                d2 = np.empty((len(B), len(cid_)), dtype=np.float64)
-                for j in range(len(cid_)):
-                    d2[:, j] = np.square(B - C_[j]).sum(axis=1)
-                near = None
-            if nc_req == 1:
-                # argmin returns the first (= lowest-cid) minimum
-                cells_m = cid_[np.argmin(d2, axis=1)][:, None]
-            else:
-                if near is None:
-                    near = np.argsort(d2, axis=1, kind="stable")[:, :nc]
-                cells_m = cid_[near]
-            if packed_:
-                out = {id_col: pdf[id_col].to_numpy()}
-                if sq8_ is not None:
-                    out["qcodes"] = payload(B)
-                else:
-                    out[vector_col] = pdf[vector_col].to_numpy()
-                out["cells"] = list(cells_m)
-                yield pd.DataFrame(out)
-                continue
-            if cmod_ is None:             # unfiltered fast path
-                out = {id_col: np.repeat(pdf[id_col].to_numpy(), nc)}
-                if keep_vector:
-                    if sq8_ is not None:
-                        out["qcodes"] = list(np.repeat(
-                            np.array(payload(B), dtype=object), nc))
-                    else:
-                        out[vector_col] = np.repeat(
-                            pdf[vector_col].to_numpy(), nc)
-                out["cell"] = cells_m.ravel()
-                if nc_req > 1:
-                    out["cell_rank"] = np.tile(np.arange(1, nc + 1),
-                                               len(B))
-                yield pd.DataFrame(out)
-                continue
-            kmask = (cells_m % cmod_[0]) == cmod_[1]
-            nk = kmask.sum(axis=1)
-            out = {id_col: np.repeat(pdf[id_col].to_numpy(), nk)}
-            if keep_vector:
-                if sq8_ is not None:
-                    out["qcodes"] = list(np.repeat(
-                        np.array(payload(B), dtype=object), nk))
-                else:
-                    out[vector_col] = np.repeat(
-                        pdf[vector_col].to_numpy(), nk)
-            out["cell"] = cells_m[kmask]
-            if nc_req > 1:
-                ranks_m = np.tile(np.arange(1, nc + 1),
-                                  (len(B), 1))
-                out["cell_rank"] = ranks_m[kmask]
-            yield pd.DataFrame(out)
+        yield from _nc_batches(bc.value, id_col, vector_col, keep_vector,
+                               quantize, batches)
 
     id_type = df.schema[id_col].dataType.simpleString()
     vec_type = df.schema[vector_col].dataType.simpleString()
@@ -476,6 +201,370 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
         if n_cells > 1 and mass is None:
             schema += ", cell_rank INT"
     return df.select(id_col, vector_col).mapInPandas(run, schema=schema)
+
+
+def _nc_batches(state, id_col: str, vector_col: str, keep_vector: bool,
+                quantize: bool, batches: "Iterator[pd.DataFrame]"
+                ) -> "Iterator[pd.DataFrame]":
+    """The per-batch body of :func:`_nearest_cells`'s Arrow kernel,
+    hoisted to module level so the DRIVER-SIDE probe path
+    (:func:`_probe_cells_local`) runs the IDENTICAL code on a collected
+    query batch — the probe sets cannot drift between the two spellings
+    because they are the same function."""
+    cid_, C_, nc_req, sq8_, mass_, cmod_, packed_ = state
+    nc = min(nc_req, len(cid_))
+
+
+    def payload(V: np.ndarray) -> list:
+        # sq8 packing: HALF_UP rounding (floor(x+0.5) on the
+        # non-negative normalized value — mirrors sq8_quantize's
+        # F.round and the oracle's round())
+        mn8, rg8 = sq8_
+        x = np.zeros_like(V)
+        nz = rg8 > 0
+        x[:, nz] = (V[:, nz] - mn8[nz]) / rg8[nz] * 255.0
+        codes = np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
+        return [c.tobytes() for c in codes]
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        B = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in pdf[vector_col].to_numpy()])
+        if mass_ is not None:
+            # adaptive mass-budget probing: order cells by
+            # element-quantized (dd, cid); keep cell i while the
+            # cumulative member count of cells BEFORE it is <
+            # budget.  Row chunks bound the working set.
+            #
+            # Small codebook (<= 256, the oracle fixtures): exact
+            # quantized sweep over ALL cells + stable argsort on
+            # int64 dd over cid-ascending columns == (dd, cid)
+            # order, engine-reproducible at any tie density.
+            #
+            # Large codebook (the scale path): the full sweep is
+            # |C| python-loop passes + a (rows × |C|) sort per
+            # chunk — measured as kernel-dominating at |C| = 10⁴.
+            # Instead: T = the worst-case cell count that covers
+            # the budget (smallest prefix of ASCENDING cell counts
+            # ≥ budget — no prober can need more cells than the
+            # all-smallest-cells adversary), tiled-GEMM float
+            # prefilter to the T+8 nearest (same +8 margin and
+            # tie caveat as the nc>1 branch), quantized recompute
+            # of only those, then the same (dd, cid) cumulative
+            # rule within the shortlist.
+            cnt_, budget_ = mass_
+            ids_all = pdf[id_col].to_numpy()
+            vec_all = pdf[vector_col].to_numpy()
+            T = len(cid_)
+            if len(cid_) > 256:
+                asc = np.cumsum(np.sort(cnt_))
+                T = min(len(cid_),
+                        int(np.searchsorted(asc, budget_)) + 1 + 8)
+            cn = np.square(C_).sum(axis=1)
+            # bound the (rows × |C|) GEMM buffer at ~32 MB/task and
+            # PREALLOCATE it: a fresh allocation per chunk is the
+            # page-zeroing storm the nc==1 branch documents
+            # (measured: it dominated the 10M probe kernel)
+            RB = max(256, min(2048, (4 << 20) // max(1, len(cid_))))
+            gbuf = (np.empty((min(RB, len(B)), len(cid_)))
+                    if T < len(cid_) else None)
+            for r0 in range(0, len(B), RB):
+                Br = B[r0:r0 + RB]
+                if T < len(cid_):
+                    # float GEMM prefilter (|q|² is row-constant,
+                    # cannot move the per-row order)
+                    d2g = gbuf[:len(Br)]
+                    np.matmul(Br, C_.T, out=d2g)
+                    d2g *= -2.0
+                    d2g += cn
+                    part = np.argpartition(d2g, T - 1,
+                                           axis=1)[:, :T]
+                    # column index == cid rank: pre-sort so the
+                    # later stable argsort ties break by cid
+                    part = np.sort(part, axis=1)
+                    # quantized recompute of the shortlist, tiled
+                    # over rows: RB is sized only by |C|, so just
+                    # past the 256-centroid crossover a large
+                    # budget (T → |C|) would otherwise blow the
+                    # (RB × T × dim) cube to hundreds of MB/task
+                    # (r09 ADVICE) — cap the cube at ~32 MB
+                    sub = max(1, (32 << 20)
+                              // max(1, T * Br.shape[1] * 8))
+                    dd = np.empty((len(Br), T), dtype=np.int64)
+                    for s0 in range(0, len(Br), sub):
+                        diff = (Br[s0:s0 + sub, None, :]
+                                - C_[part[s0:s0 + sub]])
+                        dd[s0:s0 + sub] = _q9(
+                            np.square(diff)).sum(axis=2)
+                    ordT = np.argsort(dd, axis=1, kind="stable")
+                    perm = np.take_along_axis(part, ordT, 1)
+                else:
+                    d2 = np.empty((len(Br), len(cid_)),
+                                  dtype=np.int64)
+                    for j in range(len(cid_)):
+                        d2[:, j] = _q9(
+                            np.square(Br - C_[j])).sum(axis=1)
+                    perm = np.argsort(d2, axis=1, kind="stable")
+                run_cnt = np.cumsum(cnt_[perm], axis=1)
+                keep = np.empty(perm.shape, dtype=bool)
+                keep[:, 0] = True           # prior mass 0 < budget
+                keep[:, 1:] = run_cnt[:, :-1] < budget_
+                if cmod_ is not None:
+                    # group slice AFTER the budget rule: selection
+                    # is global, emission per-group (union == all)
+                    keep &= (cid_[perm] % cmod_[0]) == cmod_[1]
+                nk = keep.sum(axis=1)
+                # perm[keep] flattens row-major: per-row cells in
+                # (dd, cid) order, rows in input order
+                flat_cells = cid_[perm[keep]]
+                if packed_:
+                    out = {id_col: ids_all[r0:r0 + RB]}
+                    if sq8_ is not None:
+                        out["qcodes"] = payload(Br)
+                    else:
+                        out[vector_col] = vec_all[r0:r0 + RB]
+                    out["cells"] = np.split(flat_cells,
+                                            np.cumsum(nk)[:-1])
+                    yield pd.DataFrame(out)
+                    continue
+                out = {id_col: np.repeat(ids_all[r0:r0 + RB], nk)}
+                if keep_vector:
+                    if sq8_ is not None:
+                        out["qcodes"] = list(np.repeat(
+                            np.array(payload(Br), dtype=object), nk))
+                    else:
+                        out[vector_col] = np.repeat(
+                            vec_all[r0:r0 + RB], nk)
+                out["cell"] = flat_cells
+                yield pd.DataFrame(out)
+            continue
+        if nc_req == 1 and len(cid_) > 256:
+            # large codebook (SemDeDup-scale k ~ n/64): GEMM form
+            # -2 b·c + |c|^2 (the |b|^2 term is row-constant, so it
+            # cannot move the argmin), computed in (row, centroid)
+            # TILES with preallocated buffers and a running argmin.
+            # Materializing the full batch×k distance matrix (and
+            # the GEMM expression's temporaries) at k=15625 means
+            # several ~1.25 GB allocations per 10k-row batch ×32
+            # concurrent workers — measured as a kernel-time
+            # page-zeroing storm that was SLOWER than the python
+            # loop.  Tiles bound the working set at ~64 MB/task.
+            # fp summation order differs from the exact sweep only
+            # within ~1 ulp; oracle-gated small-k entries keep the
+            # exact per-centroid sweep below.
+            cn = np.square(C_).sum(axis=1)
+            RB, CB = 2048, 4096
+            buf = np.empty((RB, CB), dtype=np.float64)
+            best_d = np.empty(len(B), dtype=np.float64)
+            best_j = np.empty(len(B), dtype=np.int64)
+            for r0 in range(0, len(B), RB):
+                Br = B[r0:r0 + RB]
+                bd = np.full(len(Br), np.inf)
+                bj = np.zeros(len(Br), dtype=np.int64)
+                for c0 in range(0, len(cid_), CB):
+                    Ct = C_[c0:c0 + CB]
+                    t = buf[:len(Br), :len(Ct)]
+                    np.matmul(Br, Ct.T, out=t)
+                    t *= -2.0
+                    t += cn[c0:c0 + CB]
+                    j = t.argmin(axis=1)
+                    d = t[np.arange(len(Br)), j]
+                    upd = d < bd      # strict: ties keep lower cid
+                    bd[upd] = d[upd]
+                    bj[upd] = j[upd] + c0
+                best_d[r0:r0 + RB] = bd
+                best_j[r0:r0 + RB] = bj
+            cells1 = cid_[best_j]
+            if packed_:
+                out = {id_col: pdf[id_col].to_numpy()}
+                if sq8_ is not None:
+                    out["qcodes"] = payload(B)
+                else:
+                    out[vector_col] = pdf[vector_col].to_numpy()
+                out["cells"] = list(cells1[:, None])
+                yield pd.DataFrame(out)
+                continue
+            rows = (slice(None) if cmod_ is None else
+                    (cells1 % cmod_[0]) == cmod_[1])
+            out = {id_col: pdf[id_col].to_numpy()[rows]}
+            if keep_vector:
+                if sq8_ is not None:
+                    out["qcodes"] = (payload(B) if cmod_ is None else
+                                     payload(B[rows]))
+                else:
+                    out[vector_col] = \
+                        pdf[vector_col].to_numpy()[rows]
+            out["cell"] = cells1[rows]
+            yield pd.DataFrame(out)
+            continue
+        if nc_req > 1 and len(cid_) > 256:
+            # large codebook, top-nc probes (the IVF query path at
+            # SemDeDup-scale |C|): same tiled GEMM as the nc==1
+            # branch, with a per-tile top-(nc+8) candidate cut and
+            # one final per-row (d, cid) merge — O(|C|) GEMM work
+            # per row instead of |C| python sweeps per batch
+            # (measured: |C|=10k probes at 10M went from hours to
+            # minutes).  The +8 margin absorbs within-tile float
+            # ties at the cut; a >8-deep cohort of bit-identical
+            # GEMM distances straddling the boundary (duplicate
+            # centroids) could still resolve differently than the
+            # exact path's lowest-cid order — small-|C| oracle
+            # fixtures keep the exact sweep below.
+            cn = np.square(C_).sum(axis=1)
+            RB, CB = 2048, 4096
+            kk = min(nc + 8, len(cid_))
+            near = np.empty((len(B), nc), dtype=np.int64)
+            for r0 in range(0, len(B), RB):
+                Br = B[r0:r0 + RB]
+                cd, cj = [], []
+                for c0 in range(0, len(cid_), CB):
+                    Ct = C_[c0:c0 + CB]
+                    t = Br @ Ct.T
+                    t *= -2.0
+                    t += cn[c0:c0 + CB]
+                    w = min(kk, t.shape[1])
+                    part = np.argpartition(t, w - 1, axis=1)[:, :w]
+                    cd.append(np.take_along_axis(t, part, 1))
+                    cj.append(part + c0)
+                md = np.concatenate(cd, axis=1)
+                mj = np.concatenate(cj, axis=1)
+                for r in range(len(Br)):
+                    order = np.lexsort((mj[r], md[r]))[:nc]
+                    near[r0 + r] = mj[r][order]
+        elif quantize:
+            d2 = np.empty((len(B), len(cid_)), dtype=np.int64)
+            for j in range(len(cid_)):
+                d2[:, j] = _q9(np.square(B - C_[j])).sum(axis=1)
+            near = None
+        else:
+            d2 = np.empty((len(B), len(cid_)), dtype=np.float64)
+            for j in range(len(cid_)):
+                d2[:, j] = np.square(B - C_[j]).sum(axis=1)
+            near = None
+        if nc_req == 1:
+            # argmin returns the first (= lowest-cid) minimum
+            cells_m = cid_[np.argmin(d2, axis=1)][:, None]
+        else:
+            if near is None:
+                near = np.argsort(d2, axis=1, kind="stable")[:, :nc]
+            cells_m = cid_[near]
+        if packed_:
+            out = {id_col: pdf[id_col].to_numpy()}
+            if sq8_ is not None:
+                out["qcodes"] = payload(B)
+            else:
+                out[vector_col] = pdf[vector_col].to_numpy()
+            out["cells"] = list(cells_m)
+            yield pd.DataFrame(out)
+            continue
+        if cmod_ is None:             # unfiltered fast path
+            out = {id_col: np.repeat(pdf[id_col].to_numpy(), nc)}
+            if keep_vector:
+                if sq8_ is not None:
+                    out["qcodes"] = list(np.repeat(
+                        np.array(payload(B), dtype=object), nc))
+                else:
+                    out[vector_col] = np.repeat(
+                        pdf[vector_col].to_numpy(), nc)
+            out["cell"] = cells_m.ravel()
+            if nc_req > 1:
+                out["cell_rank"] = np.tile(np.arange(1, nc + 1),
+                                           len(B))
+            yield pd.DataFrame(out)
+            continue
+        kmask = (cells_m % cmod_[0]) == cmod_[1]
+        nk = kmask.sum(axis=1)
+        out = {id_col: np.repeat(pdf[id_col].to_numpy(), nk)}
+        if keep_vector:
+            if sq8_ is not None:
+                out["qcodes"] = list(np.repeat(
+                    np.array(payload(B), dtype=object), nk))
+            else:
+                out[vector_col] = np.repeat(
+                    pdf[vector_col].to_numpy(), nk)
+        out["cell"] = cells_m[kmask]
+        if nc_req > 1:
+            ranks_m = np.tile(np.arange(1, nc + 1),
+                              (len(B), 1))
+            out["cell_rank"] = ranks_m[kmask]
+        yield pd.DataFrame(out)
+
+
+def _probe_cells_local(q_rows, c_rows, n_cells: int,
+                       mass: tuple | None = None) -> dict:
+    """Driver-side fixed/adaptive probe sets for an ALREADY-COLLECTED
+    query batch: {q_id: sorted int64 cell array}.
+
+    Runs :func:`_nc_batches` — the exact `_nearest_cells` kernel body —
+    on the collected rows, so the probe sets are bit-identical to the
+    distributed spelling by construction.  The point (guide §1/§4): the
+    online ANN families (`ivfpq_topk`, `_ivf_bq_partial`) already
+    collect both the query batch and the centroid table; deriving the
+    Q·nprobe probe pairs locally removes one whole Spark job (scan +
+    Arrow kernel + collect) from every call without touching results.
+    ``mass=(counts, budget)`` mirrors `_nearest_cells(mass=)` —
+    validation included."""
+    cid = np.array([r[0] for r in c_rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in c_rows], dtype=np.float64)
+    order = np.argsort(cid, kind="stable")
+    mass_arrs = None
+    if mass is not None:
+        counts, budget = mass
+        if budget < 1:
+            raise ValueError(f"probe mass budget must be >= 1, "
+                             f"got {budget}")
+        cnt = np.array([int(counts.get(int(c), 0)) for c in cid[order]],
+                       dtype=np.int64)
+        mass_arrs = (cnt, int(budget))
+    state = (cid[order], C[order], n_cells, None, mass_arrs, None, False)
+    pdf = pd.DataFrame({"q_id": [r[0] for r in q_rows],
+                        "vector": [list(r[1]) for r in q_rows]})
+    probed: dict[int, set] = {}
+    for out in _nc_batches(state, "q_id", "vector", False, False,
+                           iter([pdf])):
+        for q, c in zip(out["q_id"].to_numpy(), out["cell"].to_numpy()):
+            probed.setdefault(int(q), set()).add(int(c))
+    return {q: np.array(sorted(s), dtype=np.int64)
+            for q, s in probed.items()}
+
+
+def _assign_cells_float(B: np.ndarray, cid_sorted: np.ndarray,
+                        C_sorted: np.ndarray) -> np.ndarray:
+    """Per-row nearest-centroid CELL ID, float sweep — EXACTLY the
+    ``_nearest_cells`` nc==1 / quantize=False semantics (the
+    `ivf_assign` contract): centroids pre-sorted by cid so argmin's
+    first-minimum rule is the lowest-cid tie-break; tiled GEMM with
+    strict-improvement updates past 256 centroids, the per-centroid
+    ``(B-C_j)²`` sweep below.  Used by the fused encode+assign kernels
+    (`bq_encode_assign` / `pq_encode(assign_centroids=)`) so the fused
+    cell column is bit-identical to a separate `ivf_assign` pass."""
+    if len(cid_sorted) > 256:
+        cn = np.square(C_sorted).sum(axis=1)
+        RB, CB = 2048, 4096
+        buf = np.empty((RB, CB), dtype=np.float64)
+        best_j = np.empty(len(B), dtype=np.int64)
+        for r0 in range(0, len(B), RB):
+            Br = B[r0:r0 + RB]
+            bd = np.full(len(Br), np.inf)
+            bj = np.zeros(len(Br), dtype=np.int64)
+            for c0 in range(0, len(cid_sorted), CB):
+                Ct = C_sorted[c0:c0 + CB]
+                t = buf[:len(Br), :len(Ct)]
+                np.matmul(Br, Ct.T, out=t)
+                t *= -2.0
+                t += cn[c0:c0 + CB]
+                j = t.argmin(axis=1)
+                d = t[np.arange(len(Br)), j]
+                upd = d < bd      # strict: ties keep lower cid
+                bd[upd] = d[upd]
+                bj[upd] = j[upd] + c0
+            best_j[r0:r0 + RB] = bj
+        return cid_sorted[best_j]
+    d2 = np.empty((len(B), len(cid_sorted)), dtype=np.float64)
+    for j in range(len(cid_sorted)):
+        d2[:, j] = np.square(B - C_sorted[j]).sum(axis=1)
+    return cid_sorted[np.argmin(d2, axis=1)]
 
 
 def _argmin_cells(B: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -857,6 +946,13 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
         # cuts the dominant member-side exchange to the probed
         # fraction of the corpus.  Self-join (queries=None) probes
         # every occupied cell by construction — skipped there.
+        # The batch-sized probe output is eagerly localCheckpoint-ed
+        # first (r11 ADVICE / r12 opt round): the broadcast cell list
+        # and the cogroup consume qp through two plan subtrees, so an
+        # unmaterialized qp re-ran the Arrow probe kernel AND its
+        # query-side upstream once per action; blocks free with the
+        # plan (the dedup-family _ckpt discipline).
+        qp = qp.localCheckpoint(eager=True)
         bp = bp.join(F.broadcast(qp.select("cell").distinct()),
                      "cell", "semi")
     w_rank = Window.partitionBy("q_id").orderBy("dist", "id")
@@ -1207,12 +1303,19 @@ def knn_graph_fold(graph: DataFrame, probes: DataFrame,
                               c_vector_col=c_vector_col,
                               method=method,
                               shuffle_dtype=shuffle_dtype)
+    # advance the probe table in the SAME layout it arrived in (r11
+    # ADVICE): a vector-carrying probe table (keep_vector=True — the
+    # layout that lets the NEXT fold's update stage skip the
+    # corpus-sized id→vector join) stays vector-carrying across folds
+    # instead of silently degrading to the skinny layout after fold 1.
+    keep_vec = vector_col in probes.columns
     new_probes = _nearest_cells(new_batch, centroids, nprobe, id_col,
                                 vector_col, c_id_col, c_vector_col,
-                                keep_vector=False)
+                                keep_vector=keep_vec)
     if "cell_rank" in new_probes.columns:
         new_probes = new_probes.drop("cell_rank")
-    p2 = probes.select(id_col, "cell").unionByName(new_probes)
+    p_cols = [id_col, vector_col, "cell"] if keep_vec else [id_col, "cell"]
+    p2 = probes.select(*p_cols).unionByName(new_probes.select(*p_cols))
     a2 = assigned.select(id_col, vector_col, "cell").unionByName(
         ivf_assign(new_batch, centroids, id_col, vector_col,
                    c_id_col, c_vector_col)
@@ -1862,7 +1965,8 @@ def _popcount64(a: np.ndarray) -> np.ndarray:
 
 
 def bq_encode(df: DataFrame, thresholds: list,
-              id_col: str = "id", vector_col: str = "vector") -> DataFrame:
+              id_col: str = "id", vector_col: str = "vector",
+              keep: tuple = ()) -> DataFrame:
     """1-bit binary quantization: bit_j = (x_j > thr_j), packed MSB-first
     into 64-dim words → (id, words ARRAY<BIGINT>).  32× smaller than the
     float32 column — the cheapest ANN payload compression tier (below
@@ -1871,7 +1975,11 @@ def bq_encode(df: DataFrame, thresholds: list,
 
     Entirely map-side native expressions (the thresholds ride in the
     plan as a literal array) — encoding 10^9 vectors is one scan, no
-    shuffle, no Python, same as :func:`sq8_quantize`."""
+    shuffle, no Python, same as :func:`sq8_quantize`.
+
+    ``keep`` names extra input columns to carry through unchanged
+    (e.g. the vector itself, for the fused encode+assign scan in
+    :func:`_ivf_bq_partial`)."""
     dim = len(thresholds)
     thr = F.array(*[F.lit(float(t)) for t in thresholds])
     out = df.withColumn(
@@ -1883,7 +1991,8 @@ def bq_encode(df: DataFrame, thresholds: list,
                     lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(b))
         for w in range(0, dim, 64)]
     return out.select(F.col(id_col).alias("id"),
-                      F.array(*words).alias("words"))
+                      F.array(*words).alias("words"),
+                      *[F.col(c) for c in keep])
 
 
 def bq_topk(base: DataFrame, queries: DataFrame, thresholds: list,
@@ -2036,11 +2145,14 @@ def ivf_bq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
     kk = k * rerank
     probe_cells = None
     if probe_mass is not None:
-        if assigned is None:
-            assigned = ivf_assign(base, centroids, id_col, vector_col,
-                                  c_id_col, c_vector_col)
+        # census-only assign: kept LOCAL so a caller that passed no
+        # `assigned` still gets `_ivf_bq_partial`'s fused
+        # encode+assign scan (the census pass stays one map-side
+        # assign job either way)
+        census_src = assigned if assigned is not None else ivf_assign(
+            base, centroids, id_col, vector_col, c_id_col, c_vector_col)
         counts = {r["cell"]: r["count"] for r in
-                  assigned.groupBy("cell").count().collect()}
+                  census_src.groupBy("cell").count().collect()}
         probe_cells = _adaptive_probe_cells(
             queries, centroids, counts, probe_mass,
             q_id_col, q_vector_col, c_id_col, c_vector_col)
@@ -2113,45 +2225,74 @@ def _ivf_bq_partial(base: DataFrame, queries: DataFrame,
     most ``kk`` rows per (query, batch), probed cells only.  ``None``
     when the query set is empty.  ``probe_cells`` (q_id → sorted cell
     array, e.g. from :func:`_adaptive_probe_cells`) overrides the
-    fixed top-``nprobe`` probe selection."""
+    fixed top-``nprobe`` probe selection.
+
+    On-the-fly plan shape (r12 optimization round): when NEITHER
+    ``assigned`` nor ``codes`` is supplied, the corpus scan is ONE
+    fused pass — JVM-native BQ word packing feeding an Arrow kernel
+    that derives each row's coarse cell inline
+    (:func:`_assign_cells_float`, the exact `ivf_assign` semantics)
+    and Hamming-scores probed cells.  This removes the separate assign
+    kernel pass over the corpus AND the codes⋈assigned id-join the
+    previous plan paid (guide §2.4/§4).  Fixed probe sets are computed
+    DRIVER-SIDE on the already-collected query batch
+    (:func:`_probe_cells_local` — the `_nc_batches` kernel body
+    verbatim), removing one more Spark job per call.  Pass persisted
+    ``assigned``/``codes`` to keep the ingest-reuse join path."""
     spark = base.sparkSession
-    if assigned is None:
-        assigned = ivf_assign(base, centroids, id_col, vector_col,
-                              c_id_col, c_vector_col)
-    if codes is None:
+    fused = assigned is None and codes is None
+    c_rows = None
+    if fused:
         codes = bq_encode(base, thresholds, id_col=id_col,
-                          vector_col=vector_col)
-    codes = codes.join(assigned.select(F.col(id_col).alias("id"), "cell"),
-                       on="id")
+                          vector_col=vector_col, keep=(vector_col,))
+        c_rows = centroids.select(c_id_col, c_vector_col).collect()
+        a_cid = np.array([r[0] for r in c_rows], dtype=np.int64)
+        a_C = np.array([list(r[1]) for r in c_rows], dtype=np.float64)
+        a_ord = np.argsort(a_cid, kind="stable")
+        assign_state = (a_cid[a_ord], a_C[a_ord])
+    else:
+        if assigned is None:
+            assigned = ivf_assign(base, centroids, id_col, vector_col,
+                                  c_id_col, c_vector_col)
+        if codes is None:
+            codes = bq_encode(base, thresholds, id_col=id_col,
+                              vector_col=vector_col)
+        codes = codes.join(assigned.select(F.col(id_col).alias("id"),
+                                           "cell"), on="id")
+        assign_state = None
     q_rows = queries.select(q_id_col, q_vector_col).collect()
     if not q_rows:
         return None
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     if probe_cells is None:
-        probe_rows = _nearest_cells(
-            queries, centroids, nprobe, q_id_col, q_vector_col,
-            c_id_col, c_vector_col, keep_vector=False).collect()
-        probed: dict[int, set] = {}
-        for r in probe_rows:
-            probed.setdefault(r[q_id_col], set()).add(r["cell"])
-        cell_lists = [np.array(sorted(probed.get(int(q), ())),
-                               dtype=np.int64) for q in q_ids]
+        if c_rows is None:
+            c_rows = centroids.select(c_id_col, c_vector_col).collect()
+        probed = _probe_cells_local(q_rows, c_rows, nprobe)
+        cell_lists = [probed.get(int(q), np.empty(0, dtype=np.int64))
+                      for q in q_ids]
     else:
         cell_lists = [np.asarray(probe_cells.get(int(q), ()),
                                  dtype=np.int64) for q in q_ids]
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     qwords = _pack_query_words(Q, thresholds)
-    bc = spark.sparkContext.broadcast((q_ids, qwords, kk, cell_lists))
+    bc = spark.sparkContext.broadcast((q_ids, qwords, kk, cell_lists,
+                                       assign_state))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_ids_, qw_, kk_, cells_ = bc.value
+        q_ids_, qw_, kk_, cells_, assign_ = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             W = np.vstack([np.asarray(ws, dtype=np.int64)
                            for ws in pdf["words"].to_numpy()]).view(np.uint64)
             ids = pdf["id"].to_numpy()
-            row_cell = np.asarray(pdf["cell"].to_numpy(), dtype=np.int64)
+            if assign_ is not None:
+                V = np.vstack([np.asarray(v, dtype=np.float64)
+                               for v in pdf[vector_col].to_numpy()])
+                row_cell = _assign_cells_float(V, assign_[0], assign_[1])
+            else:
+                row_cell = np.asarray(pdf["cell"].to_numpy(),
+                                      dtype=np.int64)
             # one cell-sort per batch, then each query's probed rows are
             # searchsorted range gathers — O(kept) per query instead of
             # an O(rows) isin sweep per query (the difference between
@@ -2193,7 +2334,8 @@ def _ivf_bq_partial(base: DataFrame, queries: DataFrame,
                 yield pd.concat(frames, ignore_index=True)
 
     id_type = codes.schema["id"].dataType.simpleString()
-    return (codes.select("id", "words", "cell")
+    in_cols = ["id", "words", vector_col if fused else "cell"]
+    return (codes.select(*in_cols)
             .mapInPandas(run,
                          schema=f"q_id BIGINT, id {id_type}, ham BIGINT"))
 
@@ -2248,11 +2390,12 @@ def ivf_bq_sq8_topk(base: DataFrame, queries: DataFrame,
     kk1 = k * bq_keep
     probe_cells = None
     if probe_mass is not None:
-        if assigned is None:
-            assigned = ivf_assign(base, centroids, id_col, vector_col,
-                                  c_id_col, c_vector_col)
+        # census-only assign, kept LOCAL (see ivf_bq_topk): a caller
+        # that passed no `assigned` keeps the fused encode+assign scan
+        census_src = assigned if assigned is not None else ivf_assign(
+            base, centroids, id_col, vector_col, c_id_col, c_vector_col)
         counts = {r["cell"]: r["count"] for r in
-                  assigned.groupBy("cell").count().collect()}
+                  census_src.groupBy("cell").count().collect()}
         probe_cells = _adaptive_probe_cells(
             queries, centroids, counts, probe_mass,
             q_id_col, q_vector_col, c_id_col, c_vector_col)

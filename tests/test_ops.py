@@ -3125,3 +3125,154 @@ def test_knn_graph_fold_upsert_delete_then_reinsert_identity(
             == sorted((r.id, r.cell) for r in probes.collect()))
     assert (sorted((r.id, r.cell) for r in a2.collect())
             == sorted((r.id, r.cell) for r in assigned.collect()))
+
+
+# ---------------------------------------------------------------------------
+# r12 optimization round: fused/driver-side plan spellings must be
+# bit-identical to the plan shapes they replaced
+# ---------------------------------------------------------------------------
+
+def test_probe_cells_local_matches_kernel_fixed_and_mass(spark, clustered):
+    """_probe_cells_local (driver-side probe sets over the collected
+    query batch) runs the _nc_batches kernel body verbatim — fixed and
+    mass-budget probe sets must equal the distributed spelling's."""
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.ops.similarity import (
+        _nearest_cells, _probe_cells_local, ivf_assign)
+    df, X = clustered
+    base = df.filter(F.col("id") < 700)
+    cents = base.filter(F.col("id") % 90 == 0)
+    q = base.filter(F.col("id") % 13 == 5).select(
+        F.col("id").alias("q_id"), "vector")
+    q_rows = q.collect()
+    c_rows = cents.select("id", "vector").collect()
+    # fixed top-3
+    dist = {}
+    for r in _nearest_cells(q, cents, 3, "q_id", "vector", "id", "vector",
+                            keep_vector=False).collect():
+        dist.setdefault(r.q_id, set()).add(r.cell)
+    loc = _probe_cells_local(q_rows, c_rows, 3)
+    assert {k: set(v.tolist()) for k, v in loc.items()} == dist
+    # adaptive mass budget
+    counts = {r.cell: r["count"] for r in
+              ivf_assign(base, cents).groupBy("cell").count().collect()}
+    dist_m = {}
+    for r in _nearest_cells(q, cents, 3, "q_id", "vector", "id", "vector",
+                            keep_vector=False,
+                            mass=(counts, 120)).collect():
+        dist_m.setdefault(r.q_id, set()).add(r.cell)
+    loc_m = _probe_cells_local(q_rows, c_rows, 3, mass=(counts, 120))
+    assert {k: set(v.tolist()) for k, v in loc_m.items()} == dist_m
+
+
+def test_ivfpq_fused_encode_assign_matches_join_path(spark, clustered):
+    """ivfpq_topk's fused (id, codes, cell) scan — pq_encode with
+    assign_centroids / carry_cell — must reproduce the join spelling
+    (separate ivf_assign ⋈ pq_encode) bit-for-bit, fixed and residual."""
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.ops.pq import (pq_fit, pq_encode,
+                                                  ivfpq_topk,
+                                                  residual_table)
+    from fspann_query_system_spark.ops.similarity import ivf_assign
+    df, X = clustered
+    base = df.filter(F.col("id") < 600)
+    cents = base.filter(F.col("id") % 75 == 0)
+    q = base.filter(F.col("id") % 97 == 3).select(
+        F.col("id").alias("q_id"), "vector")
+    cb = pq_fit(base, m_sub=4, k=4, iters=1)
+    assigned = ivf_assign(base, cents)
+    # kernel-level: fused cell column == ivf_assign's cell column
+    fused = {r.id: (list(r.codes), r.cell) for r in
+             pq_encode(base, cb, assign_centroids=cents).collect()}
+    plain = {r.id: list(r.codes) for r in pq_encode(base, cb).collect()}
+    cells = {r.id: r.cell for r in assigned.select("id", "cell").collect()}
+    assert fused == {i: (plain[i], cells[i]) for i in plain}
+    # end-to-end: on-the-fly (fused) == assigned-given (join path)
+    a = sorted(map(tuple, ivfpq_topk(base, q, cents, cb, k=5, nprobe=2,
+                                     rerank=8).collect()))
+    b = sorted(map(tuple, ivfpq_topk(base, q, cents, cb, k=5, nprobe=2,
+                                     rerank=8, assigned=assigned).collect()))
+    assert a == b
+    # residual: carry_cell spelling == explicit-assigned spelling
+    res = residual_table(base, cents, assigned=assigned)
+    cbr = pq_fit(res, m_sub=4, k=4, iters=1, init_offset=1)
+    r1 = sorted(map(tuple, ivfpq_topk(base, q, cents, cbr, k=5, nprobe=2,
+                                      rerank=8, by_residual=True).collect()))
+    r2 = sorted(map(tuple, ivfpq_topk(base, q, cents, cbr, k=5, nprobe=2,
+                                      rerank=8, by_residual=True,
+                                      assigned=assigned).collect()))
+    assert r1 == r2
+
+
+def test_ivf_bq_fused_assign_matches_join_path(spark, clustered):
+    """_ivf_bq_partial's fused encode+assign scan (no assigned/codes
+    given) must equal the join spelling (assigned given), for both the
+    two-tier and three-tier compositions."""
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.ops.similarity import (
+        bq_thresholds, ivf_assign, ivf_bq_topk, ivf_bq_sq8_topk, sq8_stats)
+    df, X = clustered
+    base = df.filter(F.col("id") < 600)
+    cents = base.filter(F.col("id") % 75 == 0)
+    q = base.filter(F.col("id") % 97 == 3).select(
+        F.col("id").alias("q_id"), "vector")
+    mins, maxs = sq8_stats(base)
+    thr = bq_thresholds(mins, maxs)
+    assigned = ivf_assign(base, cents)
+    a = sorted(map(tuple, ivf_bq_topk(base, q, cents, thr, k=5, nprobe=2,
+                                      rerank=8).collect()))
+    b = sorted(map(tuple, ivf_bq_topk(base, q, cents, thr, k=5, nprobe=2,
+                                      rerank=8,
+                                      assigned=assigned).collect()))
+    assert a == b
+    t1 = sorted(map(tuple, ivf_bq_sq8_topk(
+        base, q, cents, thr, mins, maxs, k=5, nprobe=2, bq_keep=8,
+        rerank=4).collect()))
+    t2 = sorted(map(tuple, ivf_bq_sq8_topk(
+        base, q, cents, thr, mins, maxs, k=5, nprobe=2, bq_keep=8,
+        rerank=4, assigned=assigned).collect()))
+    assert t1 == t2
+    # adaptive probing still fuses (census stays local to the caller)
+    m1 = sorted(map(tuple, ivf_bq_sq8_topk(
+        base, q, cents, thr, mins, maxs, k=5, bq_keep=8, rerank=4,
+        probe_mass=150).collect()))
+    m2 = sorted(map(tuple, ivf_bq_sq8_topk(
+        base, q, cents, thr, mins, maxs, k=5, bq_keep=8, rerank=4,
+        probe_mass=150, assigned=assigned).collect()))
+    assert m1 == m2
+
+
+def test_knn_graph_fold_preserves_vector_carrying_probe_layout(spark,
+                                                               clustered):
+    """r11 ADVICE: a vector-carrying probe table must stay
+    vector-carrying across folds (not silently degrade to the skinny
+    layout after fold 1), and the advanced graph must be identical
+    under either layout."""
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.ops.similarity import (
+        _nearest_cells, ivf_assign, knn_join, knn_graph_fold)
+    df, X = clustered
+    base = df.filter(F.col("id") < 700)
+    cents = base.filter(F.col("id") % 90 == 0)
+    is_b1 = F.col("id") % 10 == 7
+    is_b2 = F.col("id") % 10 == 3
+    old = base.filter(~is_b1 & ~is_b2)
+    assigned = ivf_assign(old, cents)
+    graph = knn_join(old, cents, k=5, nprobe=2, assigned=assigned)
+    outs = {}
+    for kv in (False, True):
+        probes = _nearest_cells(old, cents, 2, "id", "vector", "id",
+                                "vector", keep_vector=kv)
+        if "cell_rank" in probes.columns:
+            probes = probes.drop("cell_rank")
+        g, p, a = knn_join(old, cents, k=5, nprobe=2,
+                           assigned=assigned), probes, assigned
+        for batch in (base.filter(is_b1), base.filter(is_b2)):
+            g, p, a = knn_graph_fold(g, p, a, batch, cents, k=5,
+                                     nprobe=2, materialize="local")
+        assert ("vector" in p.columns) == kv   # layout preserved
+        outs[kv] = sorted(map(tuple, g.collect()))
+    assert outs[False] == outs[True]
+    full_rebuild = sorted(map(tuple, knn_join(base, cents, k=5,
+                                              nprobe=2).collect()))
+    assert outs[True] == full_rebuild

@@ -480,7 +480,8 @@ def bm25(docs: DataFrame, terms: tuple[str, ...],
 def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
               text_col: str = "text",
               q_id_col: str = "q_id", terms_col: str = "terms",
-              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+              k1: float = 1.2, b: float = 0.75,
+              checkpoint_mode: str = "local") -> DataFrame:
     """Multi-query BM25 retrieval: the top-k documents per query — the
     inverted-index search plan (posting-list join), complementing
     :func:`bm25` (fixed-term scoring column) and ``tfidf_topk``
@@ -500,8 +501,21 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     (every doc containing t is in t's posting list); corpus N/avgdl is
     a 1-row aggregate.  The scoring join is term-keyed, the final agg
     (q_id, doc)-keyed, top-k a WindowGroupLimit — never corpus × queries.
-    """
+
+    Materialization discipline (r12 optimization round): the lazy
+    spelling re-derived the tokenize pass under FOUR independent plan
+    subtrees (tf for scoring, tf again under dfreq, dl for the length
+    join, dl again under the 1-row stats agg) — four corpus scans +
+    two posting shuffles per action.  One eager ``localCheckpoint``
+    (the dedup-family ``_ckpt`` contract; ``checkpoint_mode`` as
+    there) of ``posts`` — the query-term-bounded posting slice,
+    Σ_t df_t rows, tiny by the semi-join's construction — feeds both
+    dfreq and scoring: three tokenize passes and ONE posting shuffle.
+    The two remaining dl-side passes are map-only token counts; an
+    A/B showed checkpointing the corpus-count dl table costs its
+    materialization more than those passes save."""
     from ..functions.plan import select_exploded
+    from .dedup import _ckpt
     d = docs.select("doc_id", T.tokens(text_col).alias("toks"))
     dl = d.select("doc_id", F.size("toks").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -512,7 +526,8 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
         queries.select(F.col(q_id_col).alias("q_id"), terms_col),
         F.col(terms_col), "term", "q_id").distinct())
     qterms = qt.select("term").distinct()
-    posts = tf.join(F.broadcast(qterms), "term", "leftsemi")
+    posts = _ckpt(tf.join(F.broadcast(qterms), "term", "leftsemi"),
+                  checkpoint_mode)
     dfreq = posts.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -618,9 +633,16 @@ def dsir_fit(docs: DataFrame, target: Column,
     hist = (g.groupBy("bucket")
             .agg(F.sum("is_t").alias("ct"),
                  F.count(F.lit(1)).alias("cr")))
+    return _dsir_ratio_from_hist(docs.sparkSession, hist, n_buckets, alpha)
+
+
+def _dsir_ratio_from_hist(spark, hist: DataFrame, n_buckets: int,
+                          alpha: float) -> DataFrame:
+    """(bucket, ct, cr) histogram → the framed add-alpha log-ratio
+    table (the tail of :func:`dsir_fit`, shared with the single-scan
+    one-call path in :func:`dsir_weights`)."""
     tot = hist.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
-    frame = (docs.sparkSession.range(int(n_buckets))
-             .select(F.col("id").alias("bucket")))
+    frame = spark.range(int(n_buckets)).select(F.col("id").alias("bucket"))
     hist = (frame.join(hist, "bucket", "left")
             .select("bucket",
                     F.coalesce("ct", F.lit(0)).alias("ct"),
@@ -691,16 +713,41 @@ def dsir_weights(docs: DataFrame, target: Column,
     The per-doc sum uses :func:`_det_sum` (scaled-int64 merge) so
     ``dsir_logw`` is bit-identical across run orders/engines — the
     round(., 4) boundary cannot flip with task completion order.
+
+    One-call plan shape (r12 optimization round): the gram build
+    (tokenize + per-gram md5) is the pass's dominant cost, and the
+    naive one-call form ran it TWICE — once under the histogram's
+    broadcast subtree, once to score.  Instead the grams are
+    pre-aggregated to per-(doc, bucket) COUNTS and that skinny
+    integer table is materialized once (eager ``localCheckpoint``,
+    the dedup-family ``_ckpt`` discipline — blocks free with the
+    plan); the histogram is then an integer re-aggregate of it and
+    the per-doc score weights each bucket's quantized log-ratio by
+    its count — both integer-exactly equal to the per-occurrence
+    spelling (ct = Σ is_t·cnt, score = Σ cnt·round(lr·1e9)), so the
+    output is bit-identical while tokenization runs ONCE.  Rows
+    materialized ≤ min(gram occurrences, n_docs·n_buckets) at 16
+    bytes — the same executor-local-disk class as ``jaccard_pairs``'
+    posting checkpoint; pre-fitted ``ratio`` callers skip the
+    checkpoint (their plan is single-scan already).
     """
     g = _dsir_grams(docs, target, text_col, id_col, n_buckets, bucket_hash)
+    g2 = g.groupBy("doc_id", "is_t", "bucket").agg(
+        F.count(F.lit(1)).alias("_cnt"))
     if ratio is None:
-        ratio = dsir_fit(docs, target, text_col=text_col, id_col=id_col,
-                         n_buckets=n_buckets, alpha=alpha,
-                         bucket_hash=bucket_hash)
-    return (g.join(F.broadcast(ratio), "bucket")
+        from .dedup import _ckpt
+        g2 = _ckpt(g2, "local")
+        hist = (g2.groupBy("bucket")
+                .agg(F.sum(F.col("is_t") * F.col("_cnt")).alias("ct"),
+                     F.sum("_cnt").alias("cr")))
+        ratio = _dsir_ratio_from_hist(docs.sparkSession, hist, n_buckets,
+                                      alpha)
+    return (g2.join(F.broadcast(ratio), "bucket")
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_grams"),
-                 F.round(_det_sum(F.col("lr")), 4).alias("dsir_logw")))
+            .agg(F.sum("_cnt").alias("n_grams"),
+                 F.round(F.sum(F.col("_cnt")
+                               * F.round(F.col("lr") * 1e9).cast("long"))
+                         / F.lit(1e9), 4).alias("dsir_logw")))
 
 
 def bloom_decontaminate(docs: DataFrame, text_col: str = "text",

@@ -665,12 +665,22 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
     else:
         fit_df = df
     # orderBy+limit is a distributed partial top-k (no global window);
-    # the single-task row_number then runs over k rows only
-    head = fit_df.select(id_col, vector_col).orderBy(id_col).limit(k)
-    w0 = Window.orderBy(id_col)
-    cent = (head.withColumn("_rn", F.row_number().over(w0))
-            .select((F.col("_rn") - 1).cast("long").alias("id"),
-                    F.col(vector_col).alias("vector")))
+    # cell i = i-th lowest id.  The centroid state lives DRIVER-SIDE
+    # as a (k, dim) matrix across rounds (the pq_fit shape, applied
+    # here in the r12 optimization round): each round is then ONE
+    # Spark job (kernel pass + codebook-sized agg + collect) instead
+    # of three (collect of the previous round's joined table, update
+    # pass, persist+count materialization) — the matrix is exactly
+    # what the next round's broadcast needs anyway, and the per-round
+    # persist/unpersist churn is gone.  Values are unchanged: the same
+    # aggregate computes round(sum/1e9/count, 6), empty cells keep
+    # their previous centroid by row absence.
+    head = (fit_df.select(id_col, vector_col)
+            .orderBy(id_col).limit(k).collect())
+    if len(head) < k:
+        raise ValueError(f"need >= {k} rows to init {k} cells")
+    C_state = np.array([list(r[vector_col]) for r in head],
+                       dtype=np.float64)
     for _ in range(iters):
         # Fused assign+partial-sum kernel (round 7, the pq_fit shape):
         # one Arrow pass argmins each batch against the broadcast
@@ -686,10 +696,7 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
         # in 20 runs of the same SQL — SCALE.md pathology #3 addendum).
         # 1e-9 quanta keep the mean within 5e-10 of true (vs the 1e-6
         # output rounding); int64 holds ~3e8 rows/cell at |x| <= 30.
-        c_rows = cent.orderBy("id").collect()
-        C_mat = np.array([list(r["vector"]) for r in c_rows],
-                         dtype=np.float64)
-        bcC = df.sparkSession.sparkContext.broadcast(C_mat)
+        bcC = df.sparkSession.sparkContext.broadcast(C_state.copy())
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             C_ = bcC.value
@@ -720,39 +727,25 @@ def kmeans_fit(df: DataFrame, k: int = 16, iters: int = 2,
                     "_s": np.concatenate(s_l),
                     "_c": np.concatenate(c_l)})
 
-        upd = (fit_df.select(vector_col)
-               .mapInPandas(run, schema="cell LONG, pos INT, _s LONG, "
-                                        "_c LONG")
-               .groupBy("cell", "pos")
-               .agg(F.sum("_s").alias("_s"), F.sum("_c").alias("_c"))
-               .select("cell", "pos",
-                       F.round(F.col("_s") / F.lit(1e9) / F.col("_c"), 6)
-                       .alias("v"))
-               .groupBy("cell")
-               .agg(F.sort_array(F.collect_list(F.struct("pos", "v")))
-                    .alias("_p"))
-               .select(F.col("cell").alias("id"),
-                       F.transform("_p", lambda s: s["v"]).alias("vector")))
-        cent = (cent.alias("old")
-                .join(upd.alias("new"), on="id", how="left")
-                .select("id", F.coalesce(F.col("new.vector"),
-                                         F.col("old.vector")).alias("vector")))
-        # materialize the k-row centroid table each round: the next
-        # round's assignment collects it, and an unmaterialized cent
-        # would re-run the ENTIRE prior-iteration chain inside that
-        # collect — O(iters²) full-data passes.  Invisible at oracle
-        # scale (k=8), dominant at SemDeDup scale (k ~ n/64); k rows,
-        # so the persist is centroid-sized, never data-sized.
-        cent = cent.persist()
-        cent.count()
-        # the kernel has run (count() materialized the persisted round):
-        # free this round's centroid broadcast blocks on the executors —
-        # leaked per-iteration broadcasts accumulate at SemDeDup-scale
-        # |C| (mirrors pq_fit's per-round bc.unpersist)
+        upd_rows = (fit_df.select(vector_col)
+                    .mapInPandas(run, schema="cell LONG, pos INT, _s LONG, "
+                                             "_c LONG")
+                    .groupBy("cell", "pos")
+                    .agg(F.round(F.sum("_s") / F.lit(1e9) / F.sum("_c"), 6)
+                         .alias("v"))
+                    .collect())
+        # the kernel has run: free this round's centroid broadcast
+        # blocks on the executors — leaked per-iteration broadcasts
+        # accumulate at SemDeDup-scale |C| (mirrors pq_fit)
         bcC.unpersist()
+        # empty cells keep the previous centroid (rows simply absent)
+        for r in upd_rows:
+            C_state[r["cell"], r["pos"]] = r["v"]
     if fit_df is not df:
         fit_df.unpersist()
-    return cent.select(F.col("id").alias("cell"), "vector")
+    return df.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in C_state[c]]) for c in range(k)],
+        "cell LONG, vector ARRAY<DOUBLE>")
 
 
 def ivf_save(assigned: DataFrame, path: str) -> None:

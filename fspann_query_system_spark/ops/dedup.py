@@ -42,7 +42,14 @@ def _ckpt(df: DataFrame, mode: str) -> DataFrame:
                      atomic tmp-move persistence discipline
                      (RocksDBMetadataManager.java:342-375), which exists
                      precisely to survive interruption.
+    mode="none":     pass-through — keep the lazy plan (the consumer
+                     re-executes the subtree per reference).  The A/B
+                     control for measuring a materialization decision
+                     in one JVM, and the right call when the input is
+                     known-cheap (an already-materialized table).
     """
+    if mode == "none":
+        return df
     if mode == "local":
         return df.localCheckpoint(eager=True)
     if mode == "reliable":
@@ -54,7 +61,7 @@ def _ckpt(df: DataFrame, mode: str) -> DataFrame:
                 "to be called first")
         return df.checkpoint(eager=True)
     raise ValueError(f"unknown checkpoint_mode {mode!r}; "
-                     f'use "local" or "reliable"')
+                     f'use "local", "reliable" or "none"')
 
 
 # ---------------------------------------------------------------------------
@@ -227,10 +234,25 @@ def band_table(df: DataFrame, text_col: str = "text",
 
 def minhash_band_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
-                       n_hashes: int = 16, bands: int = 4) -> DataFrame:
+                       n_hashes: int = 16, bands: int = 4,
+                       checkpoint_mode: str = "local") -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band.  Returns
-    (id_a, id_b, n_shared_bands), id_a < id_b."""
-    banded = band_table(df, text_col, id_col, k, n_hashes, bands)
+    (id_a, id_b, n_shared_bands), id_a < id_b.
+
+    The band table is eagerly materialized (``_ckpt``; n·bands skinny
+    rows — exactly the table an incremental-dedup corpus persists
+    anyway, see :func:`band_table`) before the self-join: both join
+    sides otherwise re-execute the whole minhash chain (shingle
+    explode + per-shingle md5 + the n_hashes-min aggregate — the
+    dominant cost of every banding consumer) once EACH per action
+    (r12 optimization round; the same double-subtree pathology as the
+    knn_join bipartite probe table).  Measured cost-neutral at sf0.1
+    (2.34 s vs 2.31 s lazy, same-JVM interleaved medians — the pinning
+    job offsets the saved chain at toy scale) and kept for the scale
+    shape: at 100 TB the saved pass is the dominant term.
+    ``checkpoint_mode="none"`` restores the lazy twin-subtree plan."""
+    banded = _ckpt(band_table(df, text_col, id_col, k, n_hashes, bands),
+                   checkpoint_mode)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (a.join(b, on=["band", "band_hash"])
@@ -410,9 +432,14 @@ def _shingle_overlap(df: DataFrame, text_col: str, id_col: str, k: int,
                         .filter(F.size("_ids") <= max_df)
                         .select("_ids"),
                         checkpoint_mode)   # read twice: sizes + pairs
-        posting = posting.repartition(kernel_partitions)
+        # sizes reads the checkpointed posting blocks DIRECTLY: the
+        # compute-balancing round-robin repartition below exists only
+        # for the pair-expansion stage, and routing sizes through it
+        # executed that full posting shuffle a second time per action
+        # (r12 optimization round) — sizes is partitioning-independent
         sizes = (posting.select(F.explode("_ids").alias(id_col))
                  .groupBy(id_col).agg(F.count("*").alias("sz")))
+        posting = posting.repartition(kernel_partitions)
         pair_structs = F.flatten(F.transform(
             F.col("_ids"),
             lambda x, i: F.transform(
@@ -719,7 +746,8 @@ def near_dup_pipeline(docs: DataFrame, text_col: str = "text",
     # reuse discipline as jaccard_pairs — checkpoint, not persist, so
     # blocks free with the plan).
     cand = _ckpt(minhash_band_pairs(docs, text_col, id_col,
-                                    k=k, n_hashes=n_hashes, bands=bands)
+                                    k=k, n_hashes=n_hashes, bands=bands,
+                                    checkpoint_mode=checkpoint_mode)
                  .select("id_a", "id_b"), checkpoint_mode)
     if stats is not None:
         # one cheap count over the just-checkpointed blocks (scale

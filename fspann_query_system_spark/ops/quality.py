@@ -270,7 +270,8 @@ def decontaminate(docs: DataFrame, text_col: str = "text", n: int = 5,
         (F.col("hit_frac") >= F.lit(threshold)).cast("int"))
 
 
-def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    checkpoint_mode: str = "none") -> DataFrame:
     """Per-document mean negative log-likelihood under the corpus MLE
     unigram model — the cheap end of the perplexity-filtering family
     (CCNet / Gopher score documents with a language model and drop the
@@ -290,18 +291,38 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     broadcastable at 100 TB — Spark/AQE may still pick broadcast when
     the measured vocab is small); the final per-doc score is one
     doc_id-keyed agg.  Nothing all-pairs, every edge keyed.
-    """
+
+    Shuffle discipline (r12 optimization round): every post-tokenize
+    edge carries ``xxhash64(token)`` longs, never token strings — the
+    vocab aggregate, the lookup join and the scoring shuffle all move
+    8-byte keys (measured ×0.74 vs the string-keyed spelling at sf0.1,
+    same-JVM interleaved medians; a 64-bit collision would merge two
+    vocab rows, P ≈ |vocab|²/2⁶⁴).
+
+    ``checkpoint_mode`` ("none" default): with "local"/"reliable" the
+    hashed occurrence table and the vocab-bounded count table are
+    eagerly pinned so the tokenize+explode pass runs ONCE instead of
+    under three subtrees (vocab build, 1-row total, scoring join).
+    Measured at sf0.1 the pinning job costs MORE than the two saved
+    sub-second re-derivations (0.78 s lazy vs 1.02 s pinned, same-JVM
+    medians), so the bench default stays lazy; a 100 TB deployment,
+    where a corpus pass is hours not milliseconds, sets
+    "local"/"reliable" and pays one pass."""
+    from .dedup import _ckpt
     toks = (docs.select("doc_id", T.tokens(text_col).alias("toks"))
             .where(F.size("toks") >= 1))
     from ..functions.plan import select_exploded
     tok = select_exploded(toks, F.col("toks"), "token", "doc_id")
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    occ = _ckpt(tok.select("doc_id", F.xxhash64("token").alias("_tok")),
+                checkpoint_mode)
+    vocab = _ckpt(occ.groupBy("_tok").agg(F.count(F.lit(1)).alias("cnt")),
+                  checkpoint_mode)
     total = vocab.agg(F.sum("cnt").alias("total"))
     vocab = vocab.crossJoin(F.broadcast(total)).select(
-        "token",
+        "_tok",
         (F.log(F.col("cnt").cast("double")) -
          F.log(F.col("total").cast("double"))).alias("logp"))
-    return (tok.join(vocab, "token")
+    return (occ.join(vocab, "_tok")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(-F.avg("logp"), 4).alias("avg_nll")))
@@ -352,7 +373,8 @@ def source_kl(docs: DataFrame, text_col: str = "text",
 
 
 def vocab_overlap(docs: DataFrame, text_col: str = "text",
-                  source_col: str = "source") -> DataFrame:
+                  source_col: str = "source",
+                  checkpoint_mode: str = "none") -> DataFrame:
     """Pairwise vocabulary Jaccard between sources — the redundancy
     matrix of a multi-source corpus (two crawls of the same domain show
     up as a near-1 cell; a wrongly-labeled source as an outlier row).
@@ -369,12 +391,22 @@ def vocab_overlap(docs: DataFrame, text_col: str = "text",
     token-keyed self-join of that small set (each token fans out at
     most sources² — bounded by the source count, not the corpus); per-
     source vocab sizes are a tiny broadcast.  Never corpus × corpus.
+
+    ``checkpoint_mode`` ("none" default; r12 optimization round): the
+    distinct (source, token) vocab table feeds THREE subtrees (sizes +
+    both self-join legs), so the lazy plan tokenizes the corpus three
+    times per action; "local"/"reliable" pins the vocab-bounded table
+    once.  Measured at sf0.1 the pinning job costs MORE than the two
+    saved sub-second re-derivations (0.59 s lazy vs 0.83 s pinned,
+    same-JVM interleaved medians), so the bench default stays lazy; a
+    100 TB corpus sets "local"/"reliable" and tokenizes ONCE.
     """
+    from .dedup import _ckpt
     toks = docs.select(F.col(source_col).alias("source"),
                        T.tokens(text_col).alias("toks"))
     from ..functions.plan import select_exploded
-    sv = (select_exploded(toks, F.col("toks"), "token", "source")
-          .distinct())
+    sv = _ckpt(select_exploded(toks, F.col("toks"), "token", "source")
+               .distinct(), checkpoint_mode)
     sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
     a = sv.select(F.col("source").alias("src_a"), "token")
     b = sv.select(F.col("source").alias("src_b"), "token")
@@ -897,7 +929,8 @@ def dsir_sample(docs: DataFrame, target: Column, n_keep: int,
 
 
 def bigram_logprob(docs: DataFrame, text_col: str = "text",
-                   alpha: float = 1.0) -> DataFrame:
+                   alpha: float = 1.0,
+                   checkpoint_mode: str = "none") -> DataFrame:
     """Per-document mean NLL under a corpus bigram model with additive
     unigram backoff — one rung up the perplexity-filter ladder from
     :func:`unigram_logprob` (CCNet scores with a 5-gram KenLM; the
@@ -920,7 +953,20 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     family's shuffle discipline: longs on the wire, never n-word
     strings — only counts reach the output, so the SQL oracle mirrors
     raw strings; a collision would perturb one count).
-    """
+
+    ``checkpoint_mode`` ("none" default; r12 optimization round): the
+    lazy plan re-derives the tokenize+explode pass under SIX subtrees
+    (the scoring edge table, bcnt, ucnt twice for the two conditional
+    joins, the 1-row total, the bigram build) — ten doc-table scans
+    per action.  With "local"/"reliable" two eager checkpoints pin the
+    skinny hashed bigram edge table (doc_id + 3 longs per occurrence —
+    the posting-checkpoint class) and the vocab-bounded unigram table,
+    cutting that to exactly two tokenize passes.  Measured at sf0.1
+    the two pinning jobs cost MORE than the saved re-derivations
+    (1.54 s lazy vs 1.72 s pinned, same-JVM interleaved medians), so
+    the bench default stays lazy; a 100 TB corpus, where each saved
+    pass is hours, sets "local"/"reliable"."""
+    from .dedup import _ckpt
     toks = (docs.select("doc_id", T.tokens(text_col).alias("toks"))
             .where(F.size("toks") >= 2))
     big = toks.select(
@@ -929,13 +975,16 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     from ..functions.plan import select_exploded
     db = select_exploded(big, F.col("bgs"), "bg", "doc_id")
     # leading token of each bigram = the conditioning context s
-    db = db.select("doc_id", F.xxhash64("bg").alias("_bg"),
-                   F.xxhash64(F.substring_index("bg", " ", 1)).alias("_s"),
-                   F.xxhash64(F.substring_index("bg", " ", -1)).alias("_t"))
+    db = _ckpt(
+        db.select("doc_id", F.xxhash64("bg").alias("_bg"),
+                  F.xxhash64(F.substring_index("bg", " ", 1)).alias("_s"),
+                  F.xxhash64(F.substring_index("bg", " ", -1)).alias("_t")),
+        checkpoint_mode)
     bcnt = db.groupBy("_bg").agg(F.count(F.lit(1)).alias("cb"))
     tok = select_exploded(toks, F.col("toks"), "token", "doc_id")
-    ucnt = (tok.select(F.xxhash64("token").alias("_tok"))
-            .groupBy("_tok").agg(F.count(F.lit(1)).alias("cu")))
+    ucnt = _ckpt(tok.select(F.xxhash64("token").alias("_tok"))
+                 .groupBy("_tok").agg(F.count(F.lit(1)).alias("cu")),
+                 checkpoint_mode)
     total = ucnt.agg(F.sum("cu").alias("tt"))
     a = float(alpha)
     lp = (F.log((F.col("cb").cast("double")

@@ -1466,6 +1466,34 @@ def test_unigram_logprob_known_values(spark):
         -(math.log(0.4) + math.log(0.2)) / 2, abs=1e-4)
 
 
+def test_unigram_logprob_checkpoint_modes_equal(spark):
+    """checkpoint_mode only pins intermediates — "none" (lazy bench
+    default) and "local" (the 100 TB single-pass mode) must produce
+    identical rows (r12: the hashed-edge rework + mode default)."""
+    from fspann_query_system_spark.ops.quality import unigram_logprob
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} shared") for i in range(40)],
+        "doc_id LONG, text STRING")
+    lazy = sorted(unigram_logprob(docs, checkpoint_mode="none").collect())
+    pinned = sorted(unigram_logprob(docs, checkpoint_mode="local").collect())
+    assert lazy == pinned
+
+
+def test_minhash_band_pairs_checkpoint_modes_equal(spark):
+    """The eager band-table materialization (r12) must not change the
+    candidate pair set."""
+    from fspann_query_system_spark.ops.dedup import minhash_band_pairs
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox " + ("jumps" if i % 2 else "sits"))
+         for i in range(30)],
+        "doc_id LONG, text STRING")
+    lazy = sorted(minhash_band_pairs(
+        docs, checkpoint_mode="none").collect())
+    pinned = sorted(minhash_band_pairs(
+        docs, checkpoint_mode="local").collect())
+    assert lazy == pinned and len(lazy) > 0
+
+
 def test_source_kl_identical_vs_disjoint(spark):
     import math
     from fspann_query_system_spark.ops.quality import source_kl

@@ -2399,6 +2399,10 @@ def q_streaming_incremental_dedup(spark, sf_dir):
     corpus_bands = band_table(corpus, "text", "doc_id",
                               k=3, n_hashes=8, bands=8).localCheckpoint()
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # per-batch matches stay IN the JVM (localCheckpoint + final union)
+    # instead of a driver collect/createDataFrame round-trip — guide §5
+    # (r12 optimization round, same change as q_streaming_decontaminate)
+    from functools import reduce
     collected: list = []
 
     def admit(bdf, _bid):
@@ -2407,7 +2411,7 @@ def q_streaming_incremental_dedup(spark, sf_dir):
                                     k=3, n_hashes=8, bands=8,
                                     corpus_bands=corpus_bands,
                                     broadcast_batch=True)
-        collected.extend(out.collect())
+        collected.append(out.localCheckpoint())
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1)
@@ -2417,8 +2421,10 @@ def q_streaming_incremental_dedup(spark, sf_dir):
          .queryName("stream_inc_dedup_" + uuid.uuid4().hex[:8])
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.createDataFrame(
-        collected, "new_id LONG, corpus_id LONG, n_shared_bands BIGINT")
+    if not collected:
+        return spark.createDataFrame(
+            [], "new_id LONG, corpus_id LONG, n_shared_bands BIGINT")
+    return reduce(lambda a, b: a.unionByName(b), collected)
 
 
 EDIT_MAX_DIST = 80
@@ -4752,15 +4758,22 @@ def q_streaming_decontaminate(spark, sf_dir):
     so no streaming-agg state accumulates).  Same oracle as the batch
     `decontaminate`: draining the stream reproduces it exactly."""
     import uuid
+    from functools import reduce
     from .ops.quality import decontaminate
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0).localCheckpoint()
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # per-batch scores stay IN the JVM as localCheckpoint blocks and are
+    # union-ed at the end: the previous spelling collect()ed every batch
+    # to the driver and createDataFrame-d the rows back (a corpus-sized
+    # pickle round-trip — guide §5: the driver should do no data work;
+    # r12 optimization round)
     collected: list = []
 
     def score(bdf, _bid):
         corp = bdf.filter(F.col("doc_id") % 50 != 0)
-        collected.extend(decontaminate(corp, bench_docs=bench).collect())
+        collected.append(
+            decontaminate(corp, bench_docs=bench).localCheckpoint())
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1)
@@ -4770,10 +4783,12 @@ def q_streaming_decontaminate(spark, sf_dir):
          .queryName("stream_decon_" + uuid.uuid4().hex[:8])
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.createDataFrame(
-        collected,
-        "doc_id LONG, n_grams BIGINT, n_hit BIGINT, hit_frac DOUBLE, "
-        "contaminated INT")
+    if not collected:
+        return spark.createDataFrame(
+            [],
+            "doc_id LONG, n_grams BIGINT, n_hit BIGINT, hit_frac DOUBLE, "
+            "contaminated INT")
+    return reduce(lambda a, b: a.unionByName(b), collected)
 
 
 DSIR_KEEP = 100

@@ -433,14 +433,6 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
     spark = base.sparkSession
     assigned_given = assigned is not None
     mass = None
-    if probe_mass is not None:
-        # census-only assign, kept LOCAL when derived on the fly so
-        # the codes path below still fuses (see _ivf_bq_partial)
-        census_src = assigned if assigned_given else ivf_assign(
-            base, centroids, id_col, vector_col, id_col, vector_col)
-        counts = {r["cell"]: r["count"] for r in
-                  census_src.groupBy("cell").count().collect()}
-        mass = (counts, probe_mass)
     if codes is None:
         if by_residual:
             # residual_table's output already carries the coarse cell:
@@ -469,6 +461,23 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
                                   id_col, vector_col)
         codes = codes.join(assigned.select(F.col(id_col).alias("id"),
                                            "cell"), on="id")
+    if probe_mass is not None:
+        # census AFTER the codes build (r12 optimization round): the
+        # codes table always carries `cell` by here, so when no
+        # persisted `assigned` was supplied the fused encode+assign
+        # scan is eagerly checkpointed and BOTH the census and the ADC
+        # kernel read the materialized (id, codes, cell) blocks — one
+        # corpus pass per call where the census-only ivf_assign pass
+        # previously made it two (guide §1.2/§2.4).  A supplied
+        # `assigned` keeps the cheap cached census as before.
+        if assigned_given:
+            census_src = assigned
+        else:
+            codes = codes.localCheckpoint(eager=True)
+            census_src = codes
+        counts = {r["cell"]: r["count"] for r in
+                  census_src.groupBy("cell").count().collect()}
+        mass = (counts, probe_mass)
     q_rows = queries.select(q_id_col, q_vector_col).collect()
     if not q_rows:
         return spark.createDataFrame(

@@ -791,13 +791,25 @@ def ivf_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
     the full base table TWICE (census collect + candidate join) — pass
     a persisted ``assigned`` at scale (r09 ADVICE)."""
     from ..functions.distance import l2_expr
+    assigned_on_the_fly = assigned is None
     if assigned is None:
         assigned = ivf_assign(base, centroids, id_col, vector_col,
                               id_col, vector_col)
     mass = None
     if probe_mass is not None:
+        census_src = assigned
+        if assigned_on_the_fly:
+            # census-only pass: the SAME assign kernel but WITHOUT
+            # carrying vectors through Arrow — the census needs only
+            # `cell`, so the on-the-fly pass ships ~16 bytes/row
+            # across the Python boundary instead of the full vector
+            # (guide §4.2; r12 optimization round).  The candidate
+            # side below keeps its own lazy vector-carrying assign.
+            census_src = _nearest_cells(base, centroids, 1, id_col,
+                                        vector_col, id_col, vector_col,
+                                        keep_vector=False)
         counts = {r["cell"]: r["count"] for r in
-                  assigned.groupBy("cell").count().collect()}
+                  census_src.groupBy("cell").count().collect()}
         mass = (counts, probe_mass)
     probes = _nearest_cells(
         queries, centroids, nprobe, q_id_col, q_vector_col,
@@ -910,13 +922,23 @@ def knn_join(df: DataFrame, centroids: DataFrame, k: int = 10,
     if shuffle_dtype not in ("double", "float"):
         raise ValueError(f"shuffle_dtype must be 'double' or 'float', "
                          f"got {shuffle_dtype!r}")
+    assigned_on_the_fly = assigned is None
     if assigned is None:
         assigned = ivf_assign(df, centroids, id_col, vector_col,
                               c_id_col, c_vector_col)
     mass = None
     if probe_mass is not None:
+        census_src = assigned
+        if assigned_on_the_fly:
+            # census-only pass: same assign kernel WITHOUT carrying
+            # vectors through Arrow — the census needs only `cell`
+            # (guide §4.2; r12 optimization round); the member side
+            # keeps its own lazy vector-carrying assign
+            census_src = _nearest_cells(df, centroids, 1, id_col,
+                                        vector_col, c_id_col,
+                                        c_vector_col, keep_vector=False)
         counts = {r["cell"]: r["count"] for r in
-                  assigned.groupBy("cell").count().collect()}
+                  census_src.groupBy("cell").count().collect()}
         mass = (counts, probe_mass)
     probes = _nearest_cells(queries if queries is not None else df,
                             centroids, nprobe, id_col, vector_col,
@@ -1404,13 +1426,23 @@ def knn_join_sq8(df: DataFrame, centroids: DataFrame,
     """
     from ..functions.distance import l2q_expr
     spark = df.sparkSession
+    assigned_on_the_fly = assigned is None
     if assigned is None:
         assigned = ivf_assign(df, centroids, id_col, vector_col,
                               c_id_col, c_vector_col)
     mass = None
     if probe_mass is not None:
+        census_src = assigned
+        if assigned_on_the_fly:
+            # census-only pass: same assign kernel WITHOUT carrying
+            # vectors through Arrow — the census needs only `cell`
+            # (guide §4.2; r12 optimization round); the member side
+            # keeps its own lazy vector-carrying assign
+            census_src = _nearest_cells(df, centroids, 1, id_col,
+                                        vector_col, c_id_col,
+                                        c_vector_col, keep_vector=False)
         counts = {r["cell"]: r["count"] for r in
-                  assigned.groupBy("cell").count().collect()}
+                  census_src.groupBy("cell").count().collect()}
         mass = (counts, probe_mass)
     def make_qp():
         p = _nearest_cells(df, centroids, nprobe, id_col, vector_col,
@@ -1988,6 +2020,49 @@ def bq_encode(df: DataFrame, thresholds: list,
                       *[F.col(c) for c in keep])
 
 
+def _bq_encode_cells(base: DataFrame, thresholds: list,
+                     centroids: DataFrame,
+                     id_col: str = "id", vector_col: str = "vector",
+                     c_id_col: str = "id",
+                     c_vector_col: str = "vector") -> DataFrame:
+    """Fused (id, words, cell) corpus table: the JVM-native BQ word
+    packing of :func:`bq_encode` chained into the Arrow coarse-assign
+    kernel (:func:`_assign_cells_float`, the exact `ivf_assign`
+    semantics — lowest-cid ties) in ONE corpus scan, no join.
+
+    The adaptive (``probe_mass``) BQ paths eagerly localCheckpoint this
+    table so the cell census and the Hamming kernel both read the same
+    materialized skinny blocks — one corpus pass per call where the
+    census-only `ivf_assign` pass previously made it two (r12
+    optimization round, guide §1.2/§2.4).  The words column is 32×
+    smaller than the float vectors, so the materialization is cheap by
+    construction."""
+    spark = base.sparkSession
+    enc = bq_encode(base, thresholds, id_col=id_col,
+                    vector_col=vector_col, keep=(vector_col,))
+    c_rows = centroids.select(c_id_col, c_vector_col).collect()
+    cid = np.array([r[0] for r in c_rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in c_rows], dtype=np.float64)
+    o = np.argsort(cid, kind="stable")
+    bc = spark.sparkContext.broadcast((cid[o], C[o]))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cid_, C_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vector_col].to_numpy()])
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(),
+                "words": pdf["words"].to_numpy(),
+                "cell": _assign_cells_float(V, cid_, C_)})
+
+    id_t = enc.schema["id"].dataType.simpleString()
+    return enc.mapInPandas(
+        run, schema=f"id {id_t}, words ARRAY<BIGINT>, cell BIGINT")
+
+
 def bq_topk(base: DataFrame, queries: DataFrame, thresholds: list,
             k: int = 10, rerank: int = 8,
             id_col: str = "id", vector_col: str = "vector",
@@ -2138,16 +2213,13 @@ def ivf_bq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
     kk = k * rerank
     probe_cells = None
     if probe_mass is not None:
-        # census-only assign: kept LOCAL so a caller that passed no
-        # `assigned` still gets `_ivf_bq_partial`'s fused
-        # encode+assign scan (the census pass stays one map-side
-        # assign job either way)
-        census_src = assigned if assigned is not None else ivf_assign(
-            base, centroids, id_col, vector_col, c_id_col, c_vector_col)
-        counts = {r["cell"]: r["count"] for r in
-                  census_src.groupBy("cell").count().collect()}
-        probe_cells = _adaptive_probe_cells(
-            queries, centroids, counts, probe_mass,
+        # one-corpus-pass census + probes (r12 optimization round):
+        # the fused (id, words, cell) encode+assign table is
+        # checkpointed and reused by the census AND the Hamming
+        # kernel — see _bq_adaptive_setup
+        assigned, codes, probe_cells = _bq_adaptive_setup(
+            base, queries, centroids, thresholds, probe_mass,
+            assigned, codes, id_col, vector_col,
             q_id_col, q_vector_col, c_id_col, c_vector_col)
     partial = _ivf_bq_partial(base, queries, centroids, thresholds, kk,
                               nprobe, id_col, vector_col, q_id_col,
@@ -2205,6 +2277,47 @@ def _adaptive_probe_cells(queries: DataFrame, centroids: DataFrame,
     return out
 
 
+def _bq_adaptive_setup(base: DataFrame, queries: DataFrame,
+                       centroids: DataFrame, thresholds: list,
+                       probe_mass: int, assigned: DataFrame | None,
+                       codes: DataFrame | None,
+                       id_col: str, vector_col: str,
+                       q_id_col: str, q_vector_col: str,
+                       c_id_col: str, c_vector_col: str) -> tuple:
+    """Cell census + per-query adaptive probe sets for the IVF-BQ
+    family, scanning the corpus ONCE (r12 optimization round): with
+    neither ``assigned`` nor ``codes`` supplied, the fused
+    (id, words, cell) encode+assign table (:func:`_bq_encode_cells`)
+    is eagerly checkpointed and serves as BOTH the census source and
+    the Hamming-kernel input — the census-only `ivf_assign` corpus
+    pass this path previously paid is gone.  A supplied persisted
+    ``assigned`` keeps the cheap cached census exactly as before.
+    Returns ``(assigned, codes, probe_cells)``."""
+    if assigned is None and codes is None:
+        codes = _bq_encode_cells(base, thresholds, centroids, id_col,
+                                 vector_col, c_id_col, c_vector_col)
+        codes = codes.localCheckpoint(eager=True)
+        census_src = codes
+    elif assigned is None:
+        # codes supplied without cells: BOTH consumers (census collect
+        # + cell join) need only (id, cell), so one skinny assign pass
+        # (keep_vector=False — no vectors through Arrow, guide §4.2)
+        # is checkpointed and shared; payload is ~16 bytes/row
+        assigned = _nearest_cells(base, centroids, 1, id_col,
+                                  vector_col, c_id_col, c_vector_col,
+                                  keep_vector=False)
+        assigned = assigned.localCheckpoint(eager=True)
+        census_src = assigned
+    else:
+        census_src = assigned
+    counts = {r["cell"]: r["count"] for r in
+              census_src.groupBy("cell").count().collect()}
+    probe_cells = _adaptive_probe_cells(
+        queries, centroids, counts, probe_mass,
+        q_id_col, q_vector_col, c_id_col, c_vector_col)
+    return assigned, codes, probe_cells
+
+
 def _ivf_bq_partial(base: DataFrame, queries: DataFrame,
                     centroids: DataFrame, thresholds: list, kk: int,
                     nprobe: int, id_col: str, vector_col: str,
@@ -2243,6 +2356,10 @@ def _ivf_bq_partial(base: DataFrame, queries: DataFrame,
         a_C = np.array([list(r[1]) for r in c_rows], dtype=np.float64)
         a_ord = np.argsort(a_cid, kind="stable")
         assign_state = (a_cid[a_ord], a_C[a_ord])
+    elif codes is not None and "cell" in codes.columns:
+        # pre-fused (id, words, cell) table — e.g. the probe_mass
+        # path's checkpointed _bq_encode_cells output: no join needed
+        assign_state = None
     else:
         if assigned is None:
             assigned = ivf_assign(base, centroids, id_col, vector_col,
@@ -2383,14 +2500,11 @@ def ivf_bq_sq8_topk(base: DataFrame, queries: DataFrame,
     kk1 = k * bq_keep
     probe_cells = None
     if probe_mass is not None:
-        # census-only assign, kept LOCAL (see ivf_bq_topk): a caller
-        # that passed no `assigned` keeps the fused encode+assign scan
-        census_src = assigned if assigned is not None else ivf_assign(
-            base, centroids, id_col, vector_col, c_id_col, c_vector_col)
-        counts = {r["cell"]: r["count"] for r in
-                  census_src.groupBy("cell").count().collect()}
-        probe_cells = _adaptive_probe_cells(
-            queries, centroids, counts, probe_mass,
+        # one-corpus-pass census + probes (r12 optimization round):
+        # see _bq_adaptive_setup / ivf_bq_topk
+        assigned, codes, probe_cells = _bq_adaptive_setup(
+            base, queries, centroids, thresholds, probe_mass,
+            assigned, codes, id_col, vector_col,
             q_id_col, q_vector_col, c_id_col, c_vector_col)
     partial = _ivf_bq_partial(base, queries, centroids, thresholds, kk1,
                               nprobe, id_col, vector_col, q_id_col,

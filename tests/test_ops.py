@@ -3270,6 +3270,43 @@ def test_ivf_bq_fused_assign_matches_join_path(spark, clustered):
     assert m1 == m2
 
 
+def test_adaptive_census_from_fused_codes_matches_assign_pass(spark,
+                                                              clustered):
+    """r12: the probe_mass census now derives from the checkpointed
+    fused (id, words/codes, cell) table instead of a census-only
+    ivf_assign corpus pass — the fused cell column, and therefore the
+    census and every adaptive result, must be bit-identical to the
+    separate-assign spelling."""
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.ops.similarity import (
+        _bq_encode_cells, bq_encode, bq_thresholds, ivf_assign,
+        sq8_stats)
+    from fspann_query_system_spark.ops.pq import pq_fit, ivfpq_topk
+    df, X = clustered
+    base = df.filter(F.col("id") < 600)
+    cents = base.filter(F.col("id") % 75 == 0)
+    q = base.filter(F.col("id") % 97 == 3).select(
+        F.col("id").alias("q_id"), "vector")
+    mins, maxs = sq8_stats(base)
+    thr = bq_thresholds(mins, maxs)
+    assigned = ivf_assign(base, cents)
+    # kernel-level: fused (id, words, cell) == bq_encode ⋈ ivf_assign
+    fused = {r.id: (list(r.words), r.cell) for r in
+             _bq_encode_cells(base, thr, cents).collect()}
+    words = {r.id: list(r.words) for r in bq_encode(base, thr).collect()}
+    cells = {r.id: r.cell for r in assigned.select("id", "cell").collect()}
+    assert fused == {i: (words[i], cells[i]) for i in words}
+    # ivfpq adaptive: on-the-fly (census from checkpointed fused codes)
+    # == assigned-given (census from the supplied assignment)
+    cb = pq_fit(base, m_sub=4, k=4, iters=1)
+    a = sorted(map(tuple, ivfpq_topk(base, q, cents, cb, k=5, rerank=8,
+                                     probe_mass=150).collect()))
+    b = sorted(map(tuple, ivfpq_topk(base, q, cents, cb, k=5, rerank=8,
+                                     probe_mass=150,
+                                     assigned=assigned).collect()))
+    assert a == b
+
+
 def test_knn_graph_fold_preserves_vector_carrying_probe_layout(spark,
                                                                clustered):
     """r11 ADVICE: a vector-carrying probe table must stay

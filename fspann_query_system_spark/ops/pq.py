@@ -455,6 +455,11 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
                               vector_col=vector_col)
             codes = codes.join(assigned.select(F.col(id_col).alias("id"),
                                                "cell"), on="id")
+    elif "cell" in codes.columns:
+        # pre-fused (id, codes, cell) table — e.g. pq_encode(...,
+        # carry_cell=True) over a checkpointed residual_table: no
+        # assigned join needed (r12 optimization round)
+        pass
     else:
         if assigned is None:
             assigned = ivf_assign(base, centroids, id_col, vector_col,

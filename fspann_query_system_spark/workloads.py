@@ -3088,20 +3088,26 @@ def q_ivfpq_residual_ann(spark, sf_dir):
     ADC resolves intra-cell structure the raw-vector codebook collapses
     into ties — measured at 1M: an order of magnitude less rerank for
     the same recall (SCALE.md §9c)."""
-    from .ops.pq import pq_fit, ivfpq_topk, residual_table
+    from .ops.pq import pq_fit, pq_encode, ivfpq_topk, residual_table
     from .ops.similarity import ivf_assign
     base = _emb(spark, sf_dir)
     centroids = base.filter(F.col("id") < N_IVF_CENTROIDS)
     assigned = ivf_assign(base, centroids)
     res = residual_table(base, centroids, assigned=assigned)
+    # the residual chain (assign kernel + centroid join + zip_with) is
+    # consumed by the fit init, every Lloyd round AND the encode scan —
+    # materialize it ONCE instead of recomputing it per consumer (r12
+    # optimization round, guide §1.2/§2.4)
+    res = res.localCheckpoint(eager=True)
     # init past the centroid ids: their residuals are identically zero
     cb = pq_fit(res, m_sub=PQ_M_SUB, k=PQ_K, iters=PQ_ITERS,
                 init_offset=N_IVF_CENTROIDS)
+    codes = pq_encode(res, cb, carry_cell=True)
     queries = (base.filter(F.col("id") < N_VEC_QUERIES)
                .select(F.col("id").alias("q_id"), "vector"))
     return (ivfpq_topk(base, queries, centroids, cb, k=10,
                        nprobe=IVFPQ_NPROBE, rerank=PQ_RERANK,
-                       assigned=assigned, by_residual=True)
+                       codes=codes, by_residual=True)
             .select("q_id", "id", F.round("dist", 6).alias("dist"),
                     F.col("rank").cast("int").alias("rank")))
 

@@ -3230,6 +3230,13 @@ def test_ivfpq_fused_encode_assign_matches_join_path(spark, clustered):
                                       rerank=8, by_residual=True,
                                       assigned=assigned).collect()))
     assert r1 == r2
+    # r12: pre-fused cell-carrying codes= (the checkpointed-residual
+    # spelling q_ivfpq_residual_ann uses) == on-the-fly rebuild
+    pre = pq_encode(res.localCheckpoint(eager=True), cbr, carry_cell=True)
+    r3 = sorted(map(tuple, ivfpq_topk(base, q, cents, cbr, k=5, nprobe=2,
+                                      rerank=8, by_residual=True,
+                                      codes=pre).collect()))
+    assert r1 == r3
 
 
 def test_ivf_bq_fused_assign_matches_join_path(spark, clustered):

@@ -1632,31 +1632,71 @@ def _key_bucket_pairs(df: DataFrame, index, threshold: float,
                .select("table", "division", "code_key", "id")
                .join(df.select(F.col(id_col).alias("id"),
                                F.col(vector_col).alias("_v")), on="id"))
+    # one mapInPandas over key-sorted partitions instead of a per-group
+    # applyInPandas (r12 optimization round): thousands of small
+    # buckets each paid the per-group Arrow/pandas dispatch, which
+    # dominated the stage at bench scale.  The hash repartition on the
+    # bucket key is the same exchange the groupBy paid; each bucket is
+    # still scored as ONE (m, dim) GEMM over ids ascending, so the
+    # emitted rows are bit-identical to the per-group spelling.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    members = (members.repartition(nparts, "table", "division", "code_key")
+               .sortWithinPartitions("table", "division", "code_key", "id"))
 
-    def score(key, pdf):
-        m = len(pdf)
+    def score_bucket(ids: np.ndarray, B: np.ndarray):
+        m = len(ids)
         if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        ids = pdf["id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        B = np.vstack([np.asarray(v, dtype=np.float64)
-                       for v in pdf["_v"].to_numpy()[order]])
+            return None
         Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
         S = Bn @ Bn.T
         iu, ju = np.triu_indices(m, k=1)
         s = S[iu, ju]
         keep = s >= threshold
         if not keep.any():
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return None
         s = s[keep]
         rounded = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
         return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
                              "cosine": rounded})
 
-    return (members.groupBy("table", "division", "code_key")
-            .applyInPandas(score,
-                           schema="id_a BIGINT, id_b BIGINT, cosine DOUBLE")
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tail = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+                tail = None
+            t = pdf["table"].to_numpy()
+            d = pdf["division"].to_numpy()
+            ck = pdf["code_key"].to_numpy()
+            change = np.flatnonzero((t[1:] != t[:-1]) | (d[1:] != d[:-1])
+                                    | (ck[1:] != ck[:-1])) + 1
+            bounds = np.concatenate(([0], change, [len(pdf)]))
+            ids_all = pdf["id"].to_numpy()
+            V_all = np.vstack([np.asarray(v, dtype=np.float64)
+                               for v in pdf["_v"].to_numpy()])
+            frames = []
+            # hold the LAST bucket back — it may continue in the next
+            # Arrow batch of this partition
+            for i in range(len(bounds) - 2):
+                lo, hi = bounds[i], bounds[i + 1]
+                out = score_bucket(ids_all[lo:hi], V_all[lo:hi])
+                if out is not None:
+                    frames.append(out)
+            tail = pdf.iloc[bounds[-2]:].reset_index(drop=True)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+        if tail is not None and len(tail):
+            ids_t = tail["id"].to_numpy()
+            V_t = np.vstack([np.asarray(v, dtype=np.float64)
+                             for v in tail["_v"].to_numpy()])
+            out = score_bucket(ids_t, V_t)
+            if out is not None:
+                yield out
+
+    return (members.mapInPandas(
+                run, schema="id_a BIGINT, id_b BIGINT, cosine DOUBLE")
             .distinct())
 
 

@@ -151,6 +151,46 @@ def test_embedding_near_dups(spark):
     assert len(pairs) == 1
 
 
+def test_key_bucket_pairs_batched_kernel_matches_join_spelling(spark,
+                                                               clustered):
+    """r12: the bucket="key" scorer runs one mapInPandas over
+    key-sorted partitions instead of a per-group applyInPandas — its
+    pairs must equal an independent declarative spelling (key-equality
+    self-join + cosine expression), values at 6dp."""
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.lsh.params import LshConfig
+    from fspann_query_system_spark.query.ann import AnnIndex
+    from fspann_query_system_spark.functions.distance import cosine_expr
+    df, X = clustered
+    base = df.filter(F.col("id") < 400)
+    cfg = LshConfig(dim=16, m=4, lam=2, tables=2, divisions=2,
+                    block_size=32, probes=3, refinement_limit=100)
+    idx = AnnIndex.build(base, cfg)
+    thr = 0.98
+    got = sorted(map(tuple, embedding_near_dups(
+        base, thr, index=idx, bucket="key").collect()))
+    k = idx.codes.select("table", "division", "code_key",
+                         F.col("id").alias("_kid"))
+    ref_pairs = (k.alias("a").join(
+        k.alias("b"),
+        on=[F.col("a.table") == F.col("b.table"),
+            F.col("a.division") == F.col("b.division"),
+            F.col("a.code_key") == F.col("b.code_key"),
+            F.col("a._kid") < F.col("b._kid")])
+        .select(F.col("a._kid").alias("id_a"),
+                F.col("b._kid").alias("id_b")).distinct())
+    va = base.select(F.col("id").alias("id_a"), F.col("vector").alias("_va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vector").alias("_vb"))
+    ref = sorted(map(tuple, (ref_pairs.join(va, "id_a").join(vb, "id_b")
+                             .withColumn("cosine", cosine_expr("_va", "_vb"))
+                             .filter(F.col("cosine") >= thr)
+                             .select("id_a", "id_b",
+                                     F.round("cosine", 6).alias("cosine"))
+                             ).collect()))
+    assert len(got) > 0
+    assert got == ref
+
+
 def test_embedding_near_dups_exact_mode_guard(spark):
     """Exact mode collects the table to the driver, so it refuses
     inputs above max_exact_rows with a pointer to the index path

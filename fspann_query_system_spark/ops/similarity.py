@@ -1618,9 +1618,15 @@ def _key_bucket_pairs(df: DataFrame, index, threshold: float,
     """Exact-code-key near-dup pairs, scored per bucket.
 
     Plan: codes ⋈ vectors (one vector per bucket MEMBER — O(n·T·D)
-    rows, the only data-sized shuffle), group by (table, division,
-    code_key), then one Arrow kernel per bucket computes the in-bucket
-    cosine matrix (normalized GEMM) and emits ONLY pairs >= threshold.
+    rows, the only data-sized shuffle), hash-repartition on the bucket
+    key + sort within partitions, then ONE mapInPandas kernel per
+    partition walks the bucket boundaries and computes each bucket's
+    in-bucket cosine matrix (normalized GEMM), emitting ONLY pairs
+    >= threshold.  One kernel per PARTITION instead of a per-group
+    applyInPandas (r12): thousands of small buckets otherwise each pay
+    the per-group Arrow/pandas dispatch, which dominated the stage at
+    bench scale; the per-bucket math (ids ascending, (m, dim) GEMM) is
+    unchanged, so rows are bit-identical to the per-group spelling.
     A pair found in several buckets emits identical rows (same float
     math), collapsed by the final distinct.  Rounding is HALF_UP at 6
     dp like the exact path, so results are oracle-comparable."""

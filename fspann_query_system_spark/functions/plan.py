@@ -49,3 +49,31 @@ def select_posexploded(df: DataFrame, arr: Column, pos_alias: str,
     return (df.select(*keep,
                       F.posexplode_outer(arr).alias(pos_alias, alias))
             .where(F.col(pos_alias).isNotNull()))
+
+
+def rows_cached(df: DataFrame, *cols: str) -> list:
+    """``df.select(*cols).collect()`` memoized on the DataFrame OBJECT.
+
+    The ANN/IVF operator family repeatedly collects the same small
+    driver-side state (a centroid table, a query batch, a codebook)
+    while composing one query plan: e.g. ``ivfpq_topk`` re-collects the
+    ``centroids`` DataFrame its caller already collected for
+    ``ivf_assign``, paying a full scheduled job (scan + filter) for
+    rows the driver is already holding.  Collecting through this helper
+    runs the job once per (object, projection) and replays the rows for
+    every later consumer of the SAME object — exactly the
+    collect-once-and-share semantics a hand-fused operator would have.
+
+    Scope and safety: the memo lives in ``df.__dict__``, so it dies
+    with the DataFrame object — each new query invocation builds fresh
+    DataFrames and recomputes from the inputs (no cross-run or
+    cross-invocation caching).  All memoized sites collect
+    deterministic projections of small bounded tables (|C| centroids,
+    Q queries, m·k codebook rows), where replaying the first collect's
+    rows is bit-identical to re-running the job.
+    """
+    cache = df.__dict__.setdefault("_fspann_rows_cache", {})
+    key = tuple(cols)
+    if key not in cache:
+        cache[key] = df.select(*cols).collect()
+    return cache[key]

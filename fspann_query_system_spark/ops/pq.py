@@ -39,12 +39,23 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.plan import rows_cached
+
 
 def _codebook_tensor(codebook: DataFrame) -> np.ndarray:
     """(sub, cell, vector) rows → dense (m_sub, k, d_sub) float64 tensor,
     cells ordered ascending so ``np.argmin``'s first-minimum rule is the
-    lowest-cell tie-break."""
-    rows = codebook.select("sub", "cell", "vector").collect()
+    lowest-cell tie-break.
+
+    When the codebook came from :func:`pq_fit` in THIS process, the
+    trained tensor is attached to the DataFrame object and returned
+    directly — the driver already holds the exact float64 values the
+    collect would round-trip (createDataFrame(float) → DoubleType →
+    collect is exact), so the scheduled job buys nothing."""
+    local = getattr(codebook, "_fspann_codebook_tensor", None)
+    if local is not None:
+        return local.copy()
+    rows = rows_cached(codebook, "sub", "cell", "vector")
     m = max(r["sub"] for r in rows) + 1
     k = max(r["cell"] for r in rows) + 1
     d = len(rows[0]["vector"])
@@ -175,8 +186,12 @@ def pq_fit(df: DataFrame, m_sub: int = 4, k: int = 8, iters: int = 2,
 
     flat = [(s, c, [float(x) for x in T[s, c]])
             for s in range(m_sub) for c in range(k)]
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         flat, "sub INT, cell INT, vector ARRAY<DOUBLE>")
+    # the trained tensor IS the codebook: attach it so a same-process
+    # consumer (`_codebook_tensor`) skips the collect-back job
+    out._fspann_codebook_tensor = T.copy()
+    return out
 
 
 def pq_encode(df: DataFrame, codebook: DataFrame,
@@ -207,7 +222,7 @@ def pq_encode(df: DataFrame, codebook: DataFrame,
     spark = df.sparkSession
     assign_state = None
     if assign_centroids is not None:
-        c_rows = assign_centroids.select(id_col, vector_col).collect()
+        c_rows = rows_cached(assign_centroids, id_col, vector_col)
         a_cid = np.array([r[0] for r in c_rows], dtype=np.int64)
         a_C = np.array([list(r[1]) for r in c_rows], dtype=np.float64)
         a_ord = np.argsort(a_cid, kind="stable")
@@ -276,7 +291,7 @@ def pq_topk(base: DataFrame, queries: DataFrame, codebook: DataFrame,
     if codes is None:
         codes = pq_encode(base, codebook, id_col=id_col,
                           vector_col=vector_col)
-    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    q_rows = rows_cached(queries, q_id_col, q_vector_col)
     if not q_rows:
         return spark.createDataFrame(
             [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
@@ -483,7 +498,7 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
         counts = {r["cell"]: r["count"] for r in
                   census_src.groupBy("cell").count().collect()}
         mass = (counts, probe_mass)
-    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    q_rows = rows_cached(queries, q_id_col, q_vector_col)
     if not q_rows:
         return spark.createDataFrame(
             [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
@@ -491,7 +506,7 @@ def ivfpq_topk(base: DataFrame, queries: DataFrame, centroids: DataFrame,
     # _nc_batches kernel body verbatim): removes the probe-kernel
     # Spark job this call previously ran per invocation, and the
     # centroid collect it needs is shared with the by_residual LUTs
-    c_rows = centroids.select(id_col, vector_col).collect()
+    c_rows = rows_cached(centroids, id_col, vector_col)
     probed = _probe_cells_local(q_rows, c_rows, nprobe, mass=mass)
     T = _codebook_tensor(codebook)
     m, kc, d_sub = T.shape

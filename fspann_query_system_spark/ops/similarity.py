@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.distance import cosine_expr
+from ..functions.plan import rows_cached
 from .pq import _q9
 
 
@@ -28,7 +29,7 @@ def cosine_topk(base: DataFrame, queries: DataFrame, k: int = 10,
     Same partial-top-k shape as query.exact.knn_exact: the shuffle
     carries O(Q*k*n_batches) rows; scan is embarrassingly parallel."""
     spark = base.sparkSession
-    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    q_rows = rows_cached(queries, q_id_col, q_vector_col)
     if not q_rows:
         return spark.createDataFrame([], "q_id BIGINT, id BIGINT, cosine DOUBLE, rank INT")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -154,7 +155,7 @@ def _nearest_cells(df: DataFrame, centroids: DataFrame, n_cells: int,
     path persists the packed table once and each group explodes only
     its cell ≡ gi slice JVM-side."""
     spark = df.sparkSession
-    c_rows = centroids.select(c_id_col, c_vector_col).collect()
+    c_rows = rows_cached(centroids, c_id_col, c_vector_col)
     cid = np.array([r[0] for r in c_rows], dtype=np.int64)
     C = np.array([list(r[1]) for r in c_rows], dtype=np.float64)
     order = np.argsort(cid, kind="stable")      # argmin ties -> lowest cid
@@ -1891,7 +1892,7 @@ def sq8_topk(base: DataFrame, queries: DataFrame, mins: list, maxs: list,
     if codes is None:
         codes = sq8_quantize(base, mins, maxs, id_col=id_col,
                              vector_col=vector_col).select("id", "codes")
-    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    q_rows = rows_cached(queries, q_id_col, q_vector_col)
     if not q_rows:
         return spark.createDataFrame(
             [], f"q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
@@ -2086,7 +2087,7 @@ def _bq_encode_cells(base: DataFrame, thresholds: list,
     spark = base.sparkSession
     enc = bq_encode(base, thresholds, id_col=id_col,
                     vector_col=vector_col, keep=(vector_col,))
-    c_rows = centroids.select(c_id_col, c_vector_col).collect()
+    c_rows = rows_cached(centroids, c_id_col, c_vector_col)
     cid = np.array([r[0] for r in c_rows], dtype=np.int64)
     C = np.array([list(r[1]) for r in c_rows], dtype=np.float64)
     o = np.argsort(cid, kind="stable")
@@ -2135,7 +2136,7 @@ def bq_topk(base: DataFrame, queries: DataFrame, thresholds: list,
     if codes is None:
         codes = bq_encode(base, thresholds, id_col=id_col,
                           vector_col=vector_col)
-    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    q_rows = rows_cached(queries, q_id_col, q_vector_col)
     if not q_rows:
         return spark.createDataFrame(
             [], "q_id BIGINT, id BIGINT, dist DOUBLE, rank INT")
@@ -2306,8 +2307,8 @@ def _adaptive_probe_cells(queries: DataFrame, centroids: DataFrame,
     the family's contract, |C| is bounded (the coarse codebook), and
     the output is the same per-query cell-list structure the fixed
     path broadcasts."""
-    q_rows = queries.select(q_id_col, q_vector_col).collect()
-    c_rows = centroids.select(c_id_col, c_vector_col).collect()
+    q_rows = rows_cached(queries, q_id_col, q_vector_col)
+    c_rows = rows_cached(centroids, c_id_col, c_vector_col)
     cid = np.array([r[0] for r in c_rows], dtype=np.int64)
     C = np.array([list(r[1]) for r in c_rows], dtype=np.float64)
     o0 = np.argsort(cid, kind="stable")
@@ -2397,7 +2398,7 @@ def _ivf_bq_partial(base: DataFrame, queries: DataFrame,
     if fused:
         codes = bq_encode(base, thresholds, id_col=id_col,
                           vector_col=vector_col, keep=(vector_col,))
-        c_rows = centroids.select(c_id_col, c_vector_col).collect()
+        c_rows = rows_cached(centroids, c_id_col, c_vector_col)
         a_cid = np.array([r[0] for r in c_rows], dtype=np.int64)
         a_C = np.array([list(r[1]) for r in c_rows], dtype=np.float64)
         a_ord = np.argsort(a_cid, kind="stable")
@@ -2416,13 +2417,13 @@ def _ivf_bq_partial(base: DataFrame, queries: DataFrame,
         codes = codes.join(assigned.select(F.col(id_col).alias("id"),
                                            "cell"), on="id")
         assign_state = None
-    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    q_rows = rows_cached(queries, q_id_col, q_vector_col)
     if not q_rows:
         return None
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     if probe_cells is None:
         if c_rows is None:
-            c_rows = centroids.select(c_id_col, c_vector_col).collect()
+            c_rows = rows_cached(centroids, c_id_col, c_vector_col)
         probed = _probe_cells_local(q_rows, c_rows, nprobe)
         cell_lists = [probed.get(int(q), np.empty(0, dtype=np.int64))
                       for q in q_ids]
@@ -2568,7 +2569,7 @@ def ivf_bq_sq8_topk(base: DataFrame, queries: DataFrame,
     if sq8_codes is None:
         sq8_codes = sq8_quantize(base, mins, maxs, id_col=id_col,
                                  vector_col=vector_col).select("id", "codes")
-    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    q_rows = rows_cached(queries, q_id_col, q_vector_col)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     mn = np.array(mins, dtype=np.float64)
@@ -2770,7 +2771,7 @@ def semantic_decontaminate(base: DataFrame, bench: DataFrame,
     import numpy as np
     import pandas as pd
     spark = base.sparkSession
-    b_rows = bench.select(b_id_col, b_vector_col).collect()
+    b_rows = rows_cached(bench, b_id_col, b_vector_col)
     out_schema = f"id BIGINT, bench_id BIGINT, cosine DOUBLE"
     if not b_rows:
         return spark.createDataFrame([], out_schema)

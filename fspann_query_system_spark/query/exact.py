@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.plan import rows_cached
+
 
 def _topk_window(df: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.col("distance").asc(), F.col("id").asc())
@@ -46,7 +48,7 @@ def knn_exact(base: DataFrame, queries: DataFrame, k: int = 10,
               q_id_col: str = "q_id", q_vector_col: str = "vector") -> DataFrame:
     """Blocked exact KNN → (q_id, id, distance, rank), rank 1..k."""
     spark = base.sparkSession
-    q_rows = queries.select(q_id_col, q_vector_col).collect()
+    q_rows = rows_cached(queries, q_id_col, q_vector_col)
     if not q_rows:
         return spark.createDataFrame([], "q_id BIGINT, id BIGINT, distance DOUBLE, rank INT")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)

@@ -3388,3 +3388,36 @@ def test_knn_graph_fold_preserves_vector_carrying_probe_layout(spark,
     full_rebuild = sorted(map(tuple, knn_join(base, cents, k=5,
                                               nprobe=2).collect()))
     assert outs[True] == full_rebuild
+
+
+# --- r12 optimization round: driver-side small-state reuse ---------------
+
+def test_rows_cached_memoizes_per_object_and_matches_collect(spark):
+    from pyspark.sql import functions as F
+    from fspann_query_system_spark.functions.plan import rows_cached
+    df = spark.range(50).select("id", (F.col("id") * 2).alias("v"))
+    r1 = rows_cached(df, "id", "v")
+    # same object + projection -> the SAME row list, no second job
+    assert rows_cached(df, "id", "v") is r1
+    # rows are exactly what a plain collect returns
+    assert r1 == df.select("id", "v").collect()
+    # a different projection of the same object is a separate entry
+    assert rows_cached(df, "v", "id") == df.select("v", "id").collect()
+    # a FRESH DataFrame object recomputes (no cross-invocation state)
+    df2 = spark.range(50).select("id", (F.col("id") * 2).alias("v"))
+    assert "_fspann_rows_cache" not in df2.__dict__
+    assert rows_cached(df2, "id", "v") == r1
+
+
+def test_pq_fit_attached_tensor_matches_collected_codebook(spark, clustered):
+    import numpy as np
+    from fspann_query_system_spark.ops.pq import pq_fit, _codebook_tensor
+    df, _ = clustered
+    cb = pq_fit(df, m_sub=4, k=8, iters=2)
+    T_attached = _codebook_tensor(cb)          # served from the attach
+    # strip the attach AND the rows memo: force the collect path
+    del cb._fspann_codebook_tensor
+    cb.__dict__.pop("_fspann_rows_cache", None)
+    T_collected = _codebook_tensor(cb)
+    assert T_attached.shape == T_collected.shape == (4, 8, 4)
+    assert np.array_equal(T_attached, T_collected)
